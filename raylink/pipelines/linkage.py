@@ -1,0 +1,364 @@
+"""End-to-end Fellegi–Sunter linkage pipelines (link and dedupe).
+
+Composition (one Dataset flowing through; cf. the reference lifecycle
+/root/reference/src/fastlink/fastlink.jl:14-129 and SURVEY.md §3.4)::
+
+    records ─ derive block keys (map_batches, vectorized hash)
+            ─ salt plan (groupby-count, hot keys only -> driver, broadcast)
+            ─ expand into salted pair-group cells (map_batches)
+            ─ pair generation (groupby(pg_key).map_groups, vectorized)
+            ─ gamma scoring (stateful actor pool, map_batches)
+            ─ pattern histogram (partial counts + groupby-sum)  [driver-small]
+            ─ EM fit (+ hierarchical comparisons)               [driver]
+            ─ match filter (broadcast matched patterns)
+            ─ connected components (dedupe only)
+
+Hierarchy note: the reference runs nested comparisons deepest-first, each
+child EM collapsing into a virtual variable of its parent
+(patterns.jl:232-259).  Because a pair's full leaf gamma vector determines
+every child's gamma, the entire (non-tf) hierarchy reduces to driver-side
+arithmetic on the leaf-pattern histogram — no extra distributed passes.
+Child collapse thresholds ``sigmoid(weights) >= threshold_match`` in natural
+log, exactly ``get_match_patternids(...; base="log")`` (patterns.jl:143-153
+called from :216).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..config import ComparisonConfig, LinkConfig, VarConfig
+from ..constants import MATCH2, NONMATCH
+from ..stages import blocking as blocking_stage
+from ..stages.cluster import connected_components
+from ..stages.em import EMResult, em_fit
+from ..stages.matches import get_matches
+from ..stages.patterns import (
+    add_residual_pattern,
+    merge_histograms,
+    pattern_histogram,
+    sample_residual_histogram,
+    unpack_patterns,
+)
+from ..stages.scoring import score_pairs
+from ..stages import pairs as pairs_stage
+
+__all__ = ["LinkResult", "dedupe_records", "link_records", "fit_patterns"]
+
+
+@dataclass
+class LinkResult:
+    """Pipeline output bundle (the reference returns a Dict,
+    fastlink.jl:119-128; ours keeps big things as Datasets)."""
+
+    em: EMResult  # root-level EM fit
+    child_ems: dict[str, EMResult]
+    leaf_patterns: pd.DataFrame  # pattern_key, cnt, zeta_j, weights (leaf level)
+    matches: ray.data.Dataset  # id_a, id_b, gamma_*, pattern_key, zeta_j
+    scored_pairs: ray.data.Dataset
+    clusters: ray.data.Dataset | None
+    counters: dict[str, Any] = field(default_factory=dict)
+
+
+def fit_patterns(
+    hist: pd.DataFrame, config: LinkConfig, seed: int = 1234
+) -> tuple[EMResult, dict[str, EMResult], pd.DataFrame]:
+    """EM over a leaf-pattern histogram, resolving nested comparisons.
+
+    Returns (root EMResult, child EMResults by name, leaf table with
+    per-leaf-pattern zeta_j / weights for match filtering).
+    """
+    leaf_vars = config.leaf_vars()
+    leaf_names = [v.name for v in leaf_vars]
+    bit_pos = {n: k for k, n in enumerate(leaf_names)}
+    keys = hist["pattern_key"].to_numpy(np.int64)
+    counts = hist["cnt"].to_numpy(np.int64)
+    leaf_gammas = unpack_patterns(keys, len(leaf_names))  # (P, K)
+    n_comparisons = int(counts.sum())
+
+    # virtual gamma per processed child node, aligned to leaf patterns
+    virtual: dict[str, np.ndarray] = {}
+    child_ems: dict[str, EMResult] = {}
+    root = config.comparisons
+    root_em: EMResult | None = None
+    root_cols: list[np.ndarray] = []
+
+    for level in config.levels():
+        for node in level:
+            cols: list[np.ndarray] = []
+            names: list[str] = []
+            for v in node.variables:
+                if isinstance(v, ComparisonConfig):
+                    cols.append(virtual[v.name])
+                    names.append(v.name)
+                else:
+                    cols.append(leaf_gammas[:, bit_pos[v.name]])
+                    names.append(v.name)
+            mat = np.column_stack(cols).astype(np.uint8)
+            # aggregate leaf histogram to this node's patterns
+            uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+            node_counts = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(node_counts, inv, counts)
+            em = em_fit(
+                uniq,
+                node_counts,
+                n_comparisons,
+                names,
+                pattern_keys=np.arange(len(uniq), dtype=np.int64),
+                seed=seed,
+                **node.em_kwargs(),
+            )
+            if node is root:
+                root_em = em
+                root_inv = inv
+                root_cols = cols
+            else:
+                child_ems[node.name] = em
+                # child collapse: sigmoid(natural-log weight) >= threshold
+                w = em.patterns_w["weights"].to_numpy(np.float64)
+                is_match = (np.exp(w) / (1 + np.exp(w))) >= node.threshold_match
+                virtual[node.name] = np.where(
+                    is_match[inv], MATCH2, NONMATCH
+                ).astype(np.uint8)
+
+    assert root_em is not None
+    zeta_root = root_em.patterns_w["zeta_j"].to_numpy(np.float64)
+    weights_root = root_em.patterns_w["weights"].to_numpy(np.float64)
+    leaf = pd.DataFrame(
+        {
+            "pattern_key": keys,
+            "cnt": counts,
+            "zeta_j": zeta_root[root_inv],
+            "weights": weights_root[root_inv],
+        }
+    )
+    return root_em, child_ems, leaf
+
+
+def _leaf_em_for_matches(em: EMResult, leaf: pd.DataFrame) -> EMResult:
+    """An EMResult-shaped view whose patterns_w is keyed by LEAF pattern_key
+    (what scored pairs carry), for the broadcast match filter."""
+    import copy
+
+    shim = copy.copy(em)
+    shim.patterns_w = leaf
+    return shim
+
+
+def _run_common(
+    scored: ray.data.Dataset,
+    config: LinkConfig,
+    total_comparisons: int,
+    counters: dict[str, Any],
+    seed: int,
+    sample_a: pd.DataFrame | None = None,
+    sample_b: pd.DataFrame | None = None,
+) -> tuple[EMResult, dict[str, EMResult], pd.DataFrame, ray.data.Dataset]:
+    hist = pattern_histogram(scored)
+    counters["scored_pairs"] = int(hist["cnt"].sum())
+    counters["unique_leaf_patterns"] = len(hist)
+    residual = total_comparisons - float(hist["cnt"].sum())
+    if sample_a is not None and residual > 0:
+        # estimate the pruned-pair pattern distribution from a random
+        # cross-block sample (preserves per-variable u-probabilities)
+        res_hist = sample_residual_histogram(
+            sample_a,
+            sample_b if sample_b is not None else sample_a,
+            config.leaf_vars(),
+            residual,
+            seed=seed + 1,
+        )
+        hist = merge_histograms(hist, res_hist)
+        counters["residual_mode"] = "sampled"
+    else:
+        hist = add_residual_pattern(hist, total_comparisons)
+        counters["residual_mode"] = "all_nonmatch"
+    counters["residual_pairs"] = residual
+    root_em, child_ems, leaf = fit_patterns(hist, config, seed=seed)
+    matches = get_matches(scored, _leaf_em_for_matches(root_em, leaf))
+    return root_em, child_ems, leaf, matches
+
+
+def dedupe_records(
+    records: ray.data.Dataset,
+    config: LinkConfig,
+    id_col: str,
+    block_keys: list[str] | None = None,
+    precomputed_block_key: bool = False,
+    cluster: bool = True,
+    seed: int = 1234,
+) -> LinkResult:
+    """Self-link (dedupe) a record Dataset per the match configuration.
+
+    ``records`` must carry ``id_col``, every leaf comparison column, and —
+    unless ``precomputed_block_key`` — the ``block_keys`` columns.
+    """
+    counters: dict[str, Any] = {}
+    n = records.count()
+    counters["records"] = n
+    total_comparisons = n * (n - 1) // 2
+
+    if not precomputed_block_key:
+        keys = block_keys or config.blocking.keys
+        if not keys:
+            raise ValueError("dedupe requires blocking keys (or a block_key column)")
+        records = blocking_stage.derive_block_keys(records, keys)
+    # prune to what pair rows need BEFORE the shuffle: ids + comparison
+    # fields + block key (wide payloads like full_text stay out)
+    leaf_fields = [v.name for v in config.leaf_vars()]
+    records = records.select_columns(
+        list(dict.fromkeys([id_col, *leaf_fields, "block_key"]))
+    ).materialize()
+    plan, bcount = blocking_stage.plan_salts(records, config.blocking)
+    counters["hot_blocks"] = bcount.n_hot_blocks
+    counters["dropped_blocks"] = bcount.n_dropped_blocks
+    counters["dropped_rows"] = bcount.dropped_rows
+
+    leaf_vars = config.leaf_vars()
+    fields = [v.name for v in leaf_vars]
+    expanded = blocking_stage.expand_pair_groups(
+        records, plan, id_col, side=None,
+        dropped=set(bcount.notes.get("dropped_block_keys", [])),
+    )
+    pairs = pairs_stage.generate_pairs_dedupe(expanded, fields, id_col=id_col)
+    scored = score_pairs(
+        pairs,
+        leaf_vars,
+        concurrency=config.execution.scorer_concurrency,
+        batch_size=config.execution.scorer_batch_size,
+    ).materialize()
+
+    # small deterministic record sample for residual u-estimation
+    frac = min(1.0, 2000 / max(n, 1))
+    sample = records.random_sample(frac, seed=seed).to_pandas()
+    root_em, child_ems, leaf, matches = _run_common(
+        scored, config, total_comparisons, counters, seed, sample_a=sample
+    )
+    matches = matches.materialize()
+    counters["matched_pairs"] = matches.count()
+
+    clusters = None
+    if cluster:
+        nodes = records.select_columns([id_col]).map_batches(
+            lambda b: b.rename_columns(["node"]), batch_format="pyarrow"
+        )
+        clusters = connected_components(
+            matches,
+            nodes,
+            node_col="node",
+            src_col="id_a",
+            dst_col="id_b",
+            local_threshold=config.execution.cc_local_threshold,
+            num_partitions=config.execution.cc_num_partitions,
+        )
+
+    return LinkResult(
+        em=root_em,
+        child_ems=child_ems,
+        leaf_patterns=leaf,
+        matches=matches,
+        scored_pairs=scored,
+        clusters=clusters,
+        counters=counters,
+    )
+
+
+def link_records(
+    records_a: ray.data.Dataset,
+    records_b: ray.data.Dataset,
+    config: LinkConfig,
+    block_keys: list[str] | None = None,
+    seed: int = 1234,
+) -> LinkResult:
+    """Two-table link (the reference's only implemented mode)."""
+    counters: dict[str, Any] = {}
+    n_a = records_a.count()
+    n_b = records_b.count()
+    counters["records_a"] = n_a
+    counters["records_b"] = n_b
+    total_comparisons = n_a * n_b
+
+    keys = block_keys or config.blocking.keys
+    if not keys:
+        raise ValueError("link requires blocking keys")
+    id_a_col, id_b_col = config.idvar
+
+    leaf_vars = config.leaf_vars()
+    fields = [v.name for v in leaf_vars]
+
+    import pyarrow as pa
+
+    def tag(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("_side", pa.array([side] * len(b)))
+
+        return fn
+
+    da = blocking_stage.derive_block_keys(records_a, keys).select_columns(
+        list(dict.fromkeys([id_a_col, *fields, "block_key"]))
+    ).materialize()
+    db = blocking_stage.derive_block_keys(records_b, keys).select_columns(
+        list(dict.fromkeys([id_b_col, *fields, "block_key"]))
+    ).materialize()
+    # the salt plan must see combined block populations
+    both_keys = da.select_columns(["block_key"]).union(
+        db.select_columns(["block_key"])
+    )
+    plan, bcount = blocking_stage.plan_salts(both_keys, config.blocking)
+    counters["hot_blocks"] = bcount.n_hot_blocks
+    dropped = set(bcount.notes.get("dropped_block_keys", []))
+
+    ea = blocking_stage.expand_pair_groups(
+        da.map_batches(tag("a"), batch_format="pyarrow"),
+        plan, id_a_col, side="a", dropped=dropped,
+    )
+    eb = blocking_stage.expand_pair_groups(
+        db.map_batches(tag("b"), batch_format="pyarrow"),
+        plan, id_b_col, side="b", dropped=dropped,
+    )
+    # unify the id column name for pair generation
+    def rename_id(b: pa.Table) -> pa.Table:
+        names = [("_pair_id" if c == id_b_col else c) for c in b.column_names]
+        return b.rename_columns(names)
+
+    def rename_id_a(b: pa.Table) -> pa.Table:
+        names = [("_pair_id" if c == id_a_col else c) for c in b.column_names]
+        return b.rename_columns(names)
+
+    expanded = ea.map_batches(rename_id_a, batch_format="pyarrow").union(
+        eb.map_batches(rename_id, batch_format="pyarrow")
+    )
+    pairs = pairs_stage.generate_pairs_link(expanded, fields, id_col="_pair_id")
+    scored = score_pairs(
+        pairs,
+        leaf_vars,
+        concurrency=config.execution.scorer_concurrency,
+        batch_size=config.execution.scorer_batch_size,
+    ).materialize()
+
+    frac_a = min(1.0, 1000 / max(n_a, 1))
+    frac_b = min(1.0, 1000 / max(n_b, 1))
+    sample_a = da.random_sample(frac_a, seed=seed).to_pandas()
+    sample_b = db.random_sample(frac_b, seed=seed + 1).to_pandas()
+    root_em, child_ems, leaf, matches = _run_common(
+        scored, config, total_comparisons, counters, seed,
+        sample_a=sample_a, sample_b=sample_b,
+    )
+    matches = matches.materialize()
+    counters["matched_pairs"] = matches.count()
+
+    return LinkResult(
+        em=root_em,
+        child_ems=child_ems,
+        leaf_patterns=leaf,
+        matches=matches,
+        scored_pairs=scored,
+        clusters=None,
+        counters=counters,
+    )

@@ -1,0 +1,186 @@
+"""Transitive clustering (connected components) over matched pairs.
+
+The north star requires entity clusters via "iterative hash-partitioned
+min-label propagation (connected components) expressed as repeated
+groupby-aggregate rounds until fixpoint" — the reference has no dedupe code
+path at all (SURVEY.md §2.7), so this stage is new capability.
+
+Two implementations:
+
+- :func:`connected_components_distributed` — label propagation on Datasets:
+  each round joins current labels onto the (symmetrized) edge list, emits
+  ``(dst, src_label)`` messages, and takes a per-node ``min`` over messages +
+  current labels (one hash join + one groupby per round).  Labels only
+  decrease, so ``sum(labels)`` is a monotone fixpoint detector.  Rounds are
+  bounded by component diameter (duplicate clusters are tiny; cf. PAPERS.md
+  "connected components in map-reduce in logarithmic rounds" for the
+  log-round variants if ever needed).
+- :func:`connected_components_local` — driver-side union-find, streaming the
+  edge list with ``iter_batches``.  Used below ``local_threshold`` edges where
+  a shuffle round-trip per iteration costs more than the whole problem.
+
+Both return ``(node, entity)`` with ``entity`` = the component's minimum
+node id, so results are deterministic and identical between paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+__all__ = [
+    "connected_components",
+    "connected_components_local",
+    "connected_components_distributed",
+]
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str = "node",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    local_threshold: int = 2_000_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Cluster nodes by the edge list; auto-select local vs distributed."""
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        return connected_components_local(edges, nodes, node_col, src_col, dst_col)
+    return connected_components_distributed(
+        edges, nodes, node_col, src_col, dst_col, num_partitions=num_partitions
+    )
+
+
+def connected_components_local(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str = "node",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> ray.data.Dataset:
+    """Driver union-find (path-compressed); edges stream in batches."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in edges.select_columns([src_col, dst_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        a = batch.column(src_col).to_pylist()
+        b = batch.column(dst_col).to_pylist()
+        for u, v in zip(a, b):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min so the label IS the minimum id
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+
+    roots = {x: find(x) for x in list(parent)}
+    roots_ref = ray.put(roots)
+
+    def label(batch: pa.Table) -> pa.Table:
+        r = ray.get(roots_ref)
+        vals = batch.column(node_col).to_pylist()
+        ent = [r.get(v, v) for v in vals]
+        return pa.table(
+            {
+                node_col: batch.column(node_col),
+                "entity": pa.array(ent, type=batch.column(node_col).type),
+            }
+        )
+
+    return nodes.select_columns([node_col]).map_batches(label, batch_format="pyarrow")
+
+
+def connected_components_distributed(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str = "node",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    num_partitions: int = 16,
+    max_rounds: int = 50,
+) -> ray.data.Dataset:
+    """Min-label propagation as repeated join + groupby-min rounds."""
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col)
+        b = batch.column(dst_col)
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    sym_edges = edges.select_columns([src_col, dst_col]).map_batches(
+        sym, batch_format="pyarrow"
+    ).materialize()
+
+    labels = nodes.select_columns([node_col]).map_batches(
+        lambda b: pa.table({"node": b.column(node_col), "label": b.column(node_col)}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def apply_mins(batch: pa.Table) -> pa.Table:
+        old = batch.column("label").to_numpy(zero_copy_only=False)
+        msg = batch.column("min_msg").to_numpy(zero_copy_only=False)
+        # null-safe elementwise min (no message -> keep old label)
+        has = np.array([m is not None and m == m for m in msg], dtype=bool)
+        new = old.copy()
+        take = has & np.array(
+            [m < o for m, o in zip(np.where(has, msg, old), old)], dtype=bool
+        )
+        new[take] = msg[take]
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "label": pa.array(new, type=batch.column("label").type),
+                "changed": pa.array(take.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    for _ in range(max_rounds):
+        # messages: for each edge (src, dst), dst receives src's current label
+        msgs = sym_edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("dst"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        mins = msgs.groupby("node").min("label").map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "min_msg": b.column("min(label)")}
+            ),
+            batch_format="pyarrow",
+        )
+        new_labels = labels.join(
+            mins,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("node",),
+        ).map_batches(apply_mins, batch_format="pyarrow").materialize()
+        changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({node_col: b.column("node"), "entity": b.column("label")}),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,127 @@
+"""Candidate-pair generation inside (salted) pair-groups.
+
+Replaces the reference's implicit full cross join (fastlink.jl:20,
+emlink.jl:174): one ``groupby(pg_key)`` shuffle co-locates each pair-group
+cell, and a vectorized per-group UDF emits the pairs:
+
+- dedupe, diagonal cell (i==i): the strict upper triangle over members
+  sorted by id — orientation ``id_a < id_b`` exactly once per unordered pair
+  (the self-link filter SURVEY.md §2.7 calls for; the reference declares
+  ``dedupe_only`` in its config schema but never implements it).
+- dedupe, off-diagonal cell (i<j): full cross of salt-i members x salt-j
+  members, orientation normalized to ``id_a < id_b``.
+- link: A-side members x B-side members of the cell.
+
+Pair rows carry only the configured comparison-field columns (suffixed
+``_a``/``_b``) plus ids — never the full transcript text (SURVEY.md §7
+"Very wide records").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+__all__ = ["generate_pairs_dedupe", "generate_pairs_link"]
+
+
+def _emit(
+    batch_cols: dict[str, np.ndarray],
+    fields: list[str],
+    id_col: str,
+    ia: np.ndarray,
+    ib: np.ndarray,
+) -> dict[str, np.ndarray]:
+    """Build a pair batch from row indices (ia -> _a side, ib -> _b side)."""
+    ids = batch_cols[id_col]
+    swap = ids[ia] > ids[ib]
+    ia_f = np.where(swap, ib, ia)
+    ib_f = np.where(swap, ia, ib)
+    out: dict[str, np.ndarray] = {
+        "id_a": ids[ia_f],
+        "id_b": ids[ib_f],
+    }
+    for f in fields:
+        col = batch_cols[f]
+        out[f"{f}_a"] = col[ia_f]
+        out[f"{f}_b"] = col[ib_f]
+    return out
+
+
+def _emit_link(
+    a_cols: dict[str, np.ndarray],
+    b_cols: dict[str, np.ndarray],
+    fields: list[str],
+    id_col: str,
+    ia: np.ndarray,
+    ib: np.ndarray,
+) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {
+        "id_a": a_cols[id_col][ia],
+        "id_b": b_cols[id_col][ib],
+    }
+    for f in fields:
+        out[f"{f}_a"] = a_cols[f][ia]
+        out[f"{f}_b"] = b_cols[f][ib]
+    return out
+
+
+def _empty_pairs(fields: list[str], cols: dict[str, np.ndarray], id_col: str):
+    out = {
+        "id_a": cols[id_col][:0],
+        "id_b": cols[id_col][:0],
+    }
+    for f in fields:
+        out[f"{f}_a"] = cols[f][:0]
+        out[f"{f}_b"] = cols[f][:0]
+    return out
+
+
+def generate_pairs_dedupe(
+    records: ray.data.Dataset, fields: list[str], id_col: str = "conv_id"
+) -> ray.data.Dataset:
+    """Self-link pair generation over salted pair-groups (one shuffle)."""
+
+    def gen(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        cols = {k: np.asarray(v) for k, v in group.items()}
+        n = len(cols[id_col])
+        sub_i = int(cols["sub_i"][0])
+        sub_j = int(cols["sub_j"][0])
+        if sub_i == sub_j:
+            if n < 2:
+                return _empty_pairs(fields, cols, id_col)
+            order = np.argsort(cols[id_col], kind="stable")
+            ia, ib = np.triu_indices(n, k=1)
+            return _emit(cols, fields, id_col, order[ia], order[ib])
+        salt = cols["salt"]
+        left = np.flatnonzero(salt == sub_i)
+        right = np.flatnonzero(salt == sub_j)
+        if len(left) == 0 or len(right) == 0:
+            return _empty_pairs(fields, cols, id_col)
+        ia = np.repeat(left, len(right))
+        ib = np.tile(right, len(left))
+        return _emit(cols, fields, id_col, ia, ib)
+
+    return records.groupby("pg_key").map_groups(gen, batch_format="numpy")
+
+
+def generate_pairs_link(
+    records: ray.data.Dataset, fields: list[str], id_col: str = "id"
+) -> ray.data.Dataset:
+    """Two-table link pair generation; ``records`` must carry a ``_side``
+    column ("a"/"b") from the union of the two expanded inputs."""
+
+    def gen(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        cols = {k: np.asarray(v) for k, v in group.items()}
+        side = cols["_side"]
+        a_rows = np.flatnonzero(side == "a")
+        b_rows = np.flatnonzero(side == "b")
+        if len(a_rows) == 0 or len(b_rows) == 0:
+            return _empty_pairs(fields, cols, id_col)
+        ia = np.repeat(a_rows, len(b_rows))
+        ib = np.tile(b_rows, len(a_rows))
+        return _emit_link(cols, cols, fields, id_col, ia, ib)
+
+    return records.groupby("pg_key").map_groups(gen, batch_format="numpy")

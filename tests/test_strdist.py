@@ -1,0 +1,79 @@
+"""Unit tests for string-distance kernels (FIXTURES.md F3 micro-fixtures)."""
+
+import numpy as np
+import pytest
+
+from raylink.functions import strdist as sd
+
+
+def test_jaro_winkler_known_values():
+    # classic published examples
+    assert round(sd.jaro_winkler("MARTHA", "MARHTA"), 4) == 0.9611
+    assert round(sd.jaro("MARTHA", "MARHTA"), 4) == 0.9444
+    assert round(sd.jaro_winkler("DWAYNE", "DUANE"), 4) == 0.84
+    assert round(sd.jaro_winkler("DIXON", "DICKSONX"), 4) == 0.8133
+    assert sd.jaro_winkler("same", "same") == 1.0
+    assert sd.jaro_winkler("", "x") == 0.0
+
+
+def test_jaro_winkler_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(3)
+    alpha = np.array(list("ABCDEFGH"))
+    words = ["".join(rng.choice(alpha, size=int(rng.integers(1, 10)))) for _ in range(80)]
+    for i in range(300):
+        a = words[int(rng.integers(0, len(words)))]
+        b = words[int(rng.integers(0, len(words)))]
+        expect = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert sd.jaro_winkler(a, b) == pytest.approx(expect, abs=1e-12), (a, b)
+
+
+def test_levenshtein_family():
+    assert sd.levenshtein("kitten", "sitting") == 3
+    assert sd.levenshtein("", "abc") == 3
+    assert sd.osa("ca", "abc") == 3  # restricted: no substring edit after swap
+    assert sd.damerau_levenshtein("ca", "abc") == 2  # unrestricted
+    assert sd.osa("abcd", "acbd") == 1
+    assert sd.hamming("abc", "abd") == 1
+    assert sd.hamming("abc", "ab") == 1
+
+
+def test_ratcliff_and_jaccard():
+    assert sd.ratcliff_obershelp("abc", "abc") == 1.0
+    assert sd.char_jaccard("night", "nacht") == pytest.approx(3 / 7)
+
+
+def test_similarity_normalization():
+    # lv similarity normalizes by max length
+    assert sd.similarity("lv", "kitten", "sitting") == pytest.approx(1 - 3 / 7)
+    assert sd.similarity("hamming", "abc", "abd") == pytest.approx(1 - 1 / 3)
+
+
+def test_similarity_pairs_unique_economy_and_nulls():
+    a = np.array(["AB", "AB", None, "CD"], dtype=object)
+    b = np.array(["AB", "AB", "XY", None], dtype=object)
+    cache: dict = {}
+    out = sd.similarity_pairs(a, b, method="jw", cache=cache)
+    assert out[0] == 1.0 and out[1] == 1.0
+    assert np.isnan(out[2]) and np.isnan(out[3])
+    assert len(cache) == 1  # one unique non-null pair scored once
+
+
+def test_token_levenshtein_matrix():
+    seqs_a = [np.array([1, 2, 3]), np.array([1, 2]), np.array([], dtype=np.int64)]
+    seqs_b = [np.array([1, 2, 4]), np.array([1, 2]), np.array([], dtype=np.int64)]
+    sims = sd.token_levenshtein_matrix(seqs_a, seqs_b)
+    assert sims[0] == pytest.approx(2 / 3)
+    assert sims[1] == 1.0
+    assert sims[2] == 1.0  # both empty -> identical
+
+
+def test_method_aliases_cover_reference_table():
+    # every alias the reference accepts resolves (FastLink.jl:11-30)
+    for alias in ("jarowinkler", "jaro-winkler", "dameraulevenshtein", "lv",
+                  "optimal string alignment", "ratcliff obershelp", "hamming"):
+        assert alias in sd.METHOD_ALIASES
