@@ -48,6 +48,7 @@ from ..stages.patterns import (
 )
 from ..stages.scoring import score_pairs
 from ..stages import pairs as pairs_stage
+from ..stages.tf import add_tf_columns, apply_tf_adjustment
 
 __all__ = ["LinkResult", "dedupe_records", "link_records", "fit_patterns"]
 
@@ -63,6 +64,7 @@ class LinkResult:
     matches: ray.data.Dataset  # id_a, id_b, gamma_*, pattern_key, zeta_j
     scored_pairs: ray.data.Dataset
     clusters: ray.data.Dataset | None
+    tf_matches: ray.data.Dataset | None = None  # per-pair tf-adjusted posteriors
     counters: dict[str, Any] = field(default_factory=dict)
 
 
@@ -214,7 +216,11 @@ def dedupe_records(
     leaf_fields = [v.name for v in config.leaf_vars()]
     records = records.select_columns(
         list(dict.fromkeys([id_col, *leaf_fields, "block_key"]))
-    ).materialize()
+    )
+    tf_vars = [v for v in config.leaf_vars() if v.tf_adjust]
+    if tf_vars:
+        records = add_tf_columns(records, tf_vars, n)
+    records = records.materialize()
     plan, bcount = blocking_stage.plan_salts(records, config.blocking)
     counters["hot_blocks"] = bcount.n_hot_blocks
     counters["dropped_blocks"] = bcount.n_dropped_blocks
@@ -222,16 +228,20 @@ def dedupe_records(
 
     leaf_vars = config.leaf_vars()
     fields = [v.name for v in leaf_vars]
+    tf_cols = [f"tf_{v.name}" for v in tf_vars]
     expanded = blocking_stage.expand_pair_groups(
         records, plan, id_col, side=None,
         dropped=set(bcount.notes.get("dropped_block_keys", [])),
     )
-    pairs = pairs_stage.generate_pairs_dedupe(expanded, fields, id_col=id_col)
+    pairs = pairs_stage.generate_pairs_dedupe(
+        expanded, fields + tf_cols, id_col=id_col
+    )
     scored = score_pairs(
         pairs,
         leaf_vars,
         concurrency=config.execution.scorer_concurrency,
         batch_size=config.execution.scorer_batch_size,
+        passthrough=[f"{c}_{side}" for c in tf_cols for side in ("a", "b")],
     ).materialize()
 
     # small deterministic record sample for residual u-estimation
@@ -242,6 +252,11 @@ def dedupe_records(
     )
     matches = matches.materialize()
     counters["matched_pairs"] = matches.count()
+    tf_matches = None
+    if tf_vars:
+        tf_matches = apply_tf_adjustment(
+            matches, root_em, leaf, leaf_vars, tf_vars
+        )
 
     clusters = None
     if cluster:
@@ -265,6 +280,7 @@ def dedupe_records(
         matches=matches,
         scored_pairs=scored,
         clusters=clusters,
+        tf_matches=tf_matches,
         counters=counters,
     )
 
@@ -300,12 +316,20 @@ def link_records(
 
         return fn
 
+    tf_vars = [v for v in leaf_vars if v.tf_adjust]
+    tf_cols = [f"tf_{v.name}" for v in tf_vars]
     da = blocking_stage.derive_block_keys(records_a, keys).select_columns(
         list(dict.fromkeys([id_a_col, *fields, "block_key"]))
-    ).materialize()
+    )
     db = blocking_stage.derive_block_keys(records_b, keys).select_columns(
         list(dict.fromkeys([id_b_col, *fields, "block_key"]))
-    ).materialize()
+    )
+    if tf_vars:
+        # per-table frequency tables (the reference's tf_table_x / tf_table_y)
+        da = add_tf_columns(da, tf_vars, n_a)
+        db = add_tf_columns(db, tf_vars, n_b)
+    da = da.materialize()
+    db = db.materialize()
     # the salt plan must see combined block populations
     both_keys = da.select_columns(["block_key"]).union(
         db.select_columns(["block_key"])
@@ -334,12 +358,15 @@ def link_records(
     expanded = ea.map_batches(rename_id_a, batch_format="pyarrow").union(
         eb.map_batches(rename_id, batch_format="pyarrow")
     )
-    pairs = pairs_stage.generate_pairs_link(expanded, fields, id_col="_pair_id")
+    pairs = pairs_stage.generate_pairs_link(
+        expanded, fields + tf_cols, id_col="_pair_id"
+    )
     scored = score_pairs(
         pairs,
         leaf_vars,
         concurrency=config.execution.scorer_concurrency,
         batch_size=config.execution.scorer_batch_size,
+        passthrough=[f"{c}_{side}" for c in tf_cols for side in ("a", "b")],
     ).materialize()
 
     frac_a = min(1.0, 1000 / max(n_a, 1))
@@ -352,6 +379,11 @@ def link_records(
     )
     matches = matches.materialize()
     counters["matched_pairs"] = matches.count()
+    tf_matches = None
+    if tf_vars:
+        tf_matches = apply_tf_adjustment(
+            matches, root_em, leaf, leaf_vars, tf_vars
+        )
 
     return LinkResult(
         em=root_em,
@@ -360,5 +392,6 @@ def link_records(
         matches=matches,
         scored_pairs=scored,
         clusters=None,
+        tf_matches=tf_matches,
         counters=counters,
     )

@@ -1,0 +1,215 @@
+"""Flagship pipeline: transcript Parquet -> entity clusters, checkpointed.
+
+The end-to-end shape from the north star, one checkpointed stage per wide
+step::
+
+    read_parquet(turns)
+      -> [assembled]     groupby(conv_id) assembly + block keys
+      -> [scored_pairs]  salt plan -> pair groups -> pair gen -> gamma scoring
+      -> (driver)        pattern histogram + EM fit     [em artifact JSON]
+      -> [matches]       broadcast matched patterns, filter
+      -> [clusters]      connected components
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any
+
+import pandas as pd
+
+import ray.data
+
+from ..config import LinkConfig, parse_config
+from ..stages import blocking as blocking_stage
+from ..stages import pairs as pairs_stage
+from ..stages.assemble import assemble_conversations
+from ..stages.cluster import connected_components
+from ..stages.matches import get_matches
+from ..stages.patterns import (
+    merge_histograms,
+    pattern_histogram,
+    sample_residual_histogram,
+)
+from ..stages.scoring import score_pairs
+from ..state.checkpoint import PipelineRunner
+from .linkage import _leaf_em_for_matches, fit_patterns
+
+__all__ = ["default_transcript_config", "run_transcript_pipeline"]
+
+
+def default_transcript_config(**overrides: Any) -> LinkConfig:
+    """The flagship match configuration for conversation records."""
+    cfg = {
+        "link_type": "dedupe_only",
+        "idvar": ["conv_id", "conv_id"],
+        "comparisons": {
+            "name": "total",
+            "threshold_match": 0.85,
+            "variables": [
+                {"varname": "first_text_norm", "method": "jarowinkler",
+                 "cut_a": 0.92, "cut_b": 0.88},
+                {"varname": "tool_sig", "method": "exact"},
+                {"varname": "tok_blob", "method": "token_lv",
+                 "cut_a": 0.7, "cut_b": 0.4},
+            ],
+        },
+        "blocking": {"cap": 512},
+    }
+    cfg.update(overrides)
+    return parse_config(cfg)
+
+
+def _config_fingerprint(config: LinkConfig, extra: str = "") -> str:
+    blob = json.dumps(
+        {
+            "vars": [
+                (v.name, v.kernel, v.distmethod, v.cut_a, v.cut_b, v.partial, v.w)
+                for v in config.leaf_vars()
+            ],
+            "threshold": config.comparisons.threshold_match,
+            "cap": config.blocking.cap,
+            "extra": extra,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def run_transcript_pipeline(
+    turns: ray.data.Dataset,
+    checkpoint_dir: str,
+    config: LinkConfig | None = None,
+    input_fingerprint: str = "",
+    seed: int = 1234,
+) -> dict[str, Any]:
+    """Run (or resume) the flagship dedupe over a turns Dataset.
+
+    Returns dict with ``clusters`` / ``matches`` Datasets, the ``em`` fit,
+    and per-stage ``manifests`` (lineage + counters).  A re-invocation with
+    the same ``checkpoint_dir`` + fingerprints skips completed stages.
+    """
+    config = config or default_transcript_config()
+    runner = PipelineRunner(checkpoint_dir)
+    fp = _config_fingerprint(config, input_fingerprint)
+    id_col = "conv_id"
+    fields = [v.name for v in config.leaf_vars()]
+
+    # ---- stage 1: assembly + block keys ---------------------------------
+    def build_assembled() -> ray.data.Dataset:
+        recs = assemble_conversations(turns, include_full_text=False)
+        recs = blocking_stage.transcript_block_keys(recs)
+        return recs.select_columns(
+            list(dict.fromkeys([id_col, *fields, "block_key"]))
+        )
+
+    assembled = runner.stage("assembled", build_assembled, fp)
+    records = assembled.dataset.materialize()
+    n = records.count()
+    total_comparisons = n * (n - 1) // 2
+
+    # ---- stage 2: salted pair generation + scoring ----------------------
+    plan, bcount = blocking_stage.plan_salts(records, config.blocking)
+
+    def build_scored() -> ray.data.Dataset:
+        expanded = blocking_stage.expand_pair_groups(
+            records, plan, id_col, side=None,
+            dropped=set(bcount.notes.get("dropped_block_keys", [])),
+        )
+        pairs = pairs_stage.generate_pairs_dedupe(expanded, fields, id_col=id_col)
+        return score_pairs(
+            pairs,
+            config.leaf_vars(),
+            concurrency=config.execution.scorer_concurrency,
+            batch_size=config.execution.scorer_batch_size,
+        ).select_columns(["id_a", "id_b", "pattern_key"])
+
+    scored_res = runner.stage(
+        "scored_pairs",
+        build_scored,
+        fp,
+        counters={
+            "records": n,
+            "hot_blocks": bcount.n_hot_blocks,
+            "dropped_blocks": bcount.n_dropped_blocks,
+            "dropped_rows": bcount.dropped_rows,
+        },
+    )
+    scored = scored_res.dataset
+
+    # ---- driver: histogram + EM ----------------------------------------
+    hist = pattern_histogram(scored)
+    scored_count = float(hist["cnt"].sum())
+    residual = total_comparisons - scored_count
+    if residual > 0:
+        sample = records.random_sample(
+            min(1.0, 2000 / max(n, 1)), seed=seed
+        ).to_pandas()
+        hist = merge_histograms(
+            hist,
+            sample_residual_histogram(
+                sample, sample, config.leaf_vars(), residual, seed=seed + 1
+            ),
+        )
+    root_em, child_ems, leaf = fit_patterns(hist, config, seed=seed)
+    runner.small_artifact(
+        "em",
+        {
+            "p_m": root_em.p_m,
+            "p_u": root_em.p_u,
+            "number_of_comparisons": root_em.number_of_comparisons,
+            "number_of_unique_patterns": root_em.number_of_unique_patterns,
+            "iter_converge": root_em.iter_converge,
+            "converged": root_em.converged,
+            "threshold_match": root_em.threshold_match,
+            "varnames": root_em.varnames,
+            "patterns_w": root_em.patterns_w.to_dict(orient="list"),
+            "scored_pairs": scored_count,
+            "residual_pairs": residual,
+        },
+    )
+
+    # ---- stage 3: matches ----------------------------------------------
+    def build_matches() -> ray.data.Dataset:
+        return get_matches(scored, _leaf_em_for_matches(root_em, leaf))
+
+    matches_res = runner.stage("matches", build_matches, fp)
+    matches = matches_res.dataset.materialize()
+
+    # ---- stage 4: clusters ---------------------------------------------
+    def build_clusters() -> ray.data.Dataset:
+        nodes = records.select_columns([id_col]).map_batches(
+            lambda b: b.rename_columns(["node"]), batch_format="pyarrow"
+        )
+        return connected_components(
+            matches,
+            nodes,
+            node_col="node",
+            src_col="id_a",
+            dst_col="id_b",
+            local_threshold=config.execution.cc_local_threshold,
+            num_partitions=config.execution.cc_num_partitions,
+        )
+
+    clusters_res = runner.stage("clusters", build_clusters, fp)
+
+    return {
+        "records": records,
+        "matches": matches,
+        "clusters": clusters_res.dataset,
+        "em": root_em,
+        "child_ems": child_ems,
+        "leaf_patterns": leaf,
+        "manifests": runner.manifests,
+        "counters": {
+            "records": n,
+            "total_comparisons": total_comparisons,
+            "scored_pairs": scored_count,
+            "matched_pairs": matches.count(),
+            "hot_blocks": bcount.n_hot_blocks,
+            "resumed_stages": [
+                k for k, m in runner.manifests.items() if runner.is_complete(k, fp)
+            ],
+        },
+    }
