@@ -1,0 +1,137 @@
+"""Text-analysis kernels for training-data pipelines.
+
+Vectorized (numpy / pandas.str) implementations of the text ops a 100 TB
+corpus pipeline needs: token counting, language ID (stopword n-gram
+heuristic), quality scoring, and document fingerprinting (rolling hash /
+winnowing).  All are per-batch pure functions — used through
+``map_batches`` in :mod:`raylink.ops.text`.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "token_counts",
+    "language_id",
+    "quality_scores",
+    "doc_fingerprint",
+    "winnowing_fingerprints",
+]
+
+_TOKEN_RE = re.compile(r"\s+")
+
+# small stopword inventories for the n-gram/stopword language heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "with", "on", "as", "are"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans", "qui", "au", "pas"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "des", "ein", "eine", "zu", "im", "für", "auf"},
+    "es": {"el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por", "con", "para", "del"},
+}
+
+
+def token_counts(texts) -> np.ndarray:
+    """Whitespace-token counts (regex ``\\s+`` split), vectorized."""
+    s = pd.Series(texts, dtype="object")
+    return s.fillna("").str.count(r"\S+").to_numpy(np.int64)
+
+
+def language_id(texts) -> np.ndarray:
+    """Stopword-ratio language guess among {en, fr, de, es}; 'und' if none."""
+    out = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts):
+        if not t:
+            out[i] = "und"
+            continue
+        toks = _TOKEN_RE.split(t.lower())
+        if not toks:
+            out[i] = "und"
+            continue
+        best, best_hits = "und", 0
+        for lang, sw in _STOPWORDS.items():
+            hits = sum(1 for tok in toks if tok in sw)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        out[i] = best
+    return out
+
+
+def quality_scores(texts) -> dict[str, np.ndarray]:
+    """Heuristic quality signals: length, punct/stopword ratios, token stats.
+
+    Returns columns ``n_chars``, ``n_tokens``, ``punct_ratio``,
+    ``stopword_ratio``, ``mean_token_len``, ``quality`` (composite in [0,1]).
+    """
+    s = pd.Series(texts, dtype="object").fillna("")
+    n_chars = s.str.len().to_numpy(np.int64)
+    n_tokens = s.str.count(r"\S+").to_numpy(np.int64)
+    n_punct = s.str.count(r"[.,!?;:]").to_numpy(np.int64)
+    n_alpha = s.str.count(r"[A-Za-z]").to_numpy(np.int64)
+    safe_chars = np.maximum(n_chars, 1)
+    safe_toks = np.maximum(n_tokens, 1)
+    punct_ratio = n_punct / safe_chars
+    mean_token_len = (n_chars - (n_tokens - 1).clip(min=0)) / safe_toks
+    sw_en = _STOPWORDS["en"]
+    stop_hits = np.array(
+        [
+            sum(1 for tok in _TOKEN_RE.split(t.lower()) if tok in sw_en)
+            for t in s
+        ],
+        dtype=np.int64,
+    )
+    stopword_ratio = stop_hits / safe_toks
+    # composite: reward natural-language-looking docs
+    length_score = np.clip(n_tokens / 50.0, 0, 1)
+    alpha_score = n_alpha / safe_chars
+    punct_score = 1.0 - np.clip(punct_ratio * 5, 0, 1)
+    quality = 0.35 * length_score + 0.35 * alpha_score + 0.15 * punct_score + 0.15 * np.clip(
+        stopword_ratio * 4, 0, 1
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+        "mean_token_len": mean_token_len,
+        "quality": quality,
+    }
+
+
+def doc_fingerprint(texts) -> np.ndarray:
+    """Stable int64 content fingerprint of the exact text bytes (crc64-ish)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8")
+        # two independent crc32s -> 64 bits, cheap and stable
+        hi = zlib.crc32(b)
+        lo = zlib.crc32(b, 0xDEADBEEF)
+        out[i] = np.int64(np.uint64((hi << 32) | lo).astype(np.int64))
+    return out
+
+
+def winnowing_fingerprints(
+    text: str, k: int = 8, window: int = 4
+) -> np.ndarray:
+    """Winnowing (local-min sampling of rolling k-gram hashes) fingerprints.
+
+    Standard document-fingerprinting scheme (Schleimer et al., SIGMOD 2003):
+    hash every k-gram, then keep the minimum hash of each sliding window —
+    guarantees shared substrings of length >= k + window - 1 share a
+    fingerprint.  Returns sorted unique int64 fingerprints.
+    """
+    b = (text or "").encode("utf-8")
+    if len(b) < k:
+        return np.empty(0, dtype=np.int64)
+    n = len(b) - k + 1
+    hashes = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        hashes[i] = zlib.crc32(b[i : i + k])
+    if n <= window:
+        return np.unique(hashes.min(keepdims=True))
+    # sliding-window minimum via stride trick
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    return np.unique(sw.min(axis=1))

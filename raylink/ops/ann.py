@@ -1,0 +1,153 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- :func:`ann_brute_force` — exact cosine top-k: the query matrix is
+  broadcast once via ``ray.put``; each batch does one matmul against it and
+  emits its local per-query top-k; the tiny candidate stream
+  (O(num_blocks * Q * k)) reduces to the global top-k on the driver.  This is
+  the baseline and the verification oracle.
+- :func:`ann_lsh` — the scale path: random-hyperplane buckets over both
+  vectors and queries; per-bucket exact scoring only.  Recall < 1 by design;
+  returns the same schema so callers can swap it in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+__all__ = ["ann_brute_force", "ann_lsh"]
+
+
+def _as_matrix(vectors) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vectors])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+def ann_brute_force(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k.  Returns (query_id, vec_id, cosine, rank<=k)."""
+    qm = _normalize(_as_matrix(queries))
+    q_ref = ray.put(qm)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        emb = _normalize(_as_matrix(batch.column(emb_col).to_pylist()))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = emb @ q.T  # (B, Q)
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            rows = top[:, qi]
+            out_q.extend([qi] * len(rows))
+            out_id.extend(ids[rows])
+            out_sim.extend(sims[rows, qi])
+        return pa.table(
+            {
+                "qi": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id),
+                "cosine": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qi, grp in cand.groupby("qi"):
+        # deterministic global top-k: cosine desc, id asc tiebreak
+        g = grp.sort_values(
+            ["cosine", id_col], ascending=[False, True], ignore_index=True
+        ).head(k)
+        for rank, row in enumerate(g.itertuples(index=False), start=1):
+            out_rows.append(
+                {
+                    "query_id": query_ids[int(qi)],
+                    id_col: getattr(row, id_col),
+                    "cosine": row.cosine,
+                    "rank": rank,
+                }
+            )
+    return pd.DataFrame(out_rows)
+
+
+def ann_lsh(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane sign bucket
+    matches the query's.  Same output schema as :func:`ann_brute_force`."""
+    qm = _normalize(_as_matrix(queries))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((qm.shape[1], n_planes))
+    q_keys = _bucket_keys(qm, planes)
+    state = {"planes": planes, "qm": qm, "q_keys": q_keys}
+    s_ref = ray.put(state)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        st = ray.get(s_ref)
+        emb = _normalize(_as_matrix(batch.column(emb_col).to_pylist()))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keys = _bucket_keys(emb, st["planes"])
+        out_q, out_id, out_sim = [], [], []
+        for qi, qk in enumerate(st["q_keys"]):
+            rows = np.flatnonzero(keys == qk)
+            if len(rows) == 0:
+                continue
+            sims = emb[rows] @ st["qm"][qi]
+            kk = min(k, len(rows))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[rows[top]])
+            out_sim.extend(sims[top])
+        return pa.table(
+            {
+                "qi": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id),
+                "cosine": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qi, grp in cand.groupby("qi"):
+        g = grp.sort_values(
+            ["cosine", id_col], ascending=[False, True], ignore_index=True
+        ).head(k)
+        for rank, row in enumerate(g.itertuples(index=False), start=1):
+            out_rows.append(
+                {
+                    "query_id": query_ids[int(qi)],
+                    id_col: getattr(row, id_col),
+                    "cosine": row.cosine,
+                    "rank": rank,
+                }
+            )
+    return pd.DataFrame(out_rows)
+
+
+def _bucket_keys(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (m @ planes) > 0
+    keys = np.zeros(len(m), dtype=np.int64)
+    for p in range(planes.shape[1]):
+        keys |= signs[:, p].astype(np.int64) << p
+    return keys

@@ -1,0 +1,219 @@
+"""Training-data ops tests (dedup / ANN / text / sessions / multimodal)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_matches_pandas():
+    from raylink.ops.dedup import exact_dedup
+
+    out = exact_dedup(_docs(), "text", "doc_id").to_pandas()
+    df = pd.read_parquet(f"{SF}/documents.parquet")
+    expect = df.groupby("text").agg(
+        keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+    ).reset_index()
+    got = out.sort_values("text", ignore_index=True)
+    expect = expect.sort_values("text", ignore_index=True)
+    assert (got["keep_doc_id"].to_numpy() == expect["keep_doc_id"].to_numpy()).all()
+    assert (got["n_dups"].to_numpy() == expect["n_dups"].to_numpy()).all()
+
+
+def test_minhash_lsh_finds_planted_near_dups():
+    from raylink.ops.dedup import minhash_lsh_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest where nobody can find it anymore today"
+    )
+    rng = np.random.default_rng(13)
+    vocab = np.array(
+        ["".join(rng.choice(list("abcdefghijklmnop"), size=7)) for _ in range(400)]
+    )
+    texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(50)]
+    texts.append(base)
+    texts.append(base.replace("quick", "quikc"))  # near-dup of base
+    texts.append(base + " extra tail words appended here")  # near-dup
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    pairs = minhash_lsh_dedup(
+        ray.data.from_pandas(df), "text", "doc_id", threshold=0.5
+    ).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (50, 51) in found
+    assert (50, 52) in found
+    # unrelated docs don't pair up
+    assert all(a >= 50 and b >= 50 for a, b in found)
+
+
+def test_simhash_dedup():
+    from raylink.ops.dedup import simhash_dedup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the quick brown fox jumps over the lazy cat near the river bank",
+        "completely different content about database query optimization plans",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": texts})
+    pairs = simhash_dedup(
+        ray.data.from_pandas(df), "text", "doc_id", max_hamming=8
+    ).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in found
+    assert (0, 2) not in found and (1, 2) not in found
+
+
+def test_ngram_jaccard_dedup_char_set_mode_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.dedup import ngram_jaccard_dedup
+
+    df = pd.read_parquet(f"{SF}/documents.parquet").head(120)
+    ds = ray.data.from_pandas(df)
+    got = ngram_jaccard_dedup(
+        ds, "text", "doc_id", ["lang"], threshold=0.9, char_set_mode=True
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", df)
+    expect = con.execute(
+        """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               jaccard(a.text, b.text) AS jac
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE jaccard(a.text, b.text) >= 0.9
+        """
+    ).df()
+    assert set(zip(got["id_a"], got["id_b"])) == set(
+        zip(expect["id_a"], expect["id_b"])
+    )
+
+
+def test_embedding_cosine_dedup():
+    from raylink.ops.dedup import embedding_cosine_dedup
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    emb = np.concatenate([base, base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01])
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(35, dtype=np.int64),
+            "embedding": [e for e in emb],
+        }
+    )
+    pairs = embedding_cosine_dedup(
+        ray.data.from_pandas(df), "embedding", "vec_id", threshold=0.99,
+        n_planes=6,
+    ).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # the 5 planted near-copies pair with their originals
+    hits = sum((i, 30 + i) in found for i in range(5))
+    assert hits >= 4  # LSH is approximate; at least 4/5 recalled
+
+
+def test_ann_brute_force_matches_numpy():
+    from raylink.ops.ann import ann_brute_force, ann_lsh
+
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    queries = emb[:3]
+    res = ann_brute_force(
+        ray.data.from_pandas(df), queries, [0, 1, 2], k=5
+    )
+    # numpy oracle
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for qi in range(3):
+        sims = unit @ unit[qi]
+        order = np.lexsort((df["vec_id"].to_numpy(), -sims))[:5]
+        expect_ids = df["vec_id"].to_numpy()[order]
+        got = res[res["query_id"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        assert (got == expect_ids).all()
+    # LSH variant returns subset with decent self-recall (query is in ds)
+    res_lsh = ann_lsh(ray.data.from_pandas(df), queries, [0, 1, 2], k=5)
+    for qi in range(3):
+        g = res_lsh[res_lsh["query_id"] == qi]
+        assert df["vec_id"].to_numpy()[qi] in g["vec_id"].to_numpy()
+
+
+def test_text_ops():
+    from raylink.ops.text import (
+        with_fingerprints,
+        with_language_id,
+        with_quality_scores,
+        with_token_counts,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat sat on the mat and it was happy",
+                "le chat est dans la maison et il est content",
+                "der hund ist in dem haus und das ist gut",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    t = with_token_counts(ds).to_pandas()
+    assert t["n_tokens"].tolist() == [10, 10, 10]
+    l = with_language_id(ds).to_pandas()
+    assert l["lang_pred"].tolist() == ["en", "fr", "de"]
+    q = with_quality_scores(ds).to_pandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    f = with_fingerprints(ds, winnow=True).to_pandas()
+    assert f["fingerprint"].nunique() == 3
+    assert all(len(b) > 0 for b in f["winnow_fps"])
+    # identical text -> identical fingerprint
+    ds2 = ray.data.from_pandas(pd.DataFrame({"doc_id": [9], "text": [df["text"][0]]}))
+    f2 = with_fingerprints(ds2).to_pandas()
+    assert f2["fingerprint"][0] == f["fingerprint"][0]
+
+
+def test_sessionize():
+    from raylink.ops.sessions import sessionize
+
+    ts = pd.to_datetime(
+        [0, 60, 120, 4000, 4050, 9000], unit="s"
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 1, 1],
+            "ts": ts,
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    out = sessionize(ray.data.from_pandas(df), gap_seconds=1800).to_pandas()
+    out = out.sort_values("session_idx", ignore_index=True)
+    assert len(out) == 3
+    assert out["n_events"].tolist() == [3, 2, 1]
+    assert out["sum_value"].tolist() == [6.0, 9.0, 6.0]
+
+
+def test_multimodal_plumbing():
+    from raylink.ops.multimodal import (
+        MediaFeatureExtractor,
+        extract_media_features,
+        make_media_table,
+    )
+
+    media = ray.data.from_arrow(make_media_table(40))
+    feats = extract_media_features(media, decoder="fake", dim=16).to_pandas()
+    assert len(feats) == 40
+    arr = np.frombuffer(feats["features"][0], dtype=np.float32)
+    assert arr.shape == (16,)
+    # determinism: same payload -> same features
+    feats2 = extract_media_features(media, decoder="fake", dim=16).to_pandas()
+    assert feats.set_index("media_id")["features"].equals(
+        feats2.set_index("media_id")["features"]
+    )
+    # stub decoder raises with guidance
+    ext = MediaFeatureExtractor(decoder="stub")
+    with pytest.raises(NotImplementedError):
+        ext(make_media_table(1))
