@@ -1,44 +1,836 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-linkage pipeline; ``queries()``
+exposes one callable per implemented operator family (SURVEY.md §2 plus the
+training-data ops); ``oracle_sql()`` gives DuckDB equivalents for every
+SQL-expressible query (pre-registered views: region nation customer supplier
+part orders lineitem events documents embeddings).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _read(sf_dir: str, table: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _transcript_turns(n_entities: int = 200, hot: int = 60) -> ray.data.Dataset:
+    from raylink.sources.synth import make_transcripts
+
+    turns, _truth = make_transcripts(
+        n_entities=n_entities, seed=42, hot_block_convs=hot
+    )
+    return ray.data.from_pandas(turns)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: deterministic synthetic transcripts (input_hint schema)
+    -> assembly -> blocked+salted pair gen -> gamma scoring -> EM -> matches
+    -> connected components.  Smoke-checked by the driver on sf0.001."""
+    # touch the provided testdata so the smoke check also validates readers
+    _ = _read(SF_DEFAULT, "documents").count()
+    from raylink.pipelines.transcripts import run_transcript_pipeline
+
+    ckpt = tempfile.mkdtemp(prefix="raylink_entry_")
+    res = run_transcript_pipeline(
+        _transcript_turns(), ckpt, input_fingerprint="entry-v1"
+    )
+    return res["clusters"]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_block_keys(sf_dir: str):
+    """Blocking-key projection + per-block counts (SURVEY §2.2/§7)."""
+    docs = _read(sf_dir, "documents")
+
+    def key(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_slice_codeunits(
+            pc.utf8_lower(batch.column("text")), 0, 16
+        )
+        k = pc.binary_join_element_wise(batch.column("lang"), text, ":")
+        return pa.table({"block_key": k})
+
+    out = docs.map_batches(key, batch_format="pyarrow").groupby("block_key").count()
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "block_key": t.column("block_key"),
+                "n": t.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_block_pair_counts(sf_dir: str):
+    """Candidate-pair counts per block: n*(n-1)/2 for blocks with n>1."""
+    counts = _q_block_keys(sf_dir)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        keep = n > 1
+        sub = t.take(pa.array(np.flatnonzero(keep)))
+        nn = n[keep]
+        return pa.table(
+            {
+                "block_key": sub.column("block_key"),
+                "n_pairs": pa.array(nn * (nn - 1) // 2, type=pa.int64()),
+            }
+        )
+
+    return counts.map_batches(pairs, batch_format="pyarrow")
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    from raylink.ops.dedup import exact_dedup
+
+    out = exact_dedup(_read(sf_dir, "documents"), "text", "doc_id")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "text": t.column("text"),
+                "keep_doc_id": t.column("keep_doc_id").cast(pa.int64()),
+                "n_dups": t.column("n_dups").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_gamma_exact_customer(sf_dir: str):
+    """Exact-gamma kernel over blocked customer pairs (gammaKpar semantics)."""
+    from raylink.config import BlockingConfig
+    from raylink.stages import blocking as bs
+    from raylink.stages.pairs import generate_pairs_dedupe
+    from raylink.functions.gamma import gamma_exact
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+    ds = bs.derive_block_keys(cust, ["c_nationkey"])
+    plan, _ = bs.plan_salts(ds, BlockingConfig(cap=100_000))
+    exp = bs.expand_pair_groups(ds, plan, "c_custkey", side=None)
+    pairs = generate_pairs_dedupe(exp, ["c_mktsegment"], id_col="c_custkey")
+
+    def score(batch: pa.Table) -> pa.Table:
+        g = gamma_exact(
+            batch.column("c_mktsegment_a").to_numpy(zero_copy_only=False),
+            batch.column("c_mktsegment_b").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").cast(pa.int64()),
+                "id_b": batch.column("id_b").cast(pa.int64()),
+                "gamma_mktsegment": pa.array(g.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def _q_gamma_jw_supplier(sf_dir: str):
+    """Jaro-Winkler gamma over blocked supplier-name pairs (gammaCKpar)."""
+    from raylink.config import BlockingConfig
+    from raylink.stages import blocking as bs
+    from raylink.stages.pairs import generate_pairs_dedupe
+    from raylink.functions.gamma import gamma_string
+
+    sup = _read(sf_dir, "supplier").select_columns(
+        ["s_suppkey", "s_nationkey", "s_name"]
+    )
+    ds = bs.derive_block_keys(sup, ["s_nationkey"])
+    plan, _ = bs.plan_salts(ds, BlockingConfig(cap=100_000))
+    exp = bs.expand_pair_groups(ds, plan, "s_suppkey", side=None)
+    pairs = generate_pairs_dedupe(exp, ["s_name"], id_col="s_suppkey")
+
+    def score(batch: pa.Table) -> pa.Table:
+        g = gamma_string(
+            batch.column("s_name_a").to_numpy(zero_copy_only=False),
+            batch.column("s_name_b").to_numpy(zero_copy_only=False),
+            method="jw",
+            cut_a=0.92,
+            cut_b=0.88,
+            partial=True,
+        )
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").cast(pa.int64()),
+                "id_b": batch.column("id_b").cast(pa.int64()),
+                "gamma_name": pa.array(g.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def _q_band_join_events(sf_dir: str):
+    """Numeric band join per user (gammaNUMCKpar as a standalone op)."""
+    from raylink.ops.bandjoin import band_join_self
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "user_id", "value"])
+    out = band_join_self(ev, "value", "event_id", cut=0.5, group_cols=["user_id"])
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t.column("id_a").cast(pa.int64()),
+                "id_b": t.column("id_b").cast(pa.int64()),
+                "diff": pc.round(t.column("diff"), ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_pattern_histogram_customer(sf_dir: str):
+    """Agreement-pattern histogram over blocked customer pairs (2 vars)."""
+    from raylink.config import BlockingConfig, VarConfig
+    from raylink.stages import blocking as bs
+    from raylink.stages.pairs import generate_pairs_dedupe
+    from raylink.stages.scoring import score_pairs
+    from raylink.stages.patterns import pattern_histogram, unpack_patterns
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    ds = bs.derive_block_keys(cust, ["c_nationkey"])
+    plan, _ = bs.plan_salts(ds, BlockingConfig(cap=100_000))
+    exp = bs.expand_pair_groups(ds, plan, "c_custkey", side=None)
+    pairs = generate_pairs_dedupe(
+        exp, ["c_mktsegment", "c_acctbal"], id_col="c_custkey"
+    )
+    variables = [
+        VarConfig(name="c_mktsegment", method="exact"),
+        VarConfig(name="c_acctbal", method="numeric", cut_a=100, cut_b=500),
+    ]
+    scored = score_pairs(pairs, variables, concurrency=(1, 4))
+    hist = pattern_histogram(scored)
+    gam = unpack_patterns(hist["pattern_key"].to_numpy(np.int64), 2)
+    return pd.DataFrame(
+        {
+            "gamma_mktsegment": gam[:, 0].astype(np.int64),
+            "gamma_acctbal": gam[:, 1].astype(np.int64),
+            "n_pairs": hist["cnt"].to_numpy(np.int64),
+        }
+    )
+
+
+def _q_tf_counts(sf_dir: str):
+    """Term-frequency table (count/N clamped at the minimum u value)."""
+    from raylink.config import VarConfig
+    from raylink.stages.tf import add_tf_columns
+
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    n = cust.count()
+    v = VarConfig(name="c_mktsegment", method="exact", tf_adjust=True)
+    out = add_tf_columns(cust, [v], n)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "tf_value": pc.round(
+                    t.column("tf_c_mktsegment").cast(pa.float64()), ndigits=6
+                ),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def _q_token_counts(sf_dir: str):
+    from raylink.ops.text import with_token_counts
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return with_token_counts(docs).select_columns(["doc_id", "n_tokens"])
+
+
+def _q_text_stats(sf_dir: str):
+    """Integer text statistics (SQL-checkable subset of quality scoring)."""
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("text").to_pylist(), dtype="object").fillna("")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_chars": pa.array(s.str.len().to_numpy(np.int64)),
+                "n_tokens": pa.array(s.str.count(r"\S+").to_numpy(np.int64)),
+                "n_punct": pa.array(s.str.count(r"[.,!?;:]").to_numpy(np.int64)),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def _q_quality_scores(sf_dir: str):
+    from raylink.ops.text import with_quality_scores
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = with_quality_scores(docs)
+    return out.select_columns(["doc_id", "quality", "stopword_ratio"])
+
+
+def _q_langid(sf_dir: str):
+    from raylink.ops.text import with_language_id
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return with_language_id(docs).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_fingerprints(sf_dir: str):
+    from raylink.ops.text import with_fingerprints
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return with_fingerprints(docs).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_top_users(sf_dir: str):
+    """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
+    units so the aggregate is exact and order-independent (float sums differ
+    across engines at the last ulp)."""
+    ev = _read(sf_dir, "events").select_columns(["user_id", "value"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "value_e4": pa.array(np.round(v * 10000).astype(np.int64)),
+            }
+        )
+
+    agg = ev.map_batches(scale, batch_format="pyarrow").groupby("user_id").sum("value_e4")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "total_value_e4": t.column("sum(value_e4)").cast(pa.int64()),
+            }
+        )
+
+    df = agg.map_batches(proj, batch_format="pyarrow").to_pandas()
+    return (
+        df.sort_values(["total_value_e4", "user_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+def _q_events_by_type(sf_dir: str):
+    ev = _read(sf_dir, "events").select_columns(["event_type", "value"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value_e4": pa.array(np.round(v * 10000).astype(np.int64)),
+            }
+        )
+
+    agg = ev.map_batches(scale, batch_format="pyarrow").groupby("event_type").aggregate(
+        _count_alias(), _sum_alias("value_e4")
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": t.column("n").cast(pa.int64()),
+                "total_value_e4": t.column("total_value").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(proj, batch_format="pyarrow")
+
+
+def _count_alias():
+    from ray.data.aggregate import Count
+
+    return Count(alias_name="n")
+
+
+def _sum_alias(col):
+    from ray.data.aggregate import Sum
+
+    return Sum(col, alias_name="total_value")
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-style multi-aggregate groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    )
+
+    def scale(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_c": pa.array(np.round(q * 100).astype(np.int64)),
+                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    agg = li.map_batches(scale, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qty_c", alias_name="sum_qty_c"),
+        Sum("price_c", alias_name="sum_base_price_c"),
+        Count(alias_name="count_order"),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty_c": t.column("sum_qty_c").cast(pa.int64()),
+                "sum_base_price_c": t.column("sum_base_price_c").cast(pa.int64()),
+                "count_order": t.column("count_order").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(proj, batch_format="pyarrow")
+
+
+def _q_orders_by_segment(sf_dir: str):
+    """Hash join (orders x customer) + aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    def scale(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    agg = joined.map_batches(scale, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_c", alias_name="revenue_c"),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+                "revenue_c": t.column("revenue_c").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(proj, batch_format="pyarrow")
+
+
+def _q_sessionize(sf_dir: str):
+    from raylink.ops.sessions import sessionize
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+    out = sessionize(ev, gap_seconds=3600)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "session_idx": t.column("session_idx").cast(pa.int64()),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "ts_start": t.column("ts_start").cast(pa.int64()),
+                "ts_end": t.column("ts_end").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def _q_cluster_exact_dups(sf_dir: str):
+    """Connected components over exact-duplicate edges (real CC machinery;
+    the oracle reduces to min-per-text because duplicate groups are cliques)."""
+    from raylink.ops.dedup import exact_dedup
+    from raylink.stages.cluster import connected_components
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    groups = exact_dedup(docs, "text", "doc_id")
+
+    # edges: every duplicate doc connects to its group's keeper
+    def edges_fn(t: pa.Table) -> pa.Table:
+        keep = t.column("keep_doc_id")
+        return pa.table({"text": t.column("text"), "keep_doc_id": keep})
+
+    keyed = groups.map_batches(edges_fn, batch_format="pyarrow")
+    edges = docs.join(
+        keyed,
+        join_type="inner",
+        num_partitions=8,
+        on=("text",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t.column("doc_id").cast(pa.int64()),
+                "id_b": t.column("keep_doc_id").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    out = connected_components(edges, nodes, local_threshold=10**9)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("node").cast(pa.int64()),
+                "entity": t.column("entity").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_ann_topk(sf_dir: str):
+    from raylink.ops.ann import ann_brute_force
+
+    df = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = df.head(5)
+    queries = np.stack([np.asarray(e, dtype=np.float64) for e in qdf["embedding"]])
+    res = ann_brute_force(
+        ray.data.from_pandas(df),
+        queries,
+        qdf["vec_id"].tolist(),
+        k=10,
+    )
+    res = res.copy()
+    res["cosine"] = res["cosine"].round(4)
+    return res[["query_id", "vec_id", "rank", "cosine"]]
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from raylink.ops.dedup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.8)
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from raylink.ops.dedup import simhash_dedup
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return simhash_dedup(docs, "text", "doc_id", max_hamming=3)
+
+
+def _q_char_jaccard_dups(sf_dir: str):
+    from raylink.ops.dedup import ngram_jaccard_dedup
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text", "lang"])
+    out = ngram_jaccard_dedup(
+        docs, "text", "doc_id", ["lang"], threshold=0.98, char_set_mode=True
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t.column("id_a").cast(pa.int64()),
+                "id_b": t.column("id_b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from raylink.ops.dedup import embedding_cosine_dedup
+
+    emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    return embedding_cosine_dedup(emb, "embedding", "vec_id", threshold=0.99)
+
+
+def _q_transcript_dedupe(sf_dir: str):
+    """Flagship linkage on synthetic transcripts (not SQL-expressible)."""
+    from raylink.pipelines.transcripts import run_transcript_pipeline
+
+    ckpt = tempfile.mkdtemp(prefix="raylink_q_")
+    res = run_transcript_pipeline(
+        _transcript_turns(), ckpt, input_fingerprint="q-v1"
+    )
+    return res["clusters"]
+
+
+def _q_person_link(sf_dir: str):
+    """Reference-style two-table person link on synthetic fixtures."""
+    from raylink.config import parse_config
+    from raylink.pipelines.linkage import link_records
+    from raylink.sources.synth import make_person_tables
+
+    df_a, df_b, _ = make_person_tables(n_a=300, n_b=200, n_matches=40, seed=7)
+    config = parse_config(
+        {
+            "link_type": "link_only",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "firstname", "method": "jarowinkler"},
+                    {"varname": "lastname", "method": "jarowinkler"},
+                    {"varname": "streetname", "method": "jarowinkler"},
+                    {"varname": "housenum", "method": "numeric", "cut_a": 1, "cut_b": 2},
+                    {"varname": "birthyear", "method": "exact"},
+                ],
+            },
+            "blocking": {"keys": ["_one"], "cap": 1000},
+        }
+    )
+    res = link_records(
+        ray.data.from_pandas(df_a.assign(_one=1)),
+        ray.data.from_pandas(df_b.assign(_one=1)),
+        config,
+    )
+    return res.matches.select_columns(["id_a", "id_b"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "block_keys": _q_block_keys,
+        "block_pair_counts": _q_block_pair_counts,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "gamma_exact_customer": _q_gamma_exact_customer,
+        "gamma_jw_supplier": _q_gamma_jw_supplier,
+        "band_join_events": _q_band_join_events,
+        "pattern_histogram_customer": _q_pattern_histogram_customer,
+        "tf_counts": _q_tf_counts,
+        "token_counts": _q_token_counts,
+        "text_stats": _q_text_stats,
+        "quality_scores": _q_quality_scores,
+        "langid_docs": _q_langid,
+        "doc_fingerprints": _q_fingerprints,
+        "top_users": _q_top_users,
+        "events_by_type": _q_events_by_type,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "orders_by_segment": _q_orders_by_segment,
+        "sessionize_events": _q_sessionize,
+        "cluster_exact_dups": _q_cluster_exact_dups,
+        "ann_topk": _q_ann_topk,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "char_jaccard_dups": _q_char_jaccard_dups,
+        "embedding_neardup": _q_embedding_neardup,
+        "transcript_dedupe": _q_transcript_dedupe,
+        "person_link": _q_person_link,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "block_keys": """
+            SELECT lang || ':' || substr(lower(text), 1, 16) AS block_key,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1
+        """,
+        "block_pair_counts": """
+            WITH b AS (
+                SELECT lang || ':' || substr(lower(text), 1, 16) AS block_key,
+                       count(*)::BIGINT AS n
+                FROM documents GROUP BY 1
+            )
+            SELECT block_key, (n * (n - 1) / 2)::BIGINT AS n_pairs
+            FROM b WHERE n > 1
+        """,
+        "exact_dedup_docs": """
+            SELECT text, min(doc_id)::BIGINT AS keep_doc_id,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "gamma_exact_customer": """
+            SELECT a.c_custkey::BIGINT AS id_a, b.c_custkey::BIGINT AS id_b,
+                   CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 3
+                        WHEN a.c_mktsegment = b.c_mktsegment THEN 2
+                        ELSE 0 END::BIGINT AS gamma_mktsegment
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        """,
+        "gamma_jw_supplier": """
+            SELECT a.s_suppkey::BIGINT AS id_a, b.s_suppkey::BIGINT AS id_b,
+                   CASE WHEN a.s_name IS NULL OR b.s_name IS NULL THEN 3
+                        WHEN round(jaro_winkler_similarity(a.s_name, b.s_name), 4) >= 0.92 THEN 2
+                        WHEN round(jaro_winkler_similarity(a.s_name, b.s_name), 4) >= 0.88 THEN 1
+                        ELSE 0 END::BIGINT AS gamma_name
+            FROM supplier a JOIN supplier b
+              ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        """,
+        "band_join_events": """
+            SELECT a.event_id::BIGINT AS id_a, b.event_id::BIGINT AS id_b,
+                   round(abs(a.value - b.value), 6) AS diff
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(a.value - b.value) <= 0.5
+        """,
+        "pattern_histogram_customer": """
+            WITH g AS (
+                SELECT
+                   CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 3
+                        WHEN a.c_mktsegment = b.c_mktsegment THEN 2
+                        ELSE 0 END AS gamma_mktsegment,
+                   CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 3
+                        WHEN abs(a.c_acctbal - b.c_acctbal) <= 100 THEN 2
+                        WHEN abs(a.c_acctbal - b.c_acctbal) <= 500 THEN 1
+                        ELSE 0 END AS gamma_acctbal
+                FROM customer a JOIN customer b
+                  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+            )
+            SELECT gamma_mktsegment::BIGINT AS gamma_mktsegment,
+                   gamma_acctbal::BIGINT AS gamma_acctbal,
+                   count(*)::BIGINT AS n_pairs
+            FROM g GROUP BY 1, 2
+        """,
+        "tf_counts": """
+            WITH f AS (
+                SELECT c_mktsegment,
+                       greatest(count(*)::DOUBLE / (SELECT count(*) FROM customer),
+                                0.001) AS tf
+                FROM customer GROUP BY c_mktsegment
+            )
+            SELECT c.c_custkey::BIGINT AS c_custkey, round(f.tf, 6) AS tf_value
+            FROM customer c JOIN f USING (c_mktsegment)
+        """,
+        "token_counts": r"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                   END::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "text_stats": r"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                   END::BIGINT AS n_tokens,
+                   (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct
+            FROM documents
+        """,
+        "top_users": """
+            SELECT user_id::BIGINT AS user_id,
+                   sum(round(value * 10000)::BIGINT)::BIGINT AS total_value_e4
+            FROM events GROUP BY user_id
+            ORDER BY total_value_e4 DESC, user_id LIMIT 10
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(round(value * 10000)::BIGINT)::BIGINT AS total_value_e4
+            FROM events GROUP BY event_type
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_c,
+                   sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_price_c,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+                   sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_c
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "sessionize_events": """
+            WITH ordered AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                                 OVER (PARTITION BY user_id ORDER BY ts)
+                                 > 3600000000::BIGINT
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), tagged AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_idx
+                FROM ordered
+            )
+            SELECT user_id::BIGINT AS user_id, session_idx::BIGINT AS session_idx,
+                   count(*)::BIGINT AS n_events,
+                   min(epoch_us(ts))::BIGINT AS ts_start,
+                   max(epoch_us(ts))::BIGINT AS ts_end
+            FROM tagged GROUP BY user_id, session_idx
+        """,
+        "cluster_exact_dups": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   min(doc_id) OVER (PARTITION BY text)::BIGINT AS entity
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS cosine
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+                   rank::BIGINT AS rank, round(cosine, 4) AS cosine
+            FROM ranked WHERE rank <= 10
+        """,
+        "char_jaccard_dups": """
+            SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE length(a.text) > 0 AND length(b.text) > 0
+              AND jaccard(a.text, b.text) >= 0.98
+        """,
+        # minhash_dedup / simhash_dedup / embedding_neardup / langid_docs /
+        # doc_fingerprints / quality_scores / transcript_dedupe / person_link:
+        # intentionally no oracle — approximate/stateful/model ops get the
+        # driver's rows-only check.
+    }
