@@ -116,22 +116,19 @@ def sample_residual_histogram(
     from .scoring import PairScorer  # local import to avoid cycle
 
     rng = np.random.default_rng(seed)
-    a = records_a
-    b = records_b
-    if len(a) > sample_size:
-        a = a.iloc[np.sort(rng.choice(len(a), size=sample_size, replace=False))]
-    if len(b) > sample_size:
-        b = b.iloc[np.sort(rng.choice(len(b), size=sample_size, replace=False))]
-    a = a.reset_index(drop=True)
-    b = b.reset_index(drop=True)
-    ia = np.repeat(np.arange(len(a)), len(b))
-    ib = np.tile(np.arange(len(b)), len(a))
+    self_mode = records_a is records_b
+    a = records_a.reset_index(drop=True)
+    b = a if self_mode else records_b.reset_index(drop=True)
+    # bounded random pair draw (not the full sample cross product): the
+    # residual distribution only needs O(10^4) samples to pin down the
+    # u-marginals, independent of corpus size
+    n_pairs = sample_size * 50
+    ia = rng.integers(0, len(a), size=n_pairs)
+    ib = rng.integers(0, len(b), size=n_pairs)
+    mask = ia != ib if self_mode else np.ones(n_pairs, dtype=bool)
     # keep only cross-block pairs — within-block pairs are already counted
-    mask = (
-        a[block_col].to_numpy()[ia] != b[block_col].to_numpy()[ib]
-        if block_col in a.columns and block_col in b.columns
-        else np.ones(len(ia), dtype=bool)
-    )
+    if block_col in a.columns and block_col in b.columns:
+        mask &= a[block_col].to_numpy()[ia] != b[block_col].to_numpy()[ib]
     ia, ib = ia[mask], ib[mask]
     if len(ia) == 0 or total_residual <= 0:
         return pd.DataFrame(
@@ -140,17 +137,28 @@ def sample_residual_histogram(
                 "cnt": np.array([float(max(total_residual, 0))]),
             }
         )
-    cols = {}
-    for v in variables:
-        cols[f"{v.name}_a"] = a[v.name].to_numpy()[ia]
-        cols[f"{v.name}_b"] = b[v.name].to_numpy()[ib]
-    cols["id_a"] = ia
-    cols["id_b"] = ib
-    table = pa.table(
-        {k: pa.array(list(val)) if val.dtype == object else pa.array(val) for k, val in cols.items()}
-    )
-    scored = PairScorer(list(variables))(table)
-    keys = scored.column("pattern_key").to_numpy(zero_copy_only=False)
+    scorer = PairScorer(list(variables))
+    key_chunks = []
+    # chunked so the batched token-DP works on bounded arrays
+    for lo in range(0, len(ia), 8192):
+        sl = slice(lo, lo + 8192)
+        cols = {}
+        for v in variables:
+            cols[f"{v.name}_a"] = a[v.name].to_numpy()[ia[sl]]
+            cols[f"{v.name}_b"] = b[v.name].to_numpy()[ib[sl]]
+        cols["id_a"] = ia[sl]
+        cols["id_b"] = ib[sl]
+        table = pa.table(
+            {
+                k: pa.array(list(val)) if val.dtype == object else pa.array(val)
+                for k, val in cols.items()
+            }
+        )
+        scored = scorer(table)
+        key_chunks.append(
+            scored.column("pattern_key").to_numpy(zero_copy_only=False)
+        )
+    keys = np.concatenate(key_chunks)
     uniq, counts = np.unique(keys, return_counts=True)
     freq = counts / counts.sum()
     return pd.DataFrame(
