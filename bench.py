@@ -55,7 +55,7 @@ def _transcript_cache(n_entities: int, hot: int, seed: int = 42) -> str:
 def _headline_scale(sf_dir: str) -> tuple[int, int]:
     """Scale the synthetic transcript corpus with the sf dir."""
     sf = _sf_label(sf_dir)
-    n_entities = max(int(40_000 * sf), 200)
+    n_entities = max(int(400_000 * sf), 200)
     return n_entities, max(n_entities // 50, 20)
 
 

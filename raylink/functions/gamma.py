@@ -174,6 +174,10 @@ def gamma_token_levenshtein(
         else:
             clean_a.append(to_seq(sa))
             clean_b.append(to_seq(sb))
-    sims = token_levenshtein_matrix(clean_a, clean_b)
+    # skip margin below the lower cut: values there are NONMATCH regardless
+    # (0.001 guard keeps the round-to-4-digits threshold semantics exact)
+    sims = token_levenshtein_matrix(
+        clean_a, clean_b, skip_below=max(cut_b - 0.001, 0) if partial else max(cut_a - 0.001, 0)
+    )
     sims[miss] = np.nan
     return gamma_from_similarity(sims, cut_a=cut_a, cut_b=cut_b, partial=partial)

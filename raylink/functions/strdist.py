@@ -268,6 +268,109 @@ def similarity(method: str, s1: str, s2: str, w: float = 0.1) -> float:
     raise ValueError(f"unknown string distance method: {method!r}")
 
 
+def jaro_winkler_batch(
+    strs_a: list[str],
+    strs_b: list[str],
+    p: float = 0.1,
+    boost_threshold: float = 0.7,
+    max_prefix: int = 4,
+) -> np.ndarray:
+    """Jaro-Winkler vectorized ACROSS pairs (exact match to the scalar fn).
+
+    Runs the greedy match scan as L1 lock-step iterations of (N, L2) numpy
+    ops instead of a per-pair Python loop — the same batching trick as
+    :func:`token_levenshtein_matrix`.  Cost scales with the padded batch
+    shape; intended for the scoring actors' unique-pair batches.
+    """
+    n = len(strs_a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    len_a = np.array([len(s) for s in strs_a], dtype=np.int64)
+    len_b = np.array([len(s) for s in strs_b], dtype=np.int64)
+    equal = np.array([x == y for x, y in zip(strs_a, strs_b)], dtype=bool)
+    out[equal] = 1.0
+    todo = ~equal & (len_a > 0) & (len_b > 0)
+    if not todo.any():
+        return out
+    idx = np.flatnonzero(todo)
+    A_s = [strs_a[i] for i in idx]
+    B_s = [strs_b[i] for i in idx]
+    la = len_a[idx]
+    lb = len_b[idx]
+    m_ = len(idx)
+    l1 = int(la.max())
+    l2 = int(lb.max())
+    # prefer 1-byte codes (4x less memory traffic) when the batch is latin-1
+    try:
+        A = np.zeros((m_, l1), dtype=np.uint8)
+        B = np.zeros((m_, l2), dtype=np.uint8)
+        for r, s in enumerate(A_s):
+            A[r, : len(s)] = np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
+        for r, s in enumerate(B_s):
+            B[r, : len(s)] = np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
+        # (pad value 0 never aliases NUL chars: window/length masks keep pad
+        # cells out of every comparison)
+    except UnicodeEncodeError:
+        A = np.zeros((m_, l1), dtype=np.uint32)
+        B = np.zeros((m_, l2), dtype=np.uint32)
+        for r, s in enumerate(A_s):
+            A[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        for r, s in enumerate(B_s):
+            B[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # match window
+    flags1 = np.zeros((m_, l1), dtype=bool)
+    flags2 = np.zeros((m_, l2), dtype=bool)
+    cols = np.arange(l2)[None, :]  # (1, L2)
+    rows = np.arange(m_)
+    for i in range(l1):
+        active = i < la
+        if not active.any():
+            break
+        in_window = (cols >= (i - w)[:, None]) & (cols < np.minimum(lb, i + w + 1)[:, None])
+        eligible = (B == A[:, i][:, None]) & ~flags2 & in_window
+        eligible &= active[:, None]
+        found = eligible.any(axis=1)
+        j_sel = eligible.argmax(axis=1)  # first eligible column
+        flags1[found, i] = True
+        flags2[rows[found], j_sel[found]] = True
+    m_counts = flags1.sum(axis=1)
+    # transpositions: compare matched characters in order
+    max_m = int(m_counts.max()) if m_ else 0
+    t_half = np.zeros(m_, dtype=np.int64)
+    if max_m > 0:
+        M1 = np.zeros((m_, max_m), dtype=np.uint32)
+        M2 = np.zeros((m_, max_m), dtype=np.uint32)
+        r1 = flags1.cumsum(axis=1) - 1
+        r2 = flags2.cumsum(axis=1) - 1
+        rr1, cc1 = np.nonzero(flags1)
+        M1[rr1, r1[rr1, cc1]] = A[rr1, cc1]
+        rr2, cc2 = np.nonzero(flags2)
+        M2[rr2, r2[rr2, cc2]] = B[rr2, cc2]
+        valid = np.arange(max_m)[None, :] < m_counts[:, None]
+        t_half = ((M1 != M2) & valid).sum(axis=1) // 2
+    jaro_v = np.zeros(m_, dtype=np.float64)
+    nz = m_counts > 0
+    mc = m_counts[nz].astype(np.float64)
+    jaro_v[nz] = (
+        mc / la[nz] + mc / lb[nz] + (mc - t_half[nz]) / mc
+    ) / 3.0
+    # Winkler prefix bonus
+    pref_span = min(max_prefix, l1, l2)
+    if pref_span > 0:
+        pre_eq = A[:, :pref_span] == B[:, :pref_span]
+        pre_eq &= np.arange(pref_span)[None, :] < np.minimum(la, lb)[:, None]
+        prefix = np.where(
+            pre_eq.all(axis=1), pref_span, pre_eq.argmin(axis=1)
+        ).astype(np.float64)
+    else:
+        prefix = np.zeros(m_)
+    boost = jaro_v > boost_threshold
+    jaro_v[boost] += prefix[boost] * p * (1.0 - jaro_v[boost])
+    out[idx] = jaro_v
+    return out
+
+
 def similarity_pairs(
     a: np.ndarray,
     b: np.ndarray,
@@ -303,7 +406,25 @@ def similarity_pairs(
             keys[i] = (x, y)
     uniq, inv = np.unique(keys[valid], return_inverse=True)
     sims = np.empty(len(uniq), dtype=np.float64)
-    if cache is None:
+    if method == "jw":
+        # batch-vectorized path: score only cache misses, in one numpy pass
+        miss_idx = []
+        for k, (x, y) in enumerate(uniq):
+            if cache is not None:
+                s = cache.get((method, x, y))
+                if s is not None:
+                    sims[k] = s
+                    continue
+            miss_idx.append(k)
+        if miss_idx:
+            ua = [uniq[k][0] for k in miss_idx]
+            ub = [uniq[k][1] for k in miss_idx]
+            vals = jaro_winkler_batch(ua, ub, p=w)
+            for pos, k in enumerate(miss_idx):
+                sims[k] = vals[pos]
+                if cache is not None:
+                    cache[(method, uniq[k][0], uniq[k][1])] = float(vals[pos])
+    elif cache is None:
         for k, (x, y) in enumerate(uniq):
             sims[k] = similarity(method, x, y, w=w)
     else:
@@ -321,6 +442,7 @@ def similarity_pairs(
 def token_levenshtein_matrix(
     seqs_a: list[np.ndarray],
     seqs_b: list[np.ndarray],
+    skip_below: float | None = None,
 ) -> np.ndarray:
     """Normalized token-level Levenshtein similarity, vectorized across pairs.
 
@@ -339,32 +461,50 @@ def token_levenshtein_matrix(
     len_a = np.array([len(s) for s in seqs_a], dtype=np.int64)
     len_b = np.array([len(s) for s in seqs_b], dtype=np.int64)
     denom = np.maximum(len_a, len_b)
+    lo = np.minimum(len_a, len_b)
     nontrivial = denom > 0
-    if not nontrivial.any():
+    # prescreen: dist >= max - min, so sim <= min/max; and empty-vs-nonempty
+    # resolves without the DP.  low_bound callers (the gamma kernel) round
+    # before thresholding, so the exact value max-min is used here.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out[nontrivial & (lo == 0)] = 0.0
+    run = nontrivial & (lo > 0)
+    if skip_below is not None:
+        bound = np.zeros(n)
+        bound[nontrivial] = lo[nontrivial] / denom[nontrivial]
+        skipped = run & (bound < skip_below)
+        out[skipped] = bound[skipped]  # an upper bound, below every cut
+        run &= ~skipped
+    if not run.any():
         return out
-    ta = int(len_a.max())
-    tb = int(len_b.max())
-    # pad into (N, T) matrices; pad token -1 (and -2) never match real tokens
-    A = np.full((n, ta), -1, dtype=np.int64)
-    B = np.full((n, tb), -2, dtype=np.int64)
-    for i, s in enumerate(seqs_a):
-        if len(s):
-            A[i, : len(s)] = s
-    for i, s in enumerate(seqs_b):
-        if len(s):
-            B[i, : len(s)] = s
-    big = ta + tb + 1
-    # prev[i, j] = D[row, j] with out-of-range (j > len_b) masked to big
-    col_idx = np.arange(tb + 1)[None, :]  # (1, Tb+1)
-    prev = np.where(col_idx <= len_b[:, None], col_idx, big).astype(np.int64)
+    ridx = np.flatnonzero(run)
+    la = len_a[ridx]
+    lb = len_b[ridx]
+    m = len(ridx)
+    ta = int(la.max())
+    tb = int(lb.max())
+    # pad into (N, T) int32 matrices; pads -1/-2 never match real tokens
+    A = np.full((m, ta), -1, dtype=np.int32)
+    B = np.full((m, tb), -2, dtype=np.int32)
+    for r, i in enumerate(ridx):
+        s = seqs_a[i]
+        A[r, : len(s)] = s
+        s = seqs_b[i]
+        B[r, : len(s)] = s
+    big = np.int16(ta + tb + 1)
+    # prev[i, j] = D[row, j] with out-of-range (j > len_b) masked to big;
+    # int16 cells: distances are bounded by ta+tb+1 << 32767
+    col_idx = np.arange(tb + 1, dtype=np.int16)[None, :]  # (1, Tb+1)
+    prev = np.where(col_idx <= lb[:, None], col_idx, big).astype(np.int16)
     arange_row = col_idx[0]  # 0..tb
+    one = np.int16(1)
     for r in range(1, ta + 1):
-        active = r <= len_a  # pairs whose row r exists
-        sub_cost = (A[:, r - 1][:, None] != B).astype(np.int64)  # (N, Tb)
+        active = r <= la  # pairs whose row r exists
+        sub_cost = (A[:, r - 1][:, None] != B).astype(np.int16)  # (N, Tb)
         # substitution / deletion candidates (no intra-row dependency)
-        cand = np.minimum(prev[:, :-1] + sub_cost, prev[:, 1:] + 1)
+        cand = np.minimum(prev[:, :-1] + sub_cost, prev[:, 1:] + one)
         # first column of the new row is r (all-insertions)
-        first = np.full((n, 1), r, dtype=np.int64)
+        first = np.full((m, 1), r, dtype=np.int16)
         cand = np.concatenate([first, cand], axis=1)  # (N, Tb+1)
         # insertion recurrence cur[j] = min(cand[j], cur[j-1] + 1):
         # prefix-scan via min-accumulate of (cand - j) + j
@@ -372,6 +512,6 @@ def token_levenshtein_matrix(
         np.minimum.accumulate(shifted, axis=1, out=shifted)
         cur = shifted + arange_row[None, :]
         prev = np.where(active[:, None], cur, prev)
-    dist = prev[np.arange(n), len_b]
-    out[nontrivial] = (denom[nontrivial] - dist[nontrivial]) / denom[nontrivial]
+    dist = prev[np.arange(m), lb].astype(np.float64)
+    out[ridx] = (denom[ridx] - dist) / denom[ridx]
     return out

@@ -55,19 +55,23 @@ ASSEMBLED_SCHEMA = pa.schema(
 
 
 def _token_hashes(text: str, max_tokens: int) -> np.ndarray:
-    """Stable int64 hashes of the first ``max_tokens`` whitespace tokens."""
+    """Stable int64 hashes of the first ``max_tokens`` whitespace tokens.
+
+    crc32 (zlib, C speed) is plenty for token identity in the Levenshtein
+    comparison — a 2^-32 collision chance per token pair cannot move a
+    similarity across the rounded cut boundaries.
+    """
+    import zlib
+
     toks = _TOKEN_SPLIT.split(text.strip())
     if toks == [""]:
         return np.empty(0, dtype=np.int64)
     toks = toks[:max_tokens]
-    # FNV-1a, cheap and stable across processes
-    out = np.empty(len(toks), dtype=np.int64)
-    for i, t in enumerate(toks):
-        h = 0xCBF29CE484222325
-        for b in t.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = np.int64(np.uint64(h).astype(np.int64))
-    return out
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in toks),
+        dtype=np.int64,
+        count=len(toks),
+    )
 
 
 def normalize_text(s: str) -> str:
@@ -104,17 +108,28 @@ def make_assemble_fn(max_tokens: int = 64, include_full_text: bool = True):
     return assemble
 
 
+def _default_partitions() -> int:
+    import ray
+
+    return max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+
 def assemble_conversations(
     turns: ray.data.Dataset,
     max_tokens: int = 64,
     include_full_text: bool = True,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Group turns by conv_id and assemble conversation records.
 
     One hash shuffle on ``conv_id``.  Rows arrive in any order; the UDF
-    restores the stable ``(conv_id, turn_idx)`` ordering per group.
+    restores the stable ``(conv_id, turn_idx)`` ordering per group.  The
+    groupby's reduce-partition count follows the input block count, so the
+    input is repartitioned first — otherwise a handful of input blocks
+    serializes millions of groups through a few reduce tasks.
     """
-    return turns.groupby("conv_id").map_groups(
+    n = num_partitions or _default_partitions()
+    return turns.repartition(n).groupby("conv_id").map_groups(
         make_assemble_fn(max_tokens=max_tokens, include_full_text=include_full_text),
         batch_format="numpy",
     )

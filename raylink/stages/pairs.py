@@ -79,10 +79,22 @@ def _empty_pairs(fields: list[str], cols: dict[str, np.ndarray], id_col: str):
     return out
 
 
+def _default_partitions() -> int:
+    import ray
+
+    return max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+
 def generate_pairs_dedupe(
-    records: ray.data.Dataset, fields: list[str], id_col: str = "conv_id"
+    records: ray.data.Dataset,
+    fields: list[str],
+    id_col: str = "conv_id",
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Self-link pair generation over salted pair-groups (one shuffle)."""
+    """Self-link pair generation over salted pair-groups (one shuffle).
+
+    Input is repartitioned so the groupby fans out over enough reduce tasks
+    (the reduce-partition count follows the input block count)."""
 
     def gen(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         cols = {k: np.asarray(v) for k, v in group.items()}
@@ -104,11 +116,17 @@ def generate_pairs_dedupe(
         ib = np.tile(right, len(left))
         return _emit(cols, fields, id_col, ia, ib)
 
-    return records.groupby("pg_key").map_groups(gen, batch_format="numpy")
+    n = num_partitions or _default_partitions()
+    return records.repartition(n).groupby("pg_key").map_groups(
+        gen, batch_format="numpy"
+    )
 
 
 def generate_pairs_link(
-    records: ray.data.Dataset, fields: list[str], id_col: str = "id"
+    records: ray.data.Dataset,
+    fields: list[str],
+    id_col: str = "id",
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Two-table link pair generation; ``records`` must carry a ``_side``
     column ("a"/"b") from the union of the two expanded inputs."""
@@ -124,4 +142,7 @@ def generate_pairs_link(
         ib = np.tile(b_rows, len(a_rows))
         return _emit_link(cols, cols, fields, id_col, ia, ib)
 
-    return records.groupby("pg_key").map_groups(gen, batch_format="numpy")
+    n = num_partitions or _default_partitions()
+    return records.repartition(n).groupby("pg_key").map_groups(
+        gen, batch_format="numpy"
+    )

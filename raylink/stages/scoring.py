@@ -97,8 +97,12 @@ def score_pairs(
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     else:
-        # Actor pools require an explicit size; autoscale 1..8 by default.
-        kwargs["concurrency"] = (1, 8)
+        # Actor pools require an explicit size; autoscale up to (cluster
+        # CPUs - 2) so the scorer never starves upstream/downstream stages.
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        kwargs["concurrency"] = (1, max(4, cpus - 2))
     return pairs.map_batches(
         PairScorer,
         fn_constructor_kwargs={"variables": variables, "passthrough": passthrough},
