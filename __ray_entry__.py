@@ -466,6 +466,27 @@ def _q_orders_by_segment(sf_dir: str):
     return agg.map_batches(proj, batch_format="pyarrow")
 
 
+def _q_largest_orders(sf_dir: str):
+    """Global distributed sort + limit (SURVEY §2.6)."""
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    out = (
+        orders.map_batches(scale, batch_format="pyarrow")
+        .sort(["price_c", "o_orderkey"], descending=[True, False])
+        .limit(20)
+    )
+    return out
+
+
 def _q_sessionize(sf_dir: str):
     from raylink.ops.sessions import sessionize
 
@@ -650,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
+        "largest_orders": _q_largest_orders,
         "sessionize_events": _q_sessionize,
         "cluster_exact_dups": _q_cluster_exact_dups,
         "ann_topk": _q_ann_topk,
@@ -774,6 +796,12 @@ def oracle_sql() -> dict[str, str]:
                    sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_c
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "largest_orders": """
+            SELECT o_orderkey::BIGINT AS o_orderkey,
+                   round(o_totalprice * 100)::BIGINT AS price_c
+            FROM orders
+            ORDER BY price_c DESC, o_orderkey LIMIT 20
         """,
         "sessionize_events": """
             WITH ordered AS (

@@ -55,8 +55,10 @@ def _transcript_cache(n_entities: int, hot: int, seed: int = 42) -> str:
 def _headline_scale(sf_dir: str) -> tuple[int, int]:
     """Scale the synthetic transcript corpus with the sf dir."""
     sf = _sf_label(sf_dir)
-    n_entities = max(int(400_000 * sf), 200)
-    return n_entities, max(n_entities // 50, 20)
+    n_entities = max(int(1_600_000 * sf), 200)
+    # hot block capped: its pair count grows quadratically and would
+    # otherwise swamp the signal (and the CC stage) at large sf
+    return n_entities, min(max(n_entities // 50, 20), 1200)
 
 
 def run_headline(sf_dir: str) -> dict:

@@ -1,0 +1,102 @@
+"""CLI entrypoint — the ``ray job submit`` surface of the north rule.
+
+Usage (single node or against a cluster via RAY_ADDRESS)::
+
+    python -m raylink run \
+        --turns /data/transcripts/*.parquet \
+        --checkpoint /data/ckpt/run1 \
+        [--config match_config.json] [--num-cpus 32]
+
+    python -m raylink link \
+        --table-a a.parquet --table-b b.parquet \
+        --config match_config.json --output /data/out
+
+A re-invocation of ``run`` with the same checkpoint dir resumes from the
+last completed stage.  This module owns the Ray session (guarded — inside a
+``ray job submit`` driver Ray is already initialised).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    import ray.data
+
+    from .config import parse_config
+    from .pipelines.transcripts import default_transcript_config, run_transcript_pipeline
+
+    _ensure_ray(args.num_cpus)
+    turns = ray.data.read_parquet(args.turns)
+    config = None
+    if args.config:
+        with open(args.config) as f:
+            config = parse_config(json.load(f))
+    else:
+        config = default_transcript_config()
+    res = run_transcript_pipeline(
+        turns, args.checkpoint, config, input_fingerprint=args.turns
+    )
+    print(json.dumps({"counters": res["counters"]}, default=str))
+    return 0
+
+
+def cmd_link(args: argparse.Namespace) -> int:
+    import ray.data
+
+    from .config import parse_config
+    from .pipelines.linkage import link_records
+
+    _ensure_ray(args.num_cpus)
+    with open(args.config) as f:
+        config = parse_config(json.load(f))
+    ds_a = ray.data.read_parquet(args.table_a)
+    ds_b = ray.data.read_parquet(args.table_b)
+    res = link_records(ds_a, ds_b, config)
+    res.matches.write_parquet(args.output)
+    print(json.dumps({"counters": res.counters, "p_m": res.em.p_m}, default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="raylink")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="flagship transcript dedupe pipeline")
+    run.add_argument("--turns", required=True)
+    run.add_argument("--checkpoint", required=True)
+    run.add_argument("--config")
+    run.add_argument("--num-cpus", type=int)
+    run.set_defaults(fn=cmd_run)
+
+    link = sub.add_parser("link", help="two-table record linkage")
+    link.add_argument("--table-a", required=True)
+    link.add_argument("--table-b", required=True)
+    link.add_argument("--config", required=True)
+    link.add_argument("--output", required=True)
+    link.add_argument("--num-cpus", type=int)
+    link.set_defaults(fn=cmd_link)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

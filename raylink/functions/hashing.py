@@ -26,7 +26,9 @@ def hash64_array(values, seed: int = 0) -> np.ndarray:
     arr = np.asarray(values, dtype=object)
     h = pd.util.hash_array(arr, categorize=True)
     if seed:
-        h = combine_hashes(h, np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1))
+        with np.errstate(over="ignore"):  # intended modular wraparound
+            mix = np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1)
+        h = combine_hashes(h, mix)
     return h
 
 

@@ -64,17 +64,23 @@ def connected_components_local(
 ) -> ray.data.Dataset:
     """Driver union-find (path-compressed); edges stream in batches."""
     parent: dict = {}
+    get = parent.get
 
     def find(x):
         root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:
-            parent[x], x = root, parent[x]
+        p = get(root)
+        while p is not None and p != root:
+            root = p
+            p = get(root)
+        # path compression
+        while x != root:
+            nxt = parent[x]
+            parent[x] = root
+            x = nxt
         return root
 
     for batch in edges.select_columns([src_col, dst_col]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
+        batch_size=262144, batch_format="pyarrow"
     ):
         a = batch.column(src_col).to_pylist()
         b = batch.column(dst_col).to_pylist()

@@ -171,11 +171,12 @@ def em_fit(
         # E-step: per-pattern log-likelihoods, skipping missing (MAR)
         p_gamma_jm.fill(0.0)
         p_gamma_ju.fill(0.0)
-        for k in range(K):
-            rows = val_index[:, k] >= 0
-            idx = val_index[rows, k]
-            p_gamma_jm[rows] += np.log(p_km[k][idx])
-            p_gamma_ju[rows] += np.log(p_ku[k][idx])
+        with np.errstate(divide="ignore"):  # log(0) -> -inf, as in BigFloat
+            for k in range(K):
+                rows = val_index[:, k] >= 0
+                idx = val_index[rows, k]
+                p_gamma_jm[rows] += np.log(p_km[k][idx])
+                p_gamma_ju[rows] += np.log(p_ku[k][idx])
         log_m = p_gamma_jm + np.log(p_m_cur)
         log_u = p_gamma_ju + np.log(p_u_cur)
         zeta = np.exp(log_m - np.logaddexp(log_m, log_u))

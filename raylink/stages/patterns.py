@@ -122,7 +122,7 @@ def sample_residual_histogram(
     # bounded random pair draw (not the full sample cross product): the
     # residual distribution only needs O(10^4) samples to pin down the
     # u-marginals, independent of corpus size
-    n_pairs = sample_size * 50
+    n_pairs = sample_size * 25
     ia = rng.integers(0, len(a), size=n_pairs)
     ib = rng.integers(0, len(b), size=n_pairs)
     mask = ia != ib if self_mode else np.ones(n_pairs, dtype=bool)

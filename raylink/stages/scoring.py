@@ -43,6 +43,14 @@ class PairScorer:
         self.cache: dict = {}
 
     def _score_var(self, v: VarConfig, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        if v.kernel == "string" and v.upper:
+            # the reference's `upper` flag declares case conventions for its
+            # bit-parallel kernel (gammaCKfuzzy.jl:189-194); here it simply
+            # normalizes case before comparison
+            import pandas as pd
+
+            a = pd.Series(a, dtype="object").str.upper().to_numpy()
+            b = pd.Series(b, dtype="object").str.upper().to_numpy()
         if v.kernel == "exact":
             return gamma_exact(a, b)
         if v.kernel == "numeric":
