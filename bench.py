@@ -45,8 +45,10 @@ def _transcript_cache(n_entities: int, hot: int, seed: int = 42) -> str:
         turns, truth = make_transcripts(
             n_entities=n_entities, seed=seed, hot_block_convs=hot
         )
-        turns.to_parquet(os.path.join(path, "turns.parquet"))
-        truth.to_parquet(os.path.join(path, "truth.parquet"))
+        # small row groups so the read parallelizes (a single giant row
+        # group caps read fan-out at 1-2 tasks)
+        turns.to_parquet(os.path.join(path, "turns.parquet"), row_group_size=65536)
+        truth.to_parquet(os.path.join(path, "truth.parquet"), row_group_size=65536)
         with open(marker, "w") as f:
             f.write("ok")
     return path

@@ -229,8 +229,10 @@ def dedupe_records(
     leaf_vars = config.leaf_vars()
     fields = [v.name for v in leaf_vars]
     tf_cols = [f"tf_{v.name}" for v in tf_vars]
+    # singleton blocks generate no pairs — drop them before the pair shuffle
+    paired_records = blocking_stage.filter_to_multi_blocks(records)
     expanded = blocking_stage.expand_pair_groups(
-        records, plan, id_col, side=None,
+        paired_records, plan, id_col, side=None,
         dropped=set(bcount.notes.get("dropped_block_keys", [])),
     )
     pairs = pairs_stage.generate_pairs_dedupe(

@@ -113,8 +113,10 @@ def run_transcript_pipeline(
     plan, bcount = blocking_stage.plan_salts(records, config.blocking)
 
     def build_scored() -> ray.data.Dataset:
+        # singleton blocks generate no pairs — drop them pre-shuffle
+        paired_records = blocking_stage.filter_to_multi_blocks(records)
         expanded = blocking_stage.expand_pair_groups(
-            records, plan, id_col, side=None,
+            paired_records, plan, id_col, side=None,
             dropped=set(bcount.notes.get("dropped_block_keys", [])),
         )
         pairs = pairs_stage.generate_pairs_dedupe(expanded, fields, id_col=id_col)

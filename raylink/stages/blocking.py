@@ -136,6 +136,54 @@ def plan_salts(
     return plan, counters
 
 
+def filter_to_multi_blocks(
+    records: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Drop records whose block has a single member (they generate no pairs).
+
+    In dedupe corpora most blocks are singletons; without this, the pair
+    shuffle sorts and the per-group UDF visits millions of no-op groups.  A
+    distributed count + inner hash join keeps it broadcast-free (the
+    multi-member key set can be arbitrarily large at 10^12 scale).
+    """
+    if num_partitions is None:
+        import ray as _ray
+
+        num_partitions = max(16, int(_ray.cluster_resources().get("CPU", 8)))
+    counts = records.groupby("block_key").count()
+    multi = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("count()"), 2)).select(
+            ["block_key"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_multi = multi.count()
+    if n_multi <= 2_000_000:
+        # broadcast path: the key set fits comfortably in the object store
+        keys = np.sort(multi.to_pandas()["block_key"].to_numpy(np.int64))
+        keys_ref = ray.put(keys)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            bk = batch.column("block_key").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, bk)
+            pos_c = np.clip(pos, 0, max(len(ks) - 1, 0))
+            hit = (ks[pos_c] == bk) if len(ks) else np.zeros(len(bk), dtype=bool)
+            return batch.take(pa.array(np.flatnonzero(hit)))
+
+        return records.map_batches(keep, batch_format="pyarrow")
+    # at-scale path: distributed inner hash join (broadcast-free).  NOTE
+    # Ray 2.49's join errors when a right-side hash partition is empty, so
+    # the join is only used when the key set is large enough that every
+    # partition is populated.
+    return records.join(
+        multi,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("block_key",),
+    )
+
+
 def expand_pair_groups(
     records: ray.data.Dataset,
     plan: dict[int, int],

@@ -143,11 +143,16 @@ def connected_components_distributed(
         old = batch.column("label").to_numpy(zero_copy_only=False)
         msg = batch.column("min_msg").to_numpy(zero_copy_only=False)
         # null-safe elementwise min (no message -> keep old label)
-        has = np.array([m is not None and m == m for m in msg], dtype=bool)
+        if np.issubdtype(old.dtype, np.number) and msg.dtype != object:
+            has = ~np.isnan(msg) if np.issubdtype(msg.dtype, np.floating) else np.ones(len(msg), bool)
+            filled = np.where(has, msg, old)
+            take = has & (filled < old)
+        else:
+            has = np.array([m is not None and m == m for m in msg], dtype=bool)
+            take = has & np.array(
+                [m < o for m, o in zip(np.where(has, msg, old), old)], dtype=bool
+            )
         new = old.copy()
-        take = has & np.array(
-            [m < o for m, o in zip(np.where(has, msg, old), old)], dtype=bool
-        )
         new[take] = msg[take]
         return pa.table(
             {

@@ -97,6 +97,8 @@ def generate_pairs_dedupe(
     (the reduce-partition count follows the input block count)."""
 
     def gen(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        if len(group[id_col]) < 2:  # cheap early-out before any conversion
+            return _empty_pairs(fields, group, id_col)
         cols = {k: np.asarray(v) for k, v in group.items()}
         n = len(cols[id_col])
         sub_i = int(cols["sub_i"][0])

@@ -101,16 +101,19 @@ def score_pairs(
     passthrough: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Run the scorer actor pool over the candidate-pair Dataset."""
+    import ray as _ray
+
+    cpus_total = int(_ray.cluster_resources().get("CPU", 8))
+    # pair-generation emits one block per reduce task with wildly varying
+    # sizes (hot cells); rebalance so scorer tasks see uniform work
+    pairs = pairs.repartition(max(64, 4 * cpus_total))
     kwargs = {}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     else:
         # Actor pools require an explicit size; autoscale up to (cluster
         # CPUs - 2) so the scorer never starves upstream/downstream stages.
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        kwargs["concurrency"] = (1, max(4, cpus - 2))
+        kwargs["concurrency"] = (1, max(4, cpus_total - 2))
     return pairs.map_batches(
         PairScorer,
         fn_constructor_kwargs={"variables": variables, "passthrough": passthrough},
