@@ -3,6 +3,37 @@
 A brand-new Fellegi–Sunter linkage engine with the query and data-processing
 capabilities of jw2249a/FastLink.jl (see SURVEY.md), re-expressed as
 ray.data.Dataset pipelines for Parquet transcript tables at very large scale.
+
+Public per-stage API (each usable standalone on Datasets, the analogue of
+the reference's exported kernels, FastLink.jl:54): blocking, pair
+generation, scoring, EM, match extraction, clustering.
 """
-from .config import LinkConfig, parse_config  # noqa: F401
+
+from .config import BlockingConfig, ExecutionConfig, LinkConfig, VarConfig, parse_config  # noqa: F401
 from .constants import MATCH1, MATCH2, MISSING, NONMATCH  # noqa: F401
+from .eval import pairwise_scores, truth_pairs_from_entities  # noqa: F401
+from .functions.gamma import (  # noqa: F401
+    gamma_exact,
+    gamma_numeric,
+    gamma_string,
+    gamma_token_levenshtein,
+)
+from .functions.strdist import METHOD_ALIASES, similarity  # noqa: F401
+from .pipelines.linkage import LinkResult, dedupe_records, link_records  # noqa: F401
+from .pipelines.transcripts import (  # noqa: F401
+    default_transcript_config,
+    run_transcript_pipeline,
+)
+from .stages.assemble import assemble_conversations  # noqa: F401
+from .stages.blocking import (  # noqa: F401
+    derive_block_keys,
+    expand_pair_groups,
+    plan_salts,
+    transcript_block_keys,
+)
+from .stages.cluster import connected_components  # noqa: F401
+from .stages.em import EMResult, em_fit  # noqa: F401
+from .stages.matches import get_matches  # noqa: F401
+from .stages.pairs import generate_pairs_dedupe, generate_pairs_link  # noqa: F401
+from .stages.patterns import pack_gammas, pattern_histogram, unpack_patterns  # noqa: F401
+from .stages.scoring import PairScorer, score_pairs  # noqa: F401

@@ -387,24 +387,21 @@ def similarity_pairs(
     Null inputs (None/NaN) yield ``np.nan`` similarities; callers map those to
     the MISSING gamma level.
     """
+    import pandas as pd
+
     n = len(a)
     out = np.full(n, np.nan, dtype=np.float64)
     if n == 0:
         return out
-    # factorize the value pairs: null-safe keying via sentinel
-    keys = np.empty(n, dtype=object)
-    valid = np.empty(n, dtype=bool)
-    for i in range(n):
-        x, y = a[i], b[i]
-        if x is None or y is None or (isinstance(x, float) and np.isnan(x)) or (
-            isinstance(y, float) and np.isnan(y)
-        ):
-            valid[i] = False
-            keys[i] = None
-        else:
-            valid[i] = True
-            keys[i] = (x, y)
-    uniq, inv = np.unique(keys[valid], return_inverse=True)
+    # integer factorization of the value pairs (C speed; nulls become -1)
+    codes_a, vals_a = pd.factorize(a, use_na_sentinel=True)
+    codes_b, vals_b = pd.factorize(b, use_na_sentinel=True)
+    valid = (codes_a >= 0) & (codes_b >= 0)
+    pair_key = codes_a.astype(np.int64) * np.int64(len(vals_b)) + codes_b
+    uniq_keys, inv = np.unique(pair_key[valid], return_inverse=True)
+    uniq = [
+        (vals_a[k // len(vals_b)], vals_b[k % len(vals_b)]) for k in uniq_keys
+    ]
     sims = np.empty(len(uniq), dtype=np.float64)
     if method == "jw":
         # batch-vectorized path: score only cache misses, in one numpy pass

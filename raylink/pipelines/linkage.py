@@ -221,7 +221,9 @@ def dedupe_records(
     if tf_vars:
         records = add_tf_columns(records, tf_vars, n)
     records = records.materialize()
-    plan, bcount = blocking_stage.plan_salts(records, config.blocking)
+    plan, bcount, block_counts = blocking_stage.analyze_blocks(
+        records, config.blocking
+    )
     counters["hot_blocks"] = bcount.n_hot_blocks
     counters["dropped_blocks"] = bcount.n_dropped_blocks
     counters["dropped_rows"] = bcount.dropped_rows
@@ -230,7 +232,9 @@ def dedupe_records(
     fields = [v.name for v in leaf_vars]
     tf_cols = [f"tf_{v.name}" for v in tf_vars]
     # singleton blocks generate no pairs — drop them before the pair shuffle
-    paired_records = blocking_stage.filter_to_multi_blocks(records)
+    paired_records = blocking_stage.filter_to_multi_blocks(
+        records, counts=block_counts
+    )
     expanded = blocking_stage.expand_pair_groups(
         paired_records, plan, id_col, side=None,
         dropped=set(bcount.notes.get("dropped_block_keys", [])),

@@ -110,11 +110,15 @@ def run_transcript_pipeline(
     total_comparisons = n * (n - 1) // 2
 
     # ---- stage 2: salted pair generation + scoring ----------------------
-    plan, bcount = blocking_stage.plan_salts(records, config.blocking)
+    plan, bcount, block_counts = blocking_stage.analyze_blocks(
+        records, config.blocking
+    )
 
     def build_scored() -> ray.data.Dataset:
         # singleton blocks generate no pairs — drop them pre-shuffle
-        paired_records = blocking_stage.filter_to_multi_blocks(records)
+        paired_records = blocking_stage.filter_to_multi_blocks(
+            records, counts=block_counts
+        )
         expanded = blocking_stage.expand_pair_groups(
             paired_records, plan, id_col, side=None,
             dropped=set(bcount.notes.get("dropped_block_keys", [])),

@@ -104,11 +104,27 @@ def transcript_block_keys(
     return records.map_batches(add_key, batch_format="pyarrow")
 
 
+def analyze_blocks(
+    records: ray.data.Dataset, blocking: BlockingConfig
+) -> tuple[dict[int, int], BlockingCounters, ray.data.Dataset]:
+    """One distributed block-count pass serving both the salt plan and the
+    singleton filter.  Returns (plan, counters, counts_ds)."""
+    counts = records.groupby("block_key").count().materialize()
+    plan, counters = _plan_from_counts(counts, blocking)
+    return plan, counters, counts
+
+
 def plan_salts(
     records: ray.data.Dataset, blocking: BlockingConfig
 ) -> tuple[dict[int, int], BlockingCounters]:
     """Compute the hot-block salt plan {block_key: n_salts} (driver-small)."""
     counts = records.groupby("block_key").count()
+    return _plan_from_counts(counts, blocking)
+
+
+def _plan_from_counts(
+    counts: ray.data.Dataset, blocking: BlockingConfig
+) -> tuple[dict[int, int], BlockingCounters]:
     cap = blocking.cap
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t.column("count()"), cap)),
@@ -137,7 +153,9 @@ def plan_salts(
 
 
 def filter_to_multi_blocks(
-    records: ray.data.Dataset, num_partitions: int | None = None
+    records: ray.data.Dataset,
+    num_partitions: int | None = None,
+    counts: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Drop records whose block has a single member (they generate no pairs).
 
@@ -150,7 +168,8 @@ def filter_to_multi_blocks(
         import ray as _ray
 
         num_partitions = max(16, int(_ray.cluster_resources().get("CPU", 8)))
-    counts = records.groupby("block_key").count()
+    if counts is None:
+        counts = records.groupby("block_key").count()
     multi = counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("count()"), 2)).select(
             ["block_key"]
