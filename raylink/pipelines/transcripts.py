@@ -214,8 +214,18 @@ def run_transcript_pipeline(
             "scored_pairs": scored_count,
             "matched_pairs": matches.count(),
             "hot_blocks": bcount.n_hot_blocks,
-            "resumed_stages": [
+            "completed_stages": [
                 k for k, m in runner.manifests.items() if runner.is_complete(k, fp)
+            ],
+            "resumed_stages": [
+                name
+                for name, res in (
+                    ("assembled", assembled),
+                    ("scored_pairs", scored_res),
+                    ("matches", matches_res),
+                    ("clusters", clusters_res),
+                )
+                if res.resumed
             ],
         },
     }

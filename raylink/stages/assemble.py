@@ -20,13 +20,19 @@ reference's firstname/lastname/... columns:
                        without tensor-extension round-trips)
 - ``n_turns``, ``n_tokens``, ``ts_min``, ``ts_span``
 
-This is one ``groupby(conv_id)`` shuffle.  The per-group UDF works on numpy
-batches (no per-group pandas construction) and does only O(turns) work.
+Execution: ``groupby().map_groups`` pays ~300us of per-group conversion
+machinery, which dwarfs the ~25us of real work per conversation at scale.
+Assembly therefore runs as a **sorted-run scan**: one global
+``sort(conv_id, turn_idx)`` (range partition), then each block assembles all
+its *interior* conversations in a single vectorized pass, while the at-most-2
+*boundary* conversations per block (those that may straddle a block edge)
+are emitted as ordered fragments and merged in a second, tiny pass.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -61,8 +67,6 @@ def _token_hashes(text: str, max_tokens: int) -> np.ndarray:
     comparison — a 2^-32 collision chance per token pair cannot move a
     similarity across the rounded cut boundaries.
     """
-    import zlib
-
     toks = _TOKEN_SPLIT.split(text.strip())
     if toks == [""]:
         return np.empty(0, dtype=np.int64)
@@ -78,34 +82,175 @@ def normalize_text(s: str) -> str:
     return _WS.sub(" ", s.strip()).upper()
 
 
-def make_assemble_fn(max_tokens: int = 64, include_full_text: bool = True):
-    """Build the per-group assembly UDF (numpy batch in/out)."""
+def _record_from_parts(
+    conv_id: str,
+    texts: list,
+    tools: list,
+    ts_min: int,
+    ts_max: int,
+    n_turns: int,
+    max_tokens: int,
+    include_full_text: bool,
+    out: dict[str, list],
+) -> None:
+    """Append one assembled record to the output column lists.
 
-    def assemble(group: dict[str, np.ndarray]) -> dict[str, list]:
-        turn_idx = np.asarray(group["turn_idx"])
-        order = np.argsort(turn_idx, kind="stable")
-        texts = np.asarray(group["text"], dtype=object)[order]
-        tools = np.asarray(group["tool"], dtype=object)[order]
-        ts = np.asarray(group["ts"])
-        ts_i = ts.astype("datetime64[us]").astype(np.int64)
-        first = str(texts[0]) if len(texts) else ""
-        full = "\n".join(str(t) for t in texts)
-        toks = _token_hashes(full, max_tokens)
-        tool_sig = ",".join(str(t) for t in tools if t is not None and t == t)
-        return {
-            "conv_id": [str(np.asarray(group["conv_id"])[0])],
-            "first_text": [first],
-            "first_text_norm": [normalize_text(first)],
-            "tool_sig": [tool_sig],
-            "full_text": [full if include_full_text else ""],
-            "tok_blob": [toks.tobytes()],
-            "n_turns": [np.int32(len(texts))],
-            "n_tokens": [np.int32(len(_TOKEN_SPLIT.split(full.strip())) if full.strip() else 0)],
-            "ts_min": [np.int64(ts_i.min()) if len(ts_i) else np.int64(0)],
-            "ts_span": [np.int64(ts_i.max() - ts_i.min()) if len(ts_i) else np.int64(0)],
-        }
+    ``texts``/``tools`` are already in turn order.
+    """
+    first = str(texts[0]) if texts else ""
+    full = "\n".join(str(t) for t in texts)
+    out["conv_id"].append(conv_id)
+    out["first_text"].append(first)
+    out["first_text_norm"].append(normalize_text(first))
+    out["tool_sig"].append(
+        ",".join(str(t) for t in tools if t is not None and t == t)
+    )
+    out["full_text"].append(full if include_full_text else "")
+    out["tok_blob"].append(_token_hashes(full, max_tokens).tobytes())
+    out["n_turns"].append(np.int32(n_turns))
+    stripped = full.strip()
+    out["n_tokens"].append(
+        np.int32(len(_TOKEN_SPLIT.split(stripped)) if stripped else 0)
+    )
+    out["ts_min"].append(np.int64(ts_min))
+    out["ts_span"].append(np.int64(ts_max - ts_min))
 
-    return assemble
+
+def _empty_out() -> dict[str, list]:
+    return {name: [] for name in ASSEMBLED_SCHEMA.names}
+
+
+_FRAG_COLS = [
+    "conv_id",
+    "frag_min_turn",
+    "text_concat",
+    "first_text",
+    "has_turn0",
+    "tool_sig",
+    "n_turns",
+    "ts_min",
+    "ts_max",
+]
+
+
+def _block_groups(batch: dict[str, np.ndarray]):
+    """Yield (conv_id, slice, is_boundary) for a (conv_id, turn_idx)-sorted
+    block; boundary = the block's first or last conv_id value."""
+    conv = np.asarray(batch["conv_id"])
+    n = len(conv)
+    if n == 0:
+        return conv, []
+    uniq, starts = np.unique(conv, return_index=True)
+    order = np.argsort(starts)
+    starts = starts[order]
+    uniq = uniq[order]
+    ends = np.append(starts[1:], n)
+    first_val, last_val = conv[0], conv[-1]
+    groups = [
+        (str(uniq[g]), slice(int(starts[g]), int(ends[g])),
+         uniq[g] == first_val or uniq[g] == last_val)
+        for g in range(len(uniq))
+    ]
+    return conv, groups
+
+
+def make_interior_fn(max_tokens: int, include_full_text: bool):
+    """Whole-block pass: assemble every non-boundary conversation."""
+
+    def fn(batch: dict[str, np.ndarray]) -> dict[str, list]:
+        out = _empty_out()
+        _, groups = _block_groups(batch)
+        texts = batch["text"]
+        tools = batch["tool"]
+        ts = np.asarray(batch["ts"]).astype("datetime64[us]").astype(np.int64)
+        for conv_id, sl, boundary in groups:
+            if boundary:
+                continue
+            t = ts[sl]
+            _record_from_parts(
+                conv_id,
+                list(texts[sl]),
+                list(tools[sl]),
+                int(t.min()),
+                int(t.max()),
+                sl.stop - sl.start,
+                max_tokens,
+                include_full_text,
+                out,
+            )
+        return out
+
+    return fn
+
+
+def make_boundary_fn():
+    """Whole-block pass: emit ordered fragments for boundary conversations."""
+
+    def fn(batch: dict[str, np.ndarray]) -> dict[str, list]:
+        out: dict[str, list] = {c: [] for c in _FRAG_COLS}
+        _, groups = _block_groups(batch)
+        texts = batch["text"]
+        tools = batch["tool"]
+        turn_idx = np.asarray(batch["turn_idx"])
+        ts = np.asarray(batch["ts"]).astype("datetime64[us]").astype(np.int64)
+        for conv_id, sl, boundary in groups:
+            if not boundary:
+                continue
+            t = ts[sl]
+            tt = turn_idx[sl]
+            out["conv_id"].append(conv_id)
+            out["frag_min_turn"].append(np.int64(int(tt.min())))
+            out["text_concat"].append("\n".join(str(x) for x in texts[sl]))
+            out["first_text"].append(str(texts[sl][0]))
+            out["has_turn0"].append(bool(tt.min() == 0))
+            out["tool_sig"].append(
+                ",".join(str(x) for x in tools[sl] if x is not None and x == x)
+            )
+            out["n_turns"].append(np.int64(sl.stop - sl.start))
+            out["ts_min"].append(np.int64(int(t.min())))
+            out["ts_max"].append(np.int64(int(t.max())))
+        return out
+
+    return fn
+
+
+def make_merge_fn(max_tokens: int, include_full_text: bool):
+    """Merge one conversation's fragments (ordered by frag_min_turn)."""
+
+    def fn(group: dict[str, np.ndarray]) -> dict[str, list]:
+        out = _empty_out()
+        order = np.argsort(np.asarray(group["frag_min_turn"]), kind="stable")
+        texts = [str(group["text_concat"][i]) for i in order]
+        # fragment texts are already '\n'-joined runs in turn order
+        merged_parts = "\n".join(texts).split("\n") if texts else []
+        sigs = [str(group["tool_sig"][i]) for i in order if str(group["tool_sig"][i])]
+        ts_min = int(np.asarray(group["ts_min"]).min())
+        ts_max = int(np.asarray(group["ts_max"]).max())
+        n_turns = int(np.asarray(group["n_turns"]).sum())
+        first = ""
+        for i in order:
+            if group["has_turn0"][i]:
+                first = str(group["first_text"][i])
+                break
+        conv_id = str(np.asarray(group["conv_id"])[0])
+        full_parts = merged_parts
+        out["conv_id"].append(conv_id)
+        full = "\n".join(full_parts)
+        out["first_text"].append(first)
+        out["first_text_norm"].append(normalize_text(first))
+        out["tool_sig"].append(",".join(sigs))
+        out["full_text"].append(full if include_full_text else "")
+        out["tok_blob"].append(_token_hashes(full, max_tokens).tobytes())
+        out["n_turns"].append(np.int32(n_turns))
+        stripped = full.strip()
+        out["n_tokens"].append(
+            np.int32(len(_TOKEN_SPLIT.split(stripped)) if stripped else 0)
+        )
+        out["ts_min"].append(np.int64(ts_min))
+        out["ts_span"].append(np.int64(ts_max - ts_min))
+        return out
+
+    return fn
 
 
 def _default_partitions() -> int:
@@ -120,16 +265,26 @@ def assemble_conversations(
     include_full_text: bool = True,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Group turns by conv_id and assemble conversation records.
+    """Assemble conversation records (one range-partitioned sort shuffle).
 
-    One hash shuffle on ``conv_id``.  Rows arrive in any order; the UDF
-    restores the stable ``(conv_id, turn_idx)`` ordering per group.  The
-    groupby's reduce-partition count follows the input block count, so the
-    input is repartitioned first — otherwise a handful of input blocks
-    serializes millions of groups through a few reduce tasks.
+    Rows arrive in any order; the global ``sort(conv_id, turn_idx)`` restores
+    the stable ordering, interior conversations assemble vectorized per
+    block, and the <= 2 boundary conversations per block merge from ordered
+    fragments in a tiny second pass.
     """
     n = num_partitions or _default_partitions()
-    return turns.repartition(n).groupby("conv_id").map_groups(
-        make_assemble_fn(max_tokens=max_tokens, include_full_text=include_full_text),
-        batch_format="numpy",
+    sorted_turns = (
+        turns.repartition(n).sort(["conv_id", "turn_idx"]).materialize()
     )
+    interior = sorted_turns.map_batches(
+        make_interior_fn(max_tokens, include_full_text),
+        batch_format="numpy",
+        batch_size=None,
+    )
+    frags = sorted_turns.map_batches(
+        make_boundary_fn(), batch_format="numpy", batch_size=None
+    )
+    merged = frags.groupby("conv_id").map_groups(
+        make_merge_fn(max_tokens, include_full_text), batch_format="numpy"
+    )
+    return interior.union(merged)
