@@ -24,6 +24,8 @@ import pyarrow as pa
 
 import ray.data
 
+from .sortedrun import sorted_group_scan
+
 __all__ = ["generate_pairs_dedupe", "generate_pairs_link"]
 
 
@@ -119,8 +121,12 @@ def generate_pairs_dedupe(
         return _emit(cols, fields, id_col, ia, ib)
 
     n = num_partitions or _default_partitions()
-    return records.repartition(n).groupby("pg_key").map_groups(
-        gen, batch_format="numpy"
+    return sorted_group_scan(
+        records,
+        "pg_key",
+        gen,
+        lambda batch: _empty_pairs(fields, batch, id_col),
+        num_partitions=n,
     )
 
 
@@ -145,6 +151,10 @@ def generate_pairs_link(
         return _emit_link(cols, cols, fields, id_col, ia, ib)
 
     n = num_partitions or _default_partitions()
-    return records.repartition(n).groupby("pg_key").map_groups(
-        gen, batch_format="numpy"
+    return sorted_group_scan(
+        records,
+        "pg_key",
+        gen,
+        lambda batch: _empty_pairs(fields, batch, id_col),
+        num_partitions=n,
     )

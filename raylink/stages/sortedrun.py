@@ -1,0 +1,105 @@
+"""Sorted-run group execution: ``groupby().map_groups`` without the tax.
+
+Ray Data's ``map_groups`` costs ~300us of per-group slicing/format
+machinery; corpora whose groups are tiny (pair-group cells are mostly 2-3
+records after blocking) spend >90% of the stage inside that machinery.
+
+``sorted_group_scan`` runs the same per-group UDF at numpy speed: one
+global ``sort(keys)`` (range-partition shuffle — the same data movement a
+groupby pays), then each block applies the UDF to every *interior* group
+with plain numpy slicing.  The at-most-2 *boundary* groups per block (the
+first and last key value, which may straddle a block edge) are filtered
+out and repaired through a tiny real ``groupby().map_groups`` whose input
+is only those rows.
+
+This matches the semantics of ``ds.groupby(keys[0]).map_groups(fn)``
+exactly when ``fn`` is order-insensitive w.r.t. rows within a group (all
+raylink group UDFs are — they sort internally or are symmetric).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import ray.data
+
+__all__ = ["sorted_group_scan"]
+
+
+def _group_slices(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end offsets of equal-key runs in an already-sorted array."""
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    return starts, ends
+
+
+def _concat_outputs(parts: list[dict]) -> dict:
+    """Column-wise concat of per-group UDF outputs (numpy arrays or lists)."""
+    if not parts:
+        return {}
+    out: dict = {}
+    for col in parts[0]:
+        vals = [p[col] for p in parts]
+        if isinstance(vals[0], np.ndarray):
+            out[col] = np.concatenate(vals) if len(vals) > 1 else vals[0]
+        else:
+            merged: list = []
+            for v in vals:
+                merged.extend(v)
+            out[col] = merged
+    return out
+
+
+def sorted_group_scan(
+    ds: ray.data.Dataset,
+    key: str,
+    group_fn: Callable[[dict[str, np.ndarray]], dict],
+    empty_fn: Callable[[dict[str, np.ndarray]], dict],
+    num_partitions: int,
+    sort_keys: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Apply ``group_fn`` per ``key``-group via sort + vectorized block scan.
+
+    ``empty_fn(batch)`` must return a zero-row output dict with the UDF's
+    schema (used for blocks that contain only boundary groups, so every
+    block yields a consistently-typed batch).
+    """
+    sorted_ds = (
+        ds.repartition(num_partitions).sort(sort_keys or [key]).materialize()
+    )
+
+    def interior(batch: dict[str, np.ndarray]) -> dict:
+        keys = np.asarray(batch[key])
+        starts, ends = _group_slices(keys)
+        parts: list[dict] = []
+        first_val = keys[0] if len(keys) else None
+        last_val = keys[-1] if len(keys) else None
+        for s, e in zip(starts, ends):
+            if keys[s] == first_val or keys[s] == last_val:
+                continue  # boundary group: repaired in the second pass
+            parts.append(group_fn({k: v[s:e] for k, v in batch.items()}))
+        return _concat_outputs(parts) or empty_fn(batch)
+
+    def boundary_rows(batch: dict[str, np.ndarray]) -> dict:
+        keys = np.asarray(batch[key])
+        if len(keys) == 0:
+            return batch
+        mask = (keys == keys[0]) | (keys == keys[-1])
+        idx = np.flatnonzero(mask)
+        return {k: np.asarray(v)[idx] for k, v in batch.items()}
+
+    interior_out = sorted_ds.map_batches(
+        interior, batch_format="numpy", batch_size=None
+    )
+    repaired = (
+        sorted_ds.map_batches(boundary_rows, batch_format="numpy", batch_size=None)
+        .groupby(key)
+        .map_groups(group_fn, batch_format="numpy")
+    )
+    return interior_out.union(repaired)
