@@ -273,6 +273,10 @@ def assemble_conversations(
     fragments in a tiny second pass.
     """
     n = num_partitions or _default_partitions()
+    needed = ["conv_id", "turn_idx", "text", "tool", "ts"]
+    have = turns.schema().names
+    if set(have) - set(needed):
+        turns = turns.select_columns([c for c in needed if c in have])
     sorted_turns = (
         turns.repartition(n).sort(["conv_id", "turn_idx"]).materialize()
     )
