@@ -475,6 +475,29 @@ def token_levenshtein_matrix(
     if not run.any():
         return out
     ridx = np.flatnonzero(run)
+    # bucket pairs by size so each chunk pads to its *own* maxima — without
+    # this, one 64-token pair inflates the whole batch's DP area
+    order = np.argsort(denom[ridx], kind="stable")
+    ridx = ridx[order]
+    # 512-pair chunks keep the per-proc DP working set inside shared cache
+    # (measured +10% aggregate at 24 procs vs 2048)
+    chunk = 512
+    for c0 in range(0, len(ridx), chunk):
+        cidx = ridx[c0 : c0 + chunk]
+        _token_dp_chunk(seqs_a, seqs_b, cidx, len_a, len_b, denom, out)
+    return out
+
+
+def _token_dp_chunk(
+    seqs_a: list[np.ndarray],
+    seqs_b: list[np.ndarray],
+    ridx: np.ndarray,
+    len_a: np.ndarray,
+    len_b: np.ndarray,
+    denom: np.ndarray,
+    out: np.ndarray,
+) -> None:
+    """Lockstep Levenshtein DP over one similarly-sized chunk of pairs."""
     la = len_a[ridx]
     lb = len_b[ridx]
     m = len(ridx)
@@ -511,4 +534,3 @@ def token_levenshtein_matrix(
         prev = np.where(active[:, None], cur, prev)
     dist = prev[np.arange(m), lb].astype(np.float64)
     out[ridx] = (denom[ridx] - dist) / denom[ridx]
-    return out

@@ -277,6 +277,7 @@ def assemble_conversations(
     have = turns.schema().names
     if set(have) - set(needed):
         turns = turns.select_columns([c for c in needed if c in have])
+
     sorted_turns = (
         turns.repartition(n).sort(["conv_id", "turn_idx"]).materialize()
     )

@@ -41,6 +41,7 @@ import ray.data
 
 from ..config import BlockingConfig
 from ..functions.hashing import combine_hashes, hash64_array
+from .sortedrun import count_by_key
 
 #: Ray Data groupby/sort paths route key values through Python ints and
 #: C longs, so shuffle keys must fit int64 — all keys are masked to 63 bits.
@@ -109,7 +110,7 @@ def analyze_blocks(
 ) -> tuple[dict[int, int], BlockingCounters, ray.data.Dataset]:
     """One distributed block-count pass serving both the salt plan and the
     singleton filter.  Returns (plan, counters, counts_ds)."""
-    counts = records.groupby("block_key").count().materialize()
+    counts = count_by_key(records, "block_key").materialize()
     plan, counters = _plan_from_counts(counts, blocking)
     return plan, counters, counts
 
@@ -118,7 +119,7 @@ def plan_salts(
     records: ray.data.Dataset, blocking: BlockingConfig
 ) -> tuple[dict[int, int], BlockingCounters]:
     """Compute the hot-block salt plan {block_key: n_salts} (driver-small)."""
-    counts = records.groupby("block_key").count()
+    counts = count_by_key(records, "block_key")
     return _plan_from_counts(counts, blocking)
 
 
@@ -169,7 +170,7 @@ def filter_to_multi_blocks(
 
         num_partitions = max(16, int(_ray.cluster_resources().get("CPU", 8)))
     if counts is None:
-        counts = records.groupby("block_key").count()
+        counts = count_by_key(records, "block_key")
     multi = counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("count()"), 2)).select(
             ["block_key"]

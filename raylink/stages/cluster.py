@@ -62,43 +62,79 @@ def connected_components_local(
     src_col: str = "id_a",
     dst_col: str = "id_b",
 ) -> ray.data.Dataset:
-    """Driver union-find (path-compressed); edges stream in batches."""
-    parent: dict = {}
-    get = parent.get
+    """Driver-side CC, fully vectorized: integer-code the edge endpoints
+    (``np.unique`` — code order is id order, so min code == min id), then
+    scatter-min label propagation (``np.minimum.at``) with pointer jumping
+    until the edge fixpoint.  O(E · log n) C-speed work, no Python loop."""
+    from ..functions.hashing import hash64_array
 
-    def find(x):
-        root = x
-        p = get(root)
-        while p is not None and p != root:
-            root = p
-            p = get(root)
-        # path compression
-        while x != root:
-            nxt = parent[x]
-            parent[x] = root
-            x = nxt
-        return root
-
+    # Endpoint identity travels as int64 hashes: the union-find state shipped
+    # to the labeling tasks is then numeric (zero-copy from the object store
+    # — an object-dtype string array would re-unpickle per task), and only
+    # one small string array (one min-id per component) rides along.  A
+    # 64-bit collision in a <=2M-edge problem is ~1e-7 and only matters if
+    # both colliding ids are edge endpoints.
+    parts_a: list[np.ndarray] = []
+    parts_b: list[np.ndarray] = []
     for batch in edges.select_columns([src_col, dst_col]).iter_batches(
-        batch_size=262144, batch_format="pyarrow"
+        batch_size=1_048_576, batch_format="pyarrow"
     ):
-        a = batch.column(src_col).to_pylist()
-        b = batch.column(dst_col).to_pylist()
-        for u, v in zip(a, b):
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                # union by min so the label IS the minimum id
-                if rv < ru:
-                    ru, rv = rv, ru
-                parent[rv] = ru
+        parts_a.append(batch.column(src_col).to_numpy(zero_copy_only=False))
+        parts_b.append(batch.column(dst_col).to_numpy(zero_copy_only=False))
+    if parts_a:
+        ids = np.concatenate(parts_a + parts_b)
+        h = hash64_array(ids).astype(np.int64)
+        uniq_h, first_idx, codes = np.unique(
+            h, return_index=True, return_inverse=True
+        )
+        n_edges = len(h) // 2
+        eu, ev = codes[:n_edges], codes[n_edges:]
+        lab = np.arange(len(uniq_h), dtype=np.int64)
+        while True:
+            np.minimum.at(lab, eu, lab[ev])
+            np.minimum.at(lab, ev, lab[eu])
+            while True:
+                jumped = lab[lab]
+                if np.array_equal(jumped, lab):
+                    break
+                lab = jumped
+            if np.array_equal(lab[eu], lab[ev]):
+                break
+        # entity = min id per component, over the unique endpoints only
+        uniq_ids = ids[first_idx]
+        try:  # polars group_by is ~6x the numpy argsort path on strings
+            import polars as pl
 
-    roots = {x: find(x) for x in list(parent)}
-    roots_ref = ray.put(roots)
+            m = (
+                pl.DataFrame({"lab": lab, "id": pl.Series(uniq_ids)})
+                .group_by("lab")
+                .agg(pl.col("id").min())
+                .sort("lab")
+            )
+            comp_sorted = m["lab"].to_numpy()
+            comp_min_ids = m["id"].to_numpy()
+        except ImportError:
+            order = np.argsort(uniq_ids, kind="stable")
+            comp_sorted, comp_first = np.unique(lab[order], return_index=True)
+            comp_min_ids = uniq_ids[order[comp_first]]
+        # remap lab -> dense component index aligned with comp_min_ids
+        comp_of_endpoint = np.searchsorted(comp_sorted, lab).astype(np.int64)
+    else:
+        uniq_h = np.empty(0, dtype=np.int64)
+        comp_of_endpoint = np.empty(0, dtype=np.int64)
+        comp_min_ids = np.empty(0, dtype=object)
+    roots_ref = ray.put((uniq_h, comp_of_endpoint, comp_min_ids))
 
     def label(batch: pa.Table) -> pa.Table:
-        r = ray.get(roots_ref)
-        vals = batch.column(node_col).to_pylist()
-        ent = [r.get(v, v) for v in vals]
+        uh, comp, cmin = ray.get(roots_ref)
+        vals = batch.column(node_col).to_numpy(zero_copy_only=False)
+        ent = vals.copy()
+        if len(uh):
+            hv = hash64_array(vals).astype(np.int64)
+            pos = np.searchsorted(uh, hv)
+            pos_c = np.clip(pos, 0, len(uh) - 1)
+            hit = uh[pos_c] == hv
+            ent[hit] = cmin[comp[pos_c[hit]]]
         return pa.table(
             {
                 node_col: batch.column(node_col),

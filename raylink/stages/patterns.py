@@ -80,9 +80,11 @@ def pattern_histogram(pairs: ray.data.Dataset) -> pd.DataFrame:
     SURVEY.md §4 "Ordering assumptions").
     """
     partial = pairs.map_batches(_partial_counts, batch_format="pyarrow")
-    final = partial.groupby("pattern_key").sum("cnt")
-    df = final.to_pandas()
-    df = df.rename(columns={"sum(cnt)": "cnt"})
+    # per-block partials are (n_blocks x n_patterns) rows — tiny at any input
+    # scale — so the final merge happens on the driver, skipping a whole
+    # distributed aggregate round
+    df = partial.to_pandas()
+    df = df.groupby("pattern_key", as_index=False)["cnt"].sum()
     df["pattern_key"] = df["pattern_key"].astype(np.int64)
     df["cnt"] = df["cnt"].astype(np.int64)
     return df.sort_values("pattern_key", ignore_index=True)

@@ -25,7 +25,7 @@ import numpy as np
 
 import ray.data
 
-__all__ = ["sorted_group_scan"]
+__all__ = ["sorted_group_scan", "count_by_key"]
 
 
 def _group_slices(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -54,6 +54,88 @@ def _concat_outputs(parts: list[dict]) -> dict:
                 merged.extend(v)
             out[col] = merged
     return out
+
+
+def count_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    num_partitions: int = 64,
+    driver_threshold: int = 20_000_000,
+) -> ray.data.Dataset:
+    """``ds.groupby(key).count()`` at numpy speed.
+
+    Ray's sort-based Aggregate spends ~100us/row in Python merge machinery
+    (measured: 145 CPU-seconds to count 1.3M int64 keys).  Here each block
+    pre-counts with ``np.unique`` (the combiner), then the per-block
+    partials — one row per distinct key per block — merge either on the
+    driver (small inputs: one ``np.add.reduceat``) or via a sorted-run scan
+    (large inputs: the partials shuffle, never the input rows).  Output
+    schema matches ``groupby(key).count()``: ``(key, "count()")``.
+    """
+    import pyarrow as pa
+
+    def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        k = np.asarray(batch[key])
+        uniq, cnt = np.unique(k, return_counts=True)
+        return {key: uniq, "cnt": cnt.astype(np.int64)}
+
+    partials = ds.select_columns([key]).map_batches(
+        partial, batch_format="numpy", batch_size=None
+    ).materialize()
+    if partials.count() <= driver_threshold:
+        ks, cs = [], []
+        for b in partials.iter_batches(
+            batch_size=4_194_304, batch_format="numpy"
+        ):
+            ks.append(np.asarray(b[key]))
+            cs.append(np.asarray(b["cnt"]))
+        k = np.concatenate(ks) if ks else np.empty(0, dtype=np.int64)
+        c = np.concatenate(cs) if cs else np.empty(0, dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        k, c = k[order], c[order]
+        if len(k):
+            starts = np.flatnonzero(
+                np.concatenate(([True], k[1:] != k[:-1]))
+            )
+            k, c = k[starts], np.add.reduceat(c, starts)
+        return ray.data.from_arrow(pa.table({key: k, "count()": c}))
+
+    # at-scale path: shuffle only the partials, merge runs vectorized
+    sp = partials.repartition(num_partitions).sort(key).materialize()
+
+    def interior(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        k = np.asarray(batch[key])
+        c = np.asarray(batch["cnt"])
+        if len(k) == 0:
+            return {key: k, "count()": c}
+        keep = (k != k[0]) & (k != k[-1])
+        ki, ci = k[keep], c[keep]
+        if len(ki) == 0:
+            return {key: ki, "count()": ci}
+        starts = np.flatnonzero(np.concatenate(([True], ki[1:] != ki[:-1])))
+        return {key: ki[starts], "count()": np.add.reduceat(ci, starts)}
+
+    def boundary(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        k = np.asarray(batch[key])
+        c = np.asarray(batch["cnt"])
+        if len(k) == 0:
+            return {key: k, "cnt": c}
+        m = (k == k[0]) | (k == k[-1])
+        return {key: k[m], "cnt": c[m]}
+
+    def merge_boundary(group: dict[str, np.ndarray]) -> dict[str, list]:
+        return {
+            key: [np.asarray(group[key])[0]],
+            "count()": [np.int64(np.asarray(group["cnt"]).sum())],
+        }
+
+    interior_out = sp.map_batches(interior, batch_format="numpy", batch_size=None)
+    repaired = (
+        sp.map_batches(boundary, batch_format="numpy", batch_size=None)
+        .groupby(key)
+        .map_groups(merge_boundary, batch_format="numpy")
+    )
+    return interior_out.union(repaired)
 
 
 def sorted_group_scan(
