@@ -46,6 +46,25 @@ __all__ = [
 
 _MERSENNE = (1 << 61) - 1
 
+#: 16-bit popcount table for vectorized 64-bit Hamming distance
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    m = np.uint64(0xFFFF)
+    return (
+        _POP16[(x & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)]
+    ).astype(np.int64)
+
+
+def _default_partitions() -> int:
+    import ray
+
+    return max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
 
 # --------------------------------------------------------------------------
 # exact
@@ -244,31 +263,74 @@ def minhash_lsh_dedup(
             }
         )
 
-    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
-    cand = _bucket_pairs(
-        banded, id_col, "minhash", ["band", "band_hash"], cap=bucket_cap
-    )
-    cand = _dedupe_pairs(cand)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        pa_ = batch.column("payload_a").to_pylist()
-        pb_ = batch.column("payload_b").to_pylist()
-        est = np.empty(len(pa_), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(pa_, pb_)):
-            sx = np.frombuffer(x, dtype=np.uint64)
-            sy = np.frombuffer(y, dtype=np.uint64)
-            est[i] = float((sx == sy).mean())
-        keep = est >= threshold
-        sub = batch.take(pa.array(np.flatnonzero(keep)))
-        return pa.table(
-            {
-                "id_a": sub.column("id_a"),
-                "id_b": sub.column("id_b"),
-                "est_jaccard": pa.array(est[keep], type=pa.float64()),
-            }
+    # band_hash is 31-bit, so (band, band_hash) packs exactly into one int64
+    # bucket key; pair generation + estimation + cross-band dedup then run in
+    # ONE sorted-run scan with first-band-wins: a pair is emitted only by the
+    # lowest band in which its signatures collide, so no distinct-pairs
+    # shuffle is needed afterwards.  (If an earlier colliding bucket was
+    # truncated at ``bucket_cap``, the pair is dropped like it would have
+    # been there — both designs approximate under truncation.)
+    def add_key(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket_key", pa.array((band << 32) | bh, type=pa.int64())
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow").map_batches(
+        add_key, batch_format="pyarrow"
+    )
+
+    def _empty(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ids = np.asarray(group[id_col])
+        return {
+            "id_a": ids[:0],
+            "id_b": ids[:0],
+            "est_jaccard": np.zeros(0, dtype=np.float64),
+        }
+
+    def gen(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ids = np.asarray(group[id_col])
+        n = len(ids)
+        if n < 2:
+            return _empty(group)
+        band = int(np.asarray(group["band"])[0])
+        order = np.argsort(ids, kind="stable")
+        if n > bucket_cap:
+            order = order[:bucket_cap]
+            n = bucket_cap
+        blobs = np.asarray(group["minhash"], dtype=object)[order]
+        M = np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(n, num_perm)
+        ia, ib = np.triu_indices(n, k=1)
+        out_a, out_b, out_est = [], [], []
+        ids_o = ids[order]
+        for c0 in range(0, len(ia), 262144):  # bound the (P, num_perm) mask
+            ca, cb = ia[c0 : c0 + 262144], ib[c0 : c0 + 262144]
+            eq = M[ca] == M[cb]
+            keep = np.ones(len(ca), dtype=bool)
+            for b2 in range(band):  # first-band-wins
+                keep &= ~eq[:, b2 * rows : (b2 + 1) * rows].all(axis=1)
+            est = eq.mean(axis=1)
+            keep &= est >= threshold
+            idx = np.flatnonzero(keep)
+            out_a.append(ids_o[ca[idx]])
+            out_b.append(ids_o[cb[idx]])
+            out_est.append(est[idx])
+        return {
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "est_jaccard": np.concatenate(out_est),
+        }
+
+    from ..stages.sortedrun import sorted_group_scan
+
+    return sorted_group_scan(
+        banded.select_columns([id_col, "band", "minhash", "bucket_key"]),
+        "bucket_key",
+        gen,
+        _empty,
+        num_partitions=_default_partitions(),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -322,6 +384,11 @@ def simhash_dedup(
 
     Pigeonhole banding: split 64 bits into ``max_hamming + 1`` bands — any
     pair within distance ``max_hamming`` agrees exactly on >= 1 band.
+    Recall is exact except inside buckets larger than ``bucket_cap``
+    (giant template families), which are truncated to their cap smallest
+    ids — at corpus scale the full quadratic pair list of such a family is
+    the thing a dedup pipeline exists to avoid; downstream clustering
+    still connects the family through the emitted pairs.
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -348,30 +415,69 @@ def simhash_dedup(
             }
         )
 
-    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
-    cand = _dedupe_pairs(
-        _bucket_pairs(banded, id_col, "simhash", ["band", "band_bits"], cap=bucket_cap)
+    # band values fit in ``width+`` bits, so (band, band_bits) packs exactly
+    # into one int64 bucket key.  Pair generation, Hamming verification, and
+    # cross-band dedup all run in ONE sorted-run scan: first-band-wins means
+    # a pair is emitted only by the lowest band in which it collides, so no
+    # distinct-pairs shuffle follows.  (Under ``bucket_cap`` truncation the
+    # suppressed pair may have been dropped by the earlier band — both this
+    # and the old emit-everywhere+dedup design approximate in that case.)
+    def add_key(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = batch.column("band_bits").to_numpy(zero_copy_only=False)
+        key = (band << np.int64(56)) ^ (bits & np.int64((1 << 56) - 1))
+        return batch.append_column("bucket_key", pa.array(key, type=pa.int64()))
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow").map_batches(
+        add_key, batch_format="pyarrow"
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sa = np.asarray(batch.column("payload_a").to_pylist(), dtype=np.int64).view(np.uint64)
-        sb = np.asarray(batch.column("payload_b").to_pylist(), dtype=np.int64).view(np.uint64)
-        x = sa ^ sb
-        dist = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            dist += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
-        keep = dist <= max_hamming
-        sub = batch.take(pa.array(np.flatnonzero(keep)))
-        return pa.table(
-            {
-                "id_a": sub.column("id_a"),
-                "id_b": sub.column("id_b"),
-                "hamming": pa.array(dist[keep], type=pa.int64()),
-            }
-        )
+    def _empty(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ids = np.asarray(group[id_col])
+        return {
+            "id_a": ids[:0],
+            "id_b": ids[:0],
+            "hamming": np.zeros(0, dtype=np.int64),
+        }
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    def gen(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ids = np.asarray(group[id_col])
+        n = len(ids)
+        if n < 2:
+            return _empty(group)
+        band = int(np.asarray(group["band"])[0])
+        order = np.argsort(ids, kind="stable")
+        if n > bucket_cap:
+            order = order[:bucket_cap]
+            n = bucket_cap
+        sh = np.asarray(group["simhash"])[order].astype(np.int64).view(np.uint64)
+        ids_o = ids[order]
+        ia, ib = np.triu_indices(n, k=1)
+        A, B = sh[ia], sh[ib]
+        keep = np.ones(len(ia), dtype=bool)
+        for b2 in range(band):  # first-band-wins
+            lo = b2 * width
+            w = width if b2 < n_bands - 1 else 64 - lo
+            mask_v = np.uint64((1 << w) - 1)
+            keep &= ((A >> np.uint64(lo)) & mask_v) != ((B >> np.uint64(lo)) & mask_v)
+        dist = _popcount64(A ^ B)
+        keep &= dist <= max_hamming
+        idx = np.flatnonzero(keep)
+        return {
+            "id_a": ids_o[ia[idx]],
+            "id_b": ids_o[ib[idx]],
+            "hamming": dist[idx],
+        }
+
+    from ..stages.sortedrun import sorted_group_scan
+
+    return sorted_group_scan(
+        banded.select_columns([id_col, "band", "simhash", "bucket_key"]),
+        "bucket_key",
+        gen,
+        _empty,
+        num_partitions=_default_partitions(),
+    )
 
 
 # --------------------------------------------------------------------------
