@@ -145,6 +145,21 @@ def connected_components_local(
     return nodes.select_columns([node_col]).map_batches(label, batch_format="pyarrow")
 
 
+def _ff_labels(key: np.ndarray, kind: np.ndarray, lab: np.ndarray):
+    """Forward-fill each key-run's label row (kind==0, sorted first in the
+    run) onto the rows below it.  Returns (filled_label, has_label) —
+    ``has_label`` is False where the run's label row is absent (straddles a
+    block boundary)."""
+    n = len(key)
+    pos = np.arange(n, dtype=np.int64)
+    lab_pos = np.where(kind == 0, pos, np.int64(-1))
+    ff = np.maximum.accumulate(lab_pos)
+    has = ff >= 0
+    safe = np.where(has, ff, 0)
+    has &= key[safe] == key  # the filled label must come from the same run
+    return lab[safe], has
+
+
 def connected_components_distributed(
     edges: ray.data.Dataset,
     nodes: ray.data.Dataset,
@@ -154,7 +169,23 @@ def connected_components_distributed(
     num_partitions: int = 16,
     max_rounds: int = 50,
 ) -> ray.data.Dataset:
-    """Min-label propagation as repeated join + groupby-min rounds."""
+    """Min-label propagation until fixpoint, expressed as two sorted-run
+    co-scans per round (the sort IS the hash-partitioned groupby-aggregate
+    — both are all-to-all exchanges on the key; the scan replaces Ray's
+    per-row Python aggregate with numpy run detection):
+
+    phase A  sort(union(labels as key=node, edges as key=src)) — each key
+             run starts with its label row; forward-fill emits the message
+             ``(dst, label[src])`` for every edge row (a map-side join).
+    phase B  sort(union(labels as key=node, messages as key=dst)) — per
+             run, ``new_label = min(old, min(messages))`` via reduceat.
+
+    Runs whose label row landed in a different block (at most 2 key values
+    per block) are repaired through a tiny real ``groupby``.  Labels only
+    decrease; the per-round ``changed`` sum is the fixpoint detector.
+    Rounds are bounded by component diameter — duplicate clusters are
+    near-cliques, so 2-4 rounds in practice.
+    """
 
     def sym(batch: pa.Table) -> pa.Table:
         a = batch.column(src_col)
@@ -175,53 +206,158 @@ def connected_components_distributed(
         batch_format="pyarrow",
     ).materialize()
 
-    def apply_mins(batch: pa.Table) -> pa.Table:
-        old = batch.column("label").to_numpy(zero_copy_only=False)
-        msg = batch.column("min_msg").to_numpy(zero_copy_only=False)
-        # null-safe elementwise min (no message -> keep old label)
-        if np.issubdtype(old.dtype, np.number) and msg.dtype != object:
-            has = ~np.isnan(msg) if np.issubdtype(msg.dtype, np.floating) else np.ones(len(msg), bool)
-            filled = np.where(has, msg, old)
-            take = has & (filled < old)
-        else:
-            has = np.array([m is not None and m == m for m in msg], dtype=bool)
-            take = has & np.array(
-                [m < o for m, o in zip(np.where(has, msg, old), old)], dtype=bool
+    n_parts = max(num_partitions, 16)
+
+    def _boundary_mask(key: np.ndarray) -> np.ndarray:
+        if len(key) == 0:
+            return np.zeros(0, dtype=bool)
+        return (key == key[0]) | (key == key[-1])
+
+    # ---- phase A: map-side join labels onto edge srcs -> messages --------
+    def a_interior(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        key = np.asarray(batch["key"])
+        kind = np.asarray(batch["kind"])
+        lab = np.asarray(batch["lab"])
+        aux = np.asarray(batch["aux"])
+        keep = ~_boundary_mask(key)
+        filled, has = _ff_labels(key, kind, lab)
+        emit = keep & (kind == 1)
+        if not bool(has[emit].all()):
+            raise ValueError("edge endpoint missing from the node set")
+        # per-block combiner: one (dst, min label) row per distinct dst
+        dsts = aux[emit]
+        labs = filled[emit]
+        order = np.argsort(dsts, kind="stable")
+        dsts, labs = dsts[order], labs[order]
+        if len(dsts):
+            starts = np.flatnonzero(
+                np.concatenate(([True], dsts[1:] != dsts[:-1]))
             )
-        new = old.copy()
-        new[take] = msg[take]
-        return pa.table(
+            dsts = dsts[starts]
+            labs = np.minimum.reduceat(labs, starts)
+        return {"key": dsts, "lab": labs}
+
+    def a_boundary_rows(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        key = np.asarray(batch["key"])
+        m = _boundary_mask(key)
+        return {k: np.asarray(v)[m] for k, v in batch.items()}
+
+    def a_merge(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        kind = np.asarray(group["kind"])
+        lab = np.asarray(group["lab"])
+        aux = np.asarray(group["aux"])
+        lab_rows = np.flatnonzero(kind == 0)
+        if len(lab_rows) == 0:
+            raise ValueError("edge endpoint missing from the node set")
+        dsts = aux[kind == 1]
+        return {"key": dsts, "lab": np.repeat(lab[lab_rows[0:1]], len(dsts))}
+
+    # ---- phase B: per-node min(old label, incoming messages) -------------
+    def b_interior(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        key = np.asarray(batch["key"])
+        kind = np.asarray(batch["kind"])
+        lab = np.asarray(batch["lab"])
+        keep = ~_boundary_mask(key)
+        key, kind, lab = key[keep], kind[keep], lab[keep]
+        if len(key) == 0:
+            return {"node": key, "label": lab, "changed": np.zeros(0, np.int64)}
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        old = lab[starts]  # kind sorts label rows first within each run
+        new = np.minimum.reduceat(lab, starts)
+        return {
+            "node": key[starts],
+            "label": new,
+            "changed": (new < old).astype(np.int64),
+        }
+
+    def b_boundary_rows(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        key = np.asarray(batch["key"])
+        m = _boundary_mask(key)
+        return {k: np.asarray(v)[m] for k, v in batch.items()}
+
+    def b_merge(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        kind = np.asarray(group["kind"])
+        lab = np.asarray(group["lab"])
+        old = lab[np.flatnonzero(kind == 0)[0]]
+        new = lab.min()
+        return {
+            "node": [np.asarray(group["key"])[0]],
+            "label": [new],
+            "changed": [np.int64(1 if new < old else 0)],
+        }
+
+    # placeholder columns reuse the key column so int and string node ids
+    # both type-unify; kind==1 rows' lab and kind==0 rows' aux are never read
+    edge_rows = sym_edges.map_batches(
+        lambda b: pa.table(
             {
-                "node": batch.column("node"),
-                "label": pa.array(new, type=batch.column("label").type),
-                "changed": pa.array(take.astype(np.int64), type=pa.int64()),
+                "key": b.column("src"),
+                "kind": pa.array(np.ones(len(b), dtype=np.int8)),
+                "lab": b.column("src"),
+                "aux": b.column("dst"),
             }
-        )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
     for _ in range(max_rounds):
-        # messages: for each edge (src, dst), dst receives src's current label
-        msgs = sym_edges.join(
-            labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("src",),
-            right_on=("node",),
-        ).map_batches(
-            lambda b: pa.table({"node": b.column("dst"), "label": b.column("label")}),
-            batch_format="pyarrow",
-        )
-        mins = msgs.groupby("node").min("label").map_batches(
+        label_rows = labels.map_batches(
             lambda b: pa.table(
-                {"node": b.column("node"), "min_msg": b.column("min(label)")}
+                {
+                    "key": b.column("node"),
+                    "kind": pa.array(np.zeros(len(b), dtype=np.int8)),
+                    "lab": b.column("label"),
+                    "aux": b.column("node"),
+                }
             ),
             batch_format="pyarrow",
         )
-        new_labels = labels.join(
-            mins,
-            join_type="left_outer",
-            num_partitions=num_partitions,
-            on=("node",),
-        ).map_batches(apply_mins, batch_format="pyarrow").materialize()
+        tagged = (
+            label_rows.union(edge_rows)
+            .repartition(n_parts)
+            .sort(["key", "kind"])
+            .materialize()
+        )
+        msgs = tagged.map_batches(
+            a_interior, batch_format="numpy", batch_size=None
+        ).union(
+            tagged.map_batches(a_boundary_rows, batch_format="numpy", batch_size=None)
+            .groupby("key")
+            .map_groups(a_merge, batch_format="numpy")
+        )
+        msg_rows = msgs.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("key"),
+                    "kind": pa.array(np.ones(len(b), dtype=np.int8)),
+                    "lab": b.column("lab"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        label_rows_b = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("node"),
+                    "kind": pa.array(np.zeros(len(b), dtype=np.int8)),
+                    "lab": b.column("label"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged_b = (
+            label_rows_b.union(msg_rows)
+            .repartition(n_parts)
+            .sort(["key", "kind"])
+            .materialize()
+        )
+        new_labels = tagged_b.map_batches(
+            b_interior, batch_format="numpy", batch_size=None
+        ).union(
+            tagged_b.map_batches(b_boundary_rows, batch_format="numpy", batch_size=None)
+            .groupby("key")
+            .map_groups(b_merge, batch_format="numpy")
+        ).materialize()
         changed = new_labels.sum("changed")
         labels = new_labels.drop_columns(["changed"]).materialize()
         if not changed:
