@@ -199,25 +199,6 @@ def _bucket_pairs(
     return buckets.groupby(bucket_cols).map_groups(gen, batch_format="numpy")
 
 
-def _dedupe_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
-    """Drop duplicate (id_a, id_b) rows (same pair found in several buckets):
-    keep the first via groupby-count on the pair key."""
-
-    def key(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        k = (a.astype(np.uint64) << np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
-        k = (k ^ b.astype(np.uint64)) & np.uint64(0x7FFFFFFFFFFFFFFF)
-        return batch.append_column("pair_key", pa.array(k.astype(np.int64)))
-
-    keyed = pairs.map_batches(key, batch_format="pyarrow")
-
-    def first(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        return {k: v[:1] for k, v in group.items()}
-
-    return keyed.groupby("pair_key").map_groups(first, batch_format="numpy")
-
-
 def minhash_lsh_dedup(
     ds: ray.data.Dataset,
     text_col: str,

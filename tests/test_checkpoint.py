@@ -41,6 +41,15 @@ def test_resume_skips_stages_and_reproduces(tmp_path):
     res3 = run_transcript_pipeline(ds, ckpt, input_fingerprint="fixture-21")
     pd.testing.assert_frame_equal(_clusters_df(res3), first)
 
+    # simulate a crash MID-WRITE: data files present but no completion
+    # marker — the stage must be recomputed, not trusted
+    marker = os.path.join(ckpt, "scored_pairs", "_COMPLETE")
+    os.remove(marker)
+    res4 = run_transcript_pipeline(ds, ckpt, input_fingerprint="fixture-21")
+    pd.testing.assert_frame_equal(_clusters_df(res4), first)
+    assert "scored_pairs" not in res4["counters"]["resumed_stages"]
+    assert os.path.exists(marker)  # re-completed
+
 
 def test_fingerprint_invalidation(tmp_path):
     turns, _ = make_transcripts(n_entities=30, seed=22)
