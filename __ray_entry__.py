@@ -487,6 +487,48 @@ def _q_largest_orders(sf_dir: str):
     return out
 
 
+def _q_assemble_events(sf_dir: str):
+    """Order-sensitive stream assembly per user — the oracle-checked
+    analogue of conversation assembly's per-turn text-equality invariant
+    (BASELINE.json ``input_hint``): the '|'-joined event_type stream must be
+    byte-identical to DuckDB's ``string_agg(... ORDER BY ts, event_id)``.
+    Runs on the same sorted-run scan machinery as the flagship assembly."""
+    import numpy as np
+
+    from raylink.stages.sortedrun import sorted_group_scan
+
+    events = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def group_fn(group):
+        ts = np.asarray(group["ts"]).astype("datetime64[us]").astype(np.int64)
+        eid = np.asarray(group["event_id"])
+        order = np.lexsort((eid, ts))
+        et = np.asarray(group["event_type"], dtype=object)[order]
+        return {
+            "user_id": np.asarray(group["user_id"])[:1].astype(np.int64),
+            "stream": ["|".join(str(x) for x in et)],
+            "n_events": np.array([len(et)], dtype=np.int64),
+        }
+
+    def empty_fn(batch):
+        return {
+            "user_id": np.zeros(0, dtype=np.int64),
+            "stream": [],
+            "n_events": np.zeros(0, dtype=np.int64),
+        }
+
+    return sorted_group_scan(
+        events,
+        "user_id",
+        group_fn,
+        empty_fn,
+        num_partitions=16,
+        sort_keys=["user_id", "ts", "event_id"],
+    )
+
+
 def _q_sessionize(sf_dir: str):
     from raylink.ops.sessions import sessionize
 
@@ -672,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
         "largest_orders": _q_largest_orders,
+        "assemble_events": _q_assemble_events,
         "sessionize_events": _q_sessionize,
         "cluster_exact_dups": _q_cluster_exact_dups,
         "ann_topk": _q_ann_topk,
@@ -802,6 +845,12 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice * 100)::BIGINT AS price_c
             FROM orders
             ORDER BY price_c DESC, o_orderkey LIMIT 20
+        """,
+        "assemble_events": """
+            SELECT user_id::BIGINT AS user_id,
+                   string_agg(event_type, '|' ORDER BY ts, event_id) AS stream,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY user_id
         """,
         "sessionize_events": """
             WITH ordered AS (
