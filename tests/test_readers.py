@@ -1,0 +1,68 @@
+"""I/O layer tests: format dispatch, null sentinels, partitioned output."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from raylink.sources.readers import (
+    read_csv_linkage,
+    read_table,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text(
+        "firstname,lastname,housenum\n"
+        "ANA,SMITH,12\n"
+        ",JONES,7\n"       # "" -> null (reference convention)
+        "NA,DOE,NA\n"      # "NA" -> null
+    )
+    return str(p)
+
+
+def test_read_csv_linkage_null_sentinels(ray_session, csv_path):
+    df = read_csv_linkage(csv_path).to_pandas()
+    assert df.shape == (3, 3)
+    assert df["firstname"].isna().tolist() == [False, True, True]
+    # "NA" in a numeric-looking column also nulls out
+    assert df["housenum"].isna().tolist() == [False, False, True]
+
+
+def test_read_table_formats_and_projection(ray_session, tmp_path, csv_path):
+    src = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"], "c": [0.5, 1.5, 2.5]})
+    pq = str(tmp_path / "t.parquet")
+    src.to_parquet(pq)
+    out = read_table(pq, columns=["a", "c"]).to_pandas()
+    assert list(out.columns) == ["a", "c"] and len(out) == 3
+
+    js = str(tmp_path / "t.json")
+    src.to_json(js, orient="records", lines=True)
+    out_j = read_table(js, format="json", columns=["b"]).to_pandas()
+    assert list(out_j.columns) == ["b"] and sorted(out_j["b"]) == ["x", "y", "z"]
+
+    out_c = read_table(csv_path, format="csv", columns=["lastname"]).to_pandas()
+    assert list(out_c.columns) == ["lastname"] and len(out_c) == 3
+
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_table(pq, format="avro")
+
+
+def test_write_partitioned_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 3]})
+    out_dir = str(tmp_path / "out")
+    write_partitioned(ray.data.from_pandas(df), out_dir, partition_cols=["k"])
+    # hive-style one directory per key value -> a failed run can skip
+    # finished partitions
+    parts = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "k=*"))
+    )
+    assert parts == ["k=a", "k=b"]
+    back = ray.data.read_parquet(out_dir).to_pandas()
+    assert int(back["v"].sum()) == 6
