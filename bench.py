@@ -128,7 +128,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_scoring_probe(sf_dir: str, n_pairs: int = 8_000_000) -> dict:
+def run_scoring_probe(sf_dir: str, n_pairs: int = 6_000_000) -> dict:
     """Blocked-pair scoring throughput (the BASELINE.json metric quantity).
 
     Scores a deterministic amplified pair set drawn from the assembled
