@@ -611,6 +611,26 @@ def _q_ann_topk(sf_dir: str):
     return res[["query_id", "vec_id", "rank", "cosine"]]
 
 
+def _q_ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed ANN — the scale path (hyperplane sign buckets prune the
+    candidate set before exact cosine).  Rows-only check: approximate by
+    construction, so no SQL oracle."""
+    from raylink.ops.ann import ann_lsh
+
+    df = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = df.head(5)
+    queries = np.stack([np.asarray(e, dtype=np.float64) for e in qdf["embedding"]])
+    res = ann_lsh(
+        ray.data.from_pandas(df),
+        queries,
+        qdf["vec_id"].tolist(),
+        k=10,
+    )
+    res = res.copy()
+    res["cosine"] = res["cosine"].round(4)
+    return res[["query_id", "vec_id", "rank", "cosine"]]
+
+
 def _q_minhash_dedup(sf_dir: str):
     from raylink.ops.dedup import minhash_lsh_dedup
 
@@ -718,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "cluster_exact_dups": _q_cluster_exact_dups,
         "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "char_jaccard_dups": _q_char_jaccard_dups,

@@ -93,14 +93,23 @@ def ann_lsh(
     id_col: str = "vec_id",
     n_planes: int = 8,
     seed: int = 11,
+    n_probes: int | None = None,
 ) -> pd.DataFrame:
-    """Approximate top-k: score only vectors whose hyperplane sign bucket
-    matches the query's.  Same output schema as :func:`ann_brute_force`."""
+    """Approximate top-k: score only vectors in the query's hyperplane sign
+    bucket and (multi-probe) its Hamming-1 neighbor buckets — without the
+    extra probes a bucket holds ~N/2^planes vectors, usually fewer than k.
+    Same output schema as :func:`ann_brute_force`."""
     qm = _normalize(_as_matrix(queries))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((qm.shape[1], n_planes))
     q_keys = _bucket_keys(qm, planes)
-    state = {"planes": planes, "qm": qm, "q_keys": q_keys}
+    if n_probes is None:
+        n_probes = 1 + n_planes  # exact bucket + all Hamming-1 flips
+    probe_keys = []
+    for qk in q_keys:
+        ks = [qk] + [qk ^ (1 << b) for b in range(n_planes)]
+        probe_keys.append(np.array(sorted(set(ks[:n_probes])), dtype=np.int64))
+    state = {"planes": planes, "qm": qm, "probe_keys": probe_keys}
     s_ref = ray.put(state)
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -109,8 +118,8 @@ def ann_lsh(
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         keys = _bucket_keys(emb, st["planes"])
         out_q, out_id, out_sim = [], [], []
-        for qi, qk in enumerate(st["q_keys"]):
-            rows = np.flatnonzero(keys == qk)
+        for qi, pk in enumerate(st["probe_keys"]):
+            rows = np.flatnonzero(np.isin(keys, pk))
             if len(rows) == 0:
                 continue
             sims = emb[rows] @ st["qm"][qi]
