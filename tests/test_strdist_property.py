@@ -1,0 +1,58 @@
+"""Property tests: batch kernels must equal their scalar references
+elementwise — including the length-chunked paths and the non-latin-1
+encoding fallback."""
+
+import numpy as np
+import pytest
+
+from raylink.functions.strdist import (
+    jaro_winkler,
+    jaro_winkler_batch,
+    levenshtein,
+    token_levenshtein_matrix,
+)
+
+ALPHABETS = [
+    "abcdefgh ",                     # latin-1 path
+    "abcéü ",              # accented latin-1
+    "日本語дa ",    # CJK + cyrillic -> utf-32 fallback
+]
+
+
+def _rand_strings(rng, alphabet, n, max_len):
+    out = []
+    for _ in range(n):
+        ln = int(rng.integers(0, max_len + 1))
+        out.append("".join(rng.choice(list(alphabet), ln)))
+    return out
+
+
+@pytest.mark.parametrize("alphabet", ALPHABETS)
+def test_jw_batch_equals_scalar(alphabet):
+    rng = np.random.default_rng(hash(alphabet) % (2**32))
+    # mixed lengths straddle several chunks; include identical + empty pairs
+    a = _rand_strings(rng, alphabet, 3000, 40)
+    b = _rand_strings(rng, alphabet, 3000, 40)
+    a[5] = b[5]
+    a[6] = ""
+    b[7] = ""
+    got = jaro_winkler_batch(a, b, p=0.1)
+    exp = np.array([jaro_winkler(x, y, p=0.1) for x, y in zip(a, b)])
+    np.testing.assert_allclose(got, exp, atol=1e-12)
+
+
+def test_token_lv_matrix_equals_scalar_dp():
+    rng = np.random.default_rng(99)
+    seqs_a, seqs_b = [], []
+    for _ in range(2000):
+        la = int(rng.integers(0, 64))
+        lb = int(rng.integers(0, 64))
+        seqs_a.append(rng.integers(0, 30, la).astype(np.int64))
+        seqs_b.append(rng.integers(0, 30, lb).astype(np.int64))
+    got = token_levenshtein_matrix(seqs_a, seqs_b)  # no skip: exact everywhere
+    for i in (0, 1, 17, 500, 1234, 1999):
+        sa = "".join(chr(65 + t) for t in seqs_a[i])
+        sb = "".join(chr(65 + t) for t in seqs_b[i])
+        denom = max(len(sa), len(sb))
+        exp = 1.0 if denom == 0 else (denom - levenshtein(sa, sb)) / denom
+        assert got[i] == pytest.approx(exp, abs=1e-12), i
