@@ -109,6 +109,7 @@ class ComparisonConfig:
     prior_pi: float = 0.0
     w_pi: float = 0.0
     address_field: list[bool] | None = None
+    u_b: float = 1e10
 
     def leaf_vars(self) -> list[VarConfig]:
         """All leaf variables in depth-first declared order."""
@@ -131,6 +132,7 @@ class ComparisonConfig:
             "w_pi": self.w_pi,
             "address_field": self.address_field,
             "threshold_match": self.threshold_match,
+            "u_b": self.u_b,
         }
 
 
@@ -231,6 +233,7 @@ def _parse_comparisons(d: dict) -> ComparisonConfig:
         "prior_pi",
         "w_pi",
         "address_field",
+        "u_b",
     ):
         if k in d:
             setattr(cc, k, d[k])

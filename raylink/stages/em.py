@@ -53,6 +53,7 @@ class EMResult:
     iter_converge: int
     converged: bool
     threshold_match: float
+    u_b: float
     varnames: list[str]
     patterns_w: pd.DataFrame
     pgamma_km: list[np.ndarray]
@@ -63,7 +64,8 @@ class EMResult:
         """Pattern keys with zeta_j >= threshold (getMatches.jl:6-14)."""
         t = self.threshold_match if threshold is None else threshold
         pw = self.patterns_w
-        return pw.loc[pw["zeta_j"] >= t, "pattern_key"].to_numpy(np.int64)
+        mask = (pw["zeta_j"] >= t) & (pw["weights"] <= self.u_b)
+        return pw.loc[mask, "pattern_key"].to_numpy(np.int64)
 
 
 def em_fit(
@@ -81,6 +83,7 @@ def em_fit(
     w_pi: float = 0.0,
     address_field: list[bool] | None = None,
     threshold_match: float = 0.85,
+    u_b: float = 1e10,
     seed: int = 1234,
 ) -> EMResult:
     """Fit m/u probabilities over a pattern histogram.
@@ -238,6 +241,7 @@ def em_fit(
         iter_converge=it,
         converged=converged,
         threshold_match=threshold_match,
+        u_b=u_b,
         varnames=list(varnames),
         patterns_w=pw,
         pgamma_km=p_km,

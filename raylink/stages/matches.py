@@ -30,7 +30,8 @@ def get_matches(
     """Filter scored pairs to matched patterns; attach zeta_j and weights."""
     t = em.threshold_match if threshold is None else threshold
     pw = em.patterns_w
-    matched = pw[pw["zeta_j"] >= t]
+    # zeta threshold AND the weights upper bound (emlink.jl:168 ``u_b``)
+    matched = pw[(pw["zeta_j"] >= t) & (pw["weights"] <= getattr(em, "u_b", 1e10))]
     keys = matched["pattern_key"].to_numpy(np.int64)
     zeta = matched["zeta_j"].to_numpy(np.float64)
     weights = matched["weights"].to_numpy(np.float64)

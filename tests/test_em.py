@@ -104,3 +104,23 @@ def test_residual_pattern_accounting():
     assert out2.loc[out2["pattern_key"] == 0, "cnt"].iloc[0] == 93
     with pytest.raises(ValueError):
         add_residual_pattern(hist, 3)
+
+
+def test_em_u_b_weight_bound():
+    """u_b excludes patterns whose log-Bayes-factor exceeds the bound
+    (emlink.jl:168: ismatch = zeta >= t AND weights <= u_b)."""
+    patterns, counts = _simple_histogram()
+    keys = np.arange(len(counts), dtype=np.int64)
+    r = em_fit(patterns, counts, (1000, 100), ["a", "b"], pattern_keys=keys)
+    matched = r.matched_keys()
+    assert len(matched) > 0
+    # a bound below every weight suppresses every match
+    r_low = em_fit(
+        patterns, counts, (1000, 100), ["a", "b"], pattern_keys=keys, u_b=-1e9
+    )
+    assert len(r_low.matched_keys()) == 0
+    # default 1e10 is a no-op: same matched set
+    r_def = em_fit(
+        patterns, counts, (1000, 100), ["a", "b"], pattern_keys=keys, u_b=1e10
+    )
+    assert np.array_equal(np.sort(r_def.matched_keys()), np.sort(matched))
