@@ -209,8 +209,15 @@ def em_fit(
             converged = False
             break
 
-    # final weights from the last E-step values (emlink.jl:161-181)
-    weights = p_gamma_jm - p_gamma_ju
+    # final weights from the last E-step values (emlink.jl:161-181).
+    # float64 underflow can make a pattern likelihood exactly 0 (log -> -inf)
+    # where the reference's BigFloat stays tiny-but-finite; clamp the log
+    # Bayes factor to +-500 so downstream sigmoid / u_b comparisons see the
+    # same huge-but-finite values the reference produces (sigmoid(500) == 1.0
+    # to machine precision; the default u_b bound 1e10 is never tripped)
+    with np.errstate(invalid="ignore"):
+        weights = np.clip(p_gamma_jm - p_gamma_ju, -500.0, 500.0)
+    weights[np.isnan(weights)] = 0.0  # (-inf) - (-inf): no information
     pj_m = np.exp(p_gamma_jm)
     pj_m = pj_m / pj_m.sum()
     pj_u = np.exp(p_gamma_ju)
