@@ -29,7 +29,10 @@ def band_join_self(
     bucket_cap: int = 10_000,
 ) -> ray.data.Dataset:
     """All pairs (id_a < id_b) with ``|v_a - v_b| <= cut`` (optionally also
-    equal on ``group_cols``).  Returns (id_a, id_b, diff)."""
+    equal on ``group_cols``).  Returns (id_a, id_b, diff, truncated);
+    ``truncated`` is 1 on every pair emitted from a bucket that exceeded
+    ``bucket_cap`` (whose pairs are therefore incomplete) — truncation is
+    explicit, never silent."""
     group_cols = group_cols or []
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -53,11 +56,13 @@ def band_join_self(
             "id_a": ids[:0],
             "id_b": ids[:0],
             "diff": np.empty(0, dtype=np.float64),
+            "truncated": np.empty(0, dtype=np.int8),
         }
         n = len(ids)
         if n < 2:
             return empty
-        if n > bucket_cap:
+        was_truncated = n > bucket_cap
+        if was_truncated:
             order = np.argsort(vals, kind="stable")[:bucket_cap]
             ids, vals = ids[order], vals[order]
             n = bucket_cap
@@ -90,6 +95,7 @@ def band_join_self(
             "id_a": out_a,
             "id_b": out_b,
             "diff": vb - va,
+            "truncated": np.full(len(out_a), was_truncated, dtype=np.int8),
         }
 
     keys = [*group_cols, "_bucket"]

@@ -80,9 +80,15 @@ def fit_patterns(
     leaf_names = [v.name for v in leaf_vars]
     bit_pos = {n: k for k, n in enumerate(leaf_names)}
     keys = hist["pattern_key"].to_numpy(np.int64)
-    counts = hist["cnt"].to_numpy(np.int64)
+    # counts stay float64: sample_residual_histogram / merge_histograms yield
+    # fractional pattern counts (em.py:231-234 documents the float64-count
+    # design); an int64 cast here would truncate them, break the
+    # sum(counts)==total_comparisons conservation, and can zero out small
+    # fractional patterns (a gamma level observed ONLY in zeroed patterns
+    # gets p_m/p_u of 0 and (-inf)-(-inf) NaN zeta paths in EM).
+    counts = hist["cnt"].to_numpy(np.float64)
     leaf_gammas = unpack_patterns(keys, len(leaf_names))  # (P, K)
-    n_comparisons = int(counts.sum())
+    n_comparisons = int(round(float(counts.sum())))
 
     # virtual gamma per processed child node, aligned to leaf patterns
     virtual: dict[str, np.ndarray] = {}
@@ -105,7 +111,7 @@ def fit_patterns(
             mat = np.column_stack(cols).astype(np.uint8)
             # aggregate leaf histogram to this node's patterns
             uniq, inv = np.unique(mat, axis=0, return_inverse=True)
-            node_counts = np.zeros(len(uniq), dtype=np.int64)
+            node_counts = np.zeros(len(uniq), dtype=np.float64)
             np.add.at(node_counts, inv, counts)
             em = em_fit(
                 uniq,
@@ -122,9 +128,38 @@ def fit_patterns(
                 root_cols = cols
             else:
                 child_ems[node.name] = em
-                # child collapse: sigmoid(natural-log weight) >= threshold
                 w = em.patterns_w["weights"].to_numpy(np.float64)
-                is_match = (np.exp(w) / (1 + np.exp(w))) >= node.threshold_match
+                node_tf = [
+                    x.name
+                    for x in node.leaf_vars()
+                    if isinstance(x, VarConfig) and x.tf_adjust
+                ]
+                if node_tf:
+                    # tf-var child collapse: the reference's tf skeleton
+                    # (term_frequency_adjustment.jl:28-45, called from
+                    # patterns.jl:222-229) thresholds
+                    # sigmoid(log(p_m/p_u) + weights + per-pair tf); we
+                    # include the log(p_m/p_u) prior exactly but approximate
+                    # at PATTERN level (the per-pair tf term is omitted) —
+                    # warn so the divergence is never silent.
+                    import warnings
+
+                    warnings.warn(
+                        f"comparison node {node.name!r} nests tf_adjust "
+                        f"variables {node_tf}: child collapse includes the "
+                        "log(p_m/p_u) prior but omits the reference's "
+                        "per-pair tf adjustment (pattern-level approximation)",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+                    prior = np.log(em.p_m / em.p_u)
+                    wt = w + prior
+                    is_match = (np.exp(wt) / (1 + np.exp(wt))) >= node.threshold_match
+                else:
+                    # no-tf child collapse: sigmoid(natural-log weight) >=
+                    # threshold, exactly get_match_patternids(base="log")
+                    # (patterns.jl:143-153 called from :216)
+                    is_match = (np.exp(w) / (1 + np.exp(w))) >= node.threshold_match
                 virtual[node.name] = np.where(
                     is_match[inv], MATCH2, NONMATCH
                 ).astype(np.uint8)
@@ -132,12 +167,14 @@ def fit_patterns(
     assert root_em is not None
     zeta_root = root_em.patterns_w["zeta_j"].to_numpy(np.float64)
     weights_root = root_em.patterns_w["weights"].to_numpy(np.float64)
+    weights_raw_root = root_em.patterns_w["weights_raw"].to_numpy(np.float64)
     leaf = pd.DataFrame(
         {
             "pattern_key": keys,
             "cnt": counts,
             "zeta_j": zeta_root[root_inv],
             "weights": weights_root[root_inv],
+            "weights_raw": weights_raw_root[root_inv],
         }
     )
     return root_em, child_ems, leaf

@@ -64,7 +64,11 @@ class EMResult:
         """Pattern keys with zeta_j >= threshold (getMatches.jl:6-14)."""
         t = self.threshold_match if threshold is None else threshold
         pw = self.patterns_w
-        mask = (pw["zeta_j"] >= t) & (pw["weights"] <= self.u_b)
+        # the u_b bound compares the UNCLAMPED weight (emlink.jl:168); the
+        # clamped column saturates at 500 and could never trip a u_b in
+        # (500, 1e10)
+        w = pw["weights_raw"] if "weights_raw" in pw.columns else pw["weights"]
+        mask = (pw["zeta_j"] >= t) & (w <= self.u_b)
         return pw.loc[mask, "pattern_key"].to_numpy(np.int64)
 
 
@@ -211,13 +215,24 @@ def em_fit(
 
     # final weights from the last E-step values (emlink.jl:161-181).
     # float64 underflow can make a pattern likelihood exactly 0 (log -> -inf)
-    # where the reference's BigFloat stays tiny-but-finite; clamp the log
-    # Bayes factor to +-500 so downstream sigmoid / u_b comparisons see the
-    # same huge-but-finite values the reference produces (sigmoid(500) == 1.0
-    # to machine precision; the default u_b bound 1e10 is never tripped)
-    with np.errstate(invalid="ignore"):
-        weights = np.clip(p_gamma_jm - p_gamma_ju, -500.0, 500.0)
-    weights[np.isnan(weights)] = 0.0  # (-inf) - (-inf): no information
+    # where the reference's BigFloat stays tiny-but-finite.  Two views:
+    #
+    # - ``weights_raw``: recomputed with per-variable probabilities floored
+    #   at the float64 min-normal, so it is finite-but-huge exactly where
+    #   BigFloat would be — this is what the reference's ``u_b`` bound
+    #   compares against (emlink.jl:168), so the match filter uses it.
+    # - ``weights``: clamped to +-500 for sigmoid / posterior arithmetic
+    #   (sigmoid(500) == 1.0 to machine precision), avoiding inf/NaN in
+    #   downstream exp().
+    raw_jm = np.zeros(P)
+    raw_ju = np.zeros(P)
+    for k in range(K):
+        rows = val_index[:, k] >= 0
+        idx = val_index[rows, k]
+        raw_jm[rows] += np.log(np.maximum(p_km[k][idx], 2.2e-308))
+        raw_ju[rows] += np.log(np.maximum(p_ku[k][idx], 2.2e-308))
+    weights_raw = raw_jm - raw_ju
+    weights = np.clip(weights_raw, -500.0, 500.0)
     pj_m = np.exp(p_gamma_jm)
     pj_m = pj_m / pj_m.sum()
     pj_u = np.exp(p_gamma_ju)
@@ -233,6 +248,7 @@ def em_fit(
     # still holds on the sum)
     data["counts"] = n_j
     data["weights"] = weights
+    data["weights_raw"] = weights_raw
     data["p_gamma_jm"] = pj_m
     data["p_gamma_ju"] = pj_u
     data["zeta_j"] = zeta

@@ -30,8 +30,12 @@ def get_matches(
     """Filter scored pairs to matched patterns; attach zeta_j and weights."""
     t = em.threshold_match if threshold is None else threshold
     pw = em.patterns_w
-    # zeta threshold AND the weights upper bound (emlink.jl:168 ``u_b``)
-    matched = pw[(pw["zeta_j"] >= t) & (pw["weights"] <= getattr(em, "u_b", 1e10))]
+    # zeta threshold AND the weights upper bound (emlink.jl:168 ``u_b``).
+    # The bound compares the UNCLAMPED weight (the reference compares its
+    # BigFloat value directly); the +-500-clamped column is only for
+    # sigmoid arithmetic and could never trip a u_b in (500, 1e10).
+    w_bound = pw["weights_raw"] if "weights_raw" in pw.columns else pw["weights"]
+    matched = pw[(pw["zeta_j"] >= t) & (w_bound <= getattr(em, "u_b", 1e10))]
     keys = matched["pattern_key"].to_numpy(np.int64)
     zeta = matched["zeta_j"].to_numpy(np.float64)
     weights = matched["weights"].to_numpy(np.float64)

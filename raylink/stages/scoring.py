@@ -86,7 +86,12 @@ class PairScorer:
             "id_a": batch.column("id_a"),
             "id_b": batch.column("id_b"),
             **cols,
-            "pattern_key": pa.array(pack_gammas(gammas), type=pa.uint64()),
+            # int64 (pack_gammas already returns the int64 bit view): every
+            # downstream consumer (histogram groupby, searchsorted match
+            # filter) works in int64, and a uint64 column would silently
+            # promote int64-vs-uint64 numpy comparisons to float64 (exact
+            # only below 2^53) and raise outright once bit 63 is set
+            "pattern_key": pa.array(pack_gammas(gammas), type=pa.int64()),
         }
         for p in self.passthrough:
             out[p] = batch.column(p)
