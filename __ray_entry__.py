@@ -154,6 +154,38 @@ def _q_gamma_exact_customer(sf_dir: str):
     return pairs.map_batches(score, batch_format="pyarrow")
 
 
+def _q_pooled_hist_supplier(sf_dir: str):
+    """Agreement-pattern histogram via the POOLED engine (LUT scoring).
+
+    Same semantics as scoring blocked supplier pairs row-by-row, computed
+    the reference's way (gammaCKpar.jl pools unique values): global
+    factorize -> distributed gamma LUT over unique value pairs -> per-cell
+    bincount scan.  No pair rows exist anywhere.
+    """
+    from raylink.config import VarConfig
+    from raylink.pipelines.pooled import pooled_pattern_histogram
+    from raylink.stages.patterns import unpack_patterns
+
+    sup = _read(sf_dir, "supplier").select_columns(
+        ["s_suppkey", "s_nationkey", "s_name", "s_acctbal"]
+    )
+    variables = [
+        VarConfig(name="s_name", method="jarowinkler"),
+        VarConfig(name="s_acctbal", method="numeric", cut_a=100, cut_b=500),
+    ]
+    hist = pooled_pattern_histogram(
+        sup, variables, "s_suppkey", ["s_nationkey"]
+    )
+    gam = unpack_patterns(hist["pattern_key"].to_numpy(np.int64), 2)
+    return pd.DataFrame(
+        {
+            "gamma_name": gam[:, 0].astype(np.int64),
+            "gamma_acctbal": gam[:, 1].astype(np.int64),
+            "n_pairs": hist["cnt"].to_numpy(np.int64),
+        }
+    ).sort_values(["gamma_name", "gamma_acctbal"]).reset_index(drop=True)
+
+
 def _q_gamma_jw_supplier(sf_dir: str):
     """Jaro-Winkler gamma over blocked supplier-name pairs (gammaCKpar)."""
     from raylink.config import BlockingConfig
@@ -745,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "transcript_dedupe": _q_transcript_dedupe,
         "person_link": _q_person_link,
+        "pooled_hist_supplier": _q_pooled_hist_supplier,
     }
 
 
@@ -785,6 +818,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END::BIGINT AS gamma_name
             FROM supplier a JOIN supplier b
               ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        """,
+        "pooled_hist_supplier": """
+            WITH g AS (
+                SELECT
+                   CASE WHEN a.s_name IS NULL OR b.s_name IS NULL THEN 3
+                        WHEN round(jaro_winkler_similarity(a.s_name, b.s_name), 4) >= 0.92 THEN 2
+                        WHEN round(jaro_winkler_similarity(a.s_name, b.s_name), 4) >= 0.88 THEN 1
+                        ELSE 0 END AS gamma_name,
+                   CASE WHEN a.s_acctbal IS NULL OR b.s_acctbal IS NULL THEN 3
+                        WHEN abs(a.s_acctbal - b.s_acctbal) <= 100 THEN 2
+                        WHEN abs(a.s_acctbal - b.s_acctbal) <= 500 THEN 1
+                        ELSE 0 END AS gamma_acctbal
+                FROM supplier a JOIN supplier b
+                  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+            )
+            SELECT gamma_name::BIGINT AS gamma_name,
+                   gamma_acctbal::BIGINT AS gamma_acctbal,
+                   count(*)::BIGINT AS n_pairs
+            FROM g GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "band_join_events": """
             SELECT a.event_id::BIGINT AS id_a, b.event_id::BIGINT AS id_b,

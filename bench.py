@@ -128,6 +128,66 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_ref_workload(n_a: int = 10_000, n_b: int = 10_000) -> dict:
+    """The reference's own published benchmark workload, like-for-like.
+
+    10k x 10k UNBLOCKED link (full 100M-pair cross product), 6 comparison
+    variables = 3 distinct columns duplicated (4 jarowinkler + 2 exact),
+    voter-file-shaped synthetic data matching the reference's committed pool
+    cardinalities (benchmark.csv:8: dfA 1204/2247/6009, dfB 900/2178/4844
+    distinct).  Reference result: 90.81s end-to-end = 1.10M pairs/s
+    (BASELINE.md).  Runs through the pooled LUT engine —
+    raylink/pipelines/pooled.py — the distributed re-expression of the
+    reference's pooled unique-pair economy.
+    """
+    import ray.data
+
+    from raylink.config import parse_config
+    from raylink.pipelines.pooled import link_records_pooled
+    from raylink.sources.synth import make_ref_benchmark_tables
+
+    cfg = parse_config(
+        {
+            "link_type": "link_only",
+            "idvar": ["TV_ID", "TS_ID"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.88,
+                "variables": [
+                    {"varname": "FIRST_NAME", "method": "jarowinkler"},
+                    {"varname": "FIRST_NAME1", "method": "jarowinkler"},
+                    {"varname": "MIDDLE_NAME", "method": "exact"},
+                    {"varname": "MIDDLE_NAME1", "method": "exact"},
+                    {"varname": "STREET_NAME", "method": "jarowinkler"},
+                    {"varname": "STREET_NAME1", "method": "jarowinkler"},
+                ],
+            },
+            "blocking": {"cap": 1250},
+        }
+    )
+    df_a, df_b = make_ref_benchmark_tables(n_a, n_b, seed=1234)
+    da, db = ray.data.from_pandas(df_a), ray.data.from_pandas(df_b)
+    t0 = time.time()
+    res = link_records_pooled(da, db, cfg, block_keys=[])
+    wall = time.time() - t0
+    total_pairs = n_a * n_b
+    return {
+        "n_a": n_a,
+        "n_b": n_b,
+        "total_pairs": total_pairs,
+        "scored_pairs": float(res.counters["scored_pairs"]),
+        "matched_pairs": int(res.counters["matched_pairs"]),
+        "unique_patterns": int(res.em.number_of_unique_patterns),
+        "pool_sizes": {
+            k: list(v) for k, v in res.counters["pool_sizes"].items()
+        },
+        "wall_seconds": round(wall, 3),
+        "pairs_per_sec": round(total_pairs / wall, 1),
+        "reference_pairs_per_sec": 1.10e6,
+        "vs_reference": round(total_pairs / wall / 1.10e6, 2),
+    }
+
+
 def run_scoring_probe(sf_dir: str, n_pairs: int = 6_000_000) -> dict:
     """Blocked-pair scoring throughput (the BASELINE.json metric quantity).
 
@@ -205,6 +265,10 @@ def main() -> None:
     if scale_probe:
         headline.update(run_scoring_probe(SF_DIR))
     queries = {} if (headline_only or scale_probe) else run_op_benchmarks(SF_DIR)
+    ref = None
+    if not (headline_only or scale_probe):
+        ref = run_ref_workload()
+        queries["ref_workload"] = ref["wall_seconds"]
     total = headline["wall_seconds"] + sum(queries.values())
     result = {
         "metric": "e2e_seconds",
@@ -215,6 +279,8 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "headline": headline,
     }
+    if ref is not None:
+        result["ref_workload"] = ref
     print(json.dumps(result))
     ray.shutdown()
 

@@ -34,6 +34,8 @@ __all__ = [
     "similarity",
     "similarity_pairs",
     "token_levenshtein_matrix",
+    "encode_strings",
+    "jaro_winkler_encoded",
 ]
 
 #: Method-name alias table, kept verbatim from the reference
@@ -314,6 +316,26 @@ def jaro_winkler_batch(
     return out
 
 
+def encode_strings(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Pad-encode strings into an (N, Lmax) code matrix + length vector.
+
+    1-byte codes when the batch is latin-1 (4x less memory traffic), else
+    4-byte.  Pad value 0 never aliases NUL chars: window/length masks keep
+    pad cells out of every comparison.
+    """
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    lmax = int(lens.max()) if len(lens) else 0
+    try:
+        M = np.zeros((len(strs), max(lmax, 1)), dtype=np.uint8)
+        for r, s in enumerate(strs):
+            M[r, : len(s)] = np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        M = np.zeros((len(strs), max(lmax, 1)), dtype=np.uint32)
+        for r, s in enumerate(strs):
+            M[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return M, lens
+
+
 def _jw_chunk(
     A_s: list[str],
     B_s: list[str],
@@ -324,26 +346,33 @@ def _jw_chunk(
     max_prefix: int,
 ) -> np.ndarray:
     """Lockstep Jaro-Winkler over one similarly-sized chunk of pairs."""
-    m_ = len(A_s)
-    l1 = int(la.max())
-    l2 = int(lb.max())
-    # prefer 1-byte codes (4x less memory traffic) when the batch is latin-1
-    try:
-        A = np.zeros((m_, l1), dtype=np.uint8)
-        B = np.zeros((m_, l2), dtype=np.uint8)
-        for r, s in enumerate(A_s):
-            A[r, : len(s)] = np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
-        for r, s in enumerate(B_s):
-            B[r, : len(s)] = np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
-        # (pad value 0 never aliases NUL chars: window/length masks keep pad
-        # cells out of every comparison)
-    except UnicodeEncodeError:
-        A = np.zeros((m_, l1), dtype=np.uint32)
-        B = np.zeros((m_, l2), dtype=np.uint32)
-        for r, s in enumerate(A_s):
-            A[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-        for r, s in enumerate(B_s):
-            B[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    A, _ = encode_strings(A_s)
+    B, _ = encode_strings(B_s)
+    if A.dtype != B.dtype:
+        A = A.astype(np.uint32)
+        B = B.astype(np.uint32)
+    return jaro_winkler_encoded(A, B, la, lb, p, boost_threshold, max_prefix)
+
+
+def jaro_winkler_encoded(
+    A: np.ndarray,
+    B: np.ndarray,
+    la: np.ndarray,
+    lb: np.ndarray,
+    p: float = 0.1,
+    boost_threshold: float = 0.7,
+    max_prefix: int = 4,
+) -> np.ndarray:
+    """Lockstep Jaro-Winkler over row-aligned PRE-ENCODED code matrices.
+
+    ``A`` (m, L1) / ``B`` (m, L2) are :func:`encode_strings` outputs (rows
+    repeated/tiled by the caller for grid sweeps — see the pooled engine's
+    LUT builder, which encodes each value pool once and reuses the code
+    matrices for every chunk, eliminating all per-pair Python).
+    """
+    m_ = len(A)
+    l1 = A.shape[1]
+    l2 = B.shape[1]
     w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # match window
     flags1 = np.zeros((m_, l1), dtype=bool)
     flags2 = np.zeros((m_, l2), dtype=bool)
@@ -394,6 +423,117 @@ def _jw_chunk(
     boost = jaro_v > boost_threshold
     jaro_v[boost] += prefix[boost] * p * (1.0 - jaro_v[boost])
     return jaro_v
+
+
+#: 16-bit popcount lookup (numpy 1.x has no ``bitwise_count``)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount32(x: np.ndarray) -> np.ndarray:
+    return _POP16[x & np.uint32(0xFFFF)] + _POP16[x >> np.uint32(16)]
+
+
+def char_bitmask(enc: np.ndarray) -> np.ndarray:
+    """Per-row uint32 character-presence mask over ``code % 32`` bit slots.
+
+    Collisions (two characters sharing a slot) only INFLATE the
+    intersection popcount, so bounds built on these masks stay valid upper
+    bounds.  Pad cells (code 0) are excluded.
+    """
+    n = len(enc)
+    mask = np.zeros(n, dtype=np.uint32)
+    codes = enc.astype(np.uint32)
+    for j in range(enc.shape[1]):
+        c = codes[:, j]
+        bit = (np.uint32(1) << (c % np.uint32(32))).astype(np.uint32)
+        mask |= np.where(c != 0, bit, np.uint32(0))
+    return mask
+
+
+def jaro_winkler_grid(
+    enc_a: np.ndarray,
+    len_a: np.ndarray,
+    mask_a: np.ndarray,
+    enc_b: np.ndarray,
+    len_b: np.ndarray,
+    mask_b: np.ndarray,
+    rows: np.ndarray,
+    p: float = 0.1,
+    boost_threshold: float = 0.7,
+    max_prefix: int = 4,
+    prune_below: float | None = None,
+) -> np.ndarray:
+    """Jaro-Winkler for the grid ``rows of A x all of B``, with pruning.
+
+    Inputs are :func:`encode_strings` matrices + :func:`char_bitmask` masks
+    for each side (encoded ONCE by the caller, reused across chunks).  A
+    vectorized upper bound — common characters can't exceed the char-set
+    intersection plus shared repeats, and ``(m-t)/m <= 1`` — prunes cells
+    that cannot reach ``prune_below``; only survivors run the full lockstep
+    scan.  Every cell whose true similarity could reach ``prune_below`` is
+    computed exactly; pruned cells hold a placeholder GUARANTEED below
+    ``prune_below`` (it may undercount the Winkler boost, so it is a bound
+    for thresholding, not a similarity) — thresholding callers classify
+    them correctly without ever computing the true value.
+
+    This is the pooled engine's unique-pair sweep: the same role as the
+    reference's bit-parallel ``gammaCKfuzzy!`` scoring of pool value pairs
+    (/root/reference/src/gammas/gammaCKfuzzy.jl), achieved with numpy
+    bound-pruning instead of per-character bit tricks.
+    """
+    m = len(rows)
+    nb = len(enc_b)
+    la = len_a[rows].astype(np.float64)[:, None]  # (m, 1)
+    lb = len_b.astype(np.float64)[None, :]  # (1, nb)
+    # upper bound on common (matched) characters
+    inter = _popcount32(mask_a[rows][:, None] & mask_b[None, :]).astype(
+        np.float64
+    )
+    pop_a = _popcount32(mask_a[rows]).astype(np.float64)[:, None]
+    pop_b = _popcount32(mask_b).astype(np.float64)[None, :]
+    extra = np.minimum(la - pop_a, lb - pop_b)
+    c = np.minimum(inter + extra, np.minimum(la, lb))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jaro_bound = (c / la + c / lb + 1.0) / 3.0
+    out = np.minimum(jaro_bound, 1.0)
+    if prune_below is None:
+        todo = np.ones((m, nb), dtype=bool)
+    else:
+        # 5e-5 guard: callers round to 4 digits before thresholding
+        cutoff = prune_below - 5e-5
+        todo = jaro_bound >= cutoff
+        # borderline cells: below the cut on the Jaro bound alone but
+        # reachable with the (max_prefix-capped) Winkler boost — compute the
+        # exact prefix ONLY there (gathered 1-D, not over the whole grid)
+        max_boosted = jaro_bound + max_prefix * p * (1.0 - jaro_bound)
+        bi, bj = np.nonzero(
+            (~todo) & (jaro_bound > boost_threshold) & (max_boosted >= cutoff)
+        )
+        if len(bi):
+            span = min(max_prefix, enc_a.shape[1], enc_b.shape[1])
+            # pad-vs-pad equality may overcount the prefix -> still a bound
+            eq = enc_a[rows[bi], :span] == enc_b[bj, :span]  # (k, span)
+            prefix = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
+            jb = jaro_bound[bi, bj]
+            boosted = jb + prefix * p * (1.0 - jb)
+            out[bi, bj] = np.minimum(boosted, 1.0)
+            keep = boosted >= cutoff
+            todo[bi[keep], bj[keep]] = True
+    ri, ci = np.nonzero(todo)
+    if len(ri):
+        A = enc_a[rows[ri]]
+        B = enc_b[ci]
+        sims = jaro_winkler_encoded(
+            A,
+            B,
+            len_a[rows[ri]],
+            len_b[ci],
+            p=p,
+            boost_threshold=boost_threshold,
+            max_prefix=max_prefix,
+        )
+        out[ri, ci] = sims
+    return out
 
 
 def similarity_pairs(

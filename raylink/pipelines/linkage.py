@@ -276,8 +276,16 @@ def dedupe_records(
         paired_records, plan, id_col, side=None,
         dropped=set(bcount.notes.get("dropped_block_keys", [])),
     )
+    try:
+        import pyarrow as _pa
+
+        src_schema = getattr(records.schema(), "base_schema", None)
+        if not isinstance(src_schema, _pa.Schema):
+            src_schema = None
+    except Exception:
+        src_schema = None
     pairs = pairs_stage.generate_pairs_dedupe(
-        expanded, fields + tf_cols, id_col=id_col
+        expanded, fields + tf_cols, id_col=id_col, source_schema=src_schema
     )
     scored = score_pairs(
         pairs,
@@ -401,8 +409,29 @@ def link_records(
     expanded = ea.map_batches(rename_id_a, batch_format="pyarrow").union(
         eb.map_batches(rename_id, batch_format="pyarrow")
     )
+    try:
+        base_a = getattr(da.schema(), "base_schema", None)
+        base_b = getattr(db.schema(), "base_schema", None)
+        if not isinstance(base_a, pa.Schema):
+            base_a = None
+        if not isinstance(base_b, pa.Schema):
+            base_b = None
+        src_schema = None
+        if base_a is not None and base_b is not None and (
+            base_a.field(id_a_col).type == base_b.field(id_b_col).type
+        ):
+            src_schema = pa.schema(
+                [
+                    pa.field(
+                        "_pair_id" if f.name == id_a_col else f.name, f.type
+                    )
+                    for f in base_a
+                ]
+            )
+    except Exception:
+        src_schema = None
     pairs = pairs_stage.generate_pairs_link(
-        expanded, fields + tf_cols, id_col="_pair_id"
+        expanded, fields + tf_cols, id_col="_pair_id", source_schema=src_schema
     )
     scored = score_pairs(
         pairs,

@@ -1,0 +1,915 @@
+"""Pooled (dictionary-encoded) linkage engine: the reference's unique-value
+economy, distributed.
+
+The reference's ``gammaCKpar!`` never scores row pairs: it pools each column
+(/root/reference/src/gammas/gammaCKpar.jl:99-106 loops over pool *values*),
+scores each unique value pair once, and expands the results into a 2-bit
+DiBitMatrix over the full N_A x N_B cross product.  This module is that
+design re-expressed Ray-Data-first:
+
+1. **Factorize** — each comparison column's distinct values are collected
+   (per-block ``unique`` partials -> driver union; bounded by the pooled-
+   cardinality assumption, exactly the assumption the reference's pool
+   encoding makes) and the records gain int32 ``code`` columns via a
+   broadcast ``searchsorted``.  Pair machinery then ships narrow ints, not
+   strings.
+2. **Gamma LUTs** — for each string variable, the uint8 gamma of every
+   unique value pair is computed ONCE by a distributed ``map_batches`` sweep
+   over the (n_a x n_b) unique-pair grid (the actual string-distance work),
+   then broadcast via ``ray.put``.  Variables with identical (dictionary,
+   method, cuts) share one LUT — e.g. a column compared twice under two
+   names costs one sweep.
+3. **Two-pass cell scan** — records are salted/expanded with the standard
+   blocking machinery, sorted by pair-group key ONCE
+   (:func:`raylink.stages.sortedrun.sort_by_key`), then scanned twice:
+   pass 1 computes the agreement-pattern histogram per cell (pure LUT
+   gathers + ``bincount``; no pair rows exist anywhere), EM runs on the
+   tiny histogram, and pass 2 re-scans the same sorted blocks emitting ONLY
+   the matched pairs.  This mirrors the reference's shape (pattern counts +
+   indices -> EM -> extract matches, matchPatterns.jl/getMatches.jl) and is
+   the 10^12-pair-safe layout: the full comparison set is never
+   materialized, only streamed.
+
+Scale assumptions (documented per the custom-operator rule): per-variable
+distinct counts must satisfy ``n_a * n_b <= lut_max_cells`` (default 64M,
+i.e. a 64 MB uint8 LUT — broadcast once, read zero-copy by every task).
+High-cardinality free-text comparators (token_lv over transcripts) are NOT
+poolable; :func:`poolable` reports False and callers fall back to the
+row-pair scoring engine (:mod:`raylink.stages.scoring`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import LinkConfig, VarConfig
+from ..constants import BITS_PER_VAR, MATCH1, MATCH2, MISSING, NONMATCH
+from ..functions.strdist import (
+    char_bitmask,
+    encode_strings,
+    jaro_winkler_grid,
+    similarity_pairs,
+)
+from ..functions.gamma import gamma_from_similarity
+from ..stages import blocking as blocking_stage
+from ..stages.cluster import connected_components
+from ..stages.sortedrun import sort_by_key, sorted_group_scan
+from .linkage import LinkResult, fit_patterns
+from ..stages.patterns import unpack_patterns
+
+__all__ = [
+    "poolable",
+    "link_records_pooled",
+    "dedupe_records_pooled",
+    "pooled_pattern_histogram",
+]
+
+#: Max cells in one gamma LUT (uint8 bytes).  64M = one 64 MB broadcast
+#: object; beyond this the pooled engine refuses (fallback: row scoring).
+DEFAULT_LUT_MAX_CELLS = 64_000_000
+#: Max distinct values per side per variable before the pooled assumption
+#: is considered violated.
+DEFAULT_MAX_DISTINCT = 1_000_000
+#: Pair cells are scanned in row-chunks bounded to this many pairs so the
+#: per-chunk gather matrices stay cache-sized.
+SCAN_CHUNK_PAIRS = 4_000_000
+
+
+def poolable(variables: list[VarConfig]) -> bool:
+    """True when every leaf variable can be scored by the pooled engine."""
+    return all(v.kernel in ("string", "exact", "numeric") for v in variables)
+
+
+# ---------------------------------------------------------------------------
+# factorization
+
+
+def _distinct_values(ds: ray.data.Dataset, col: str, cap: int) -> np.ndarray:
+    """Distinct non-null values of ``col`` (sorted object array).
+
+    Per-block ``unique`` partials stream to the driver; the union is bounded
+    by the pooled-cardinality assumption (checked against ``cap``).
+    """
+
+    def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        vals = pd.Series(batch[col]).dropna().unique()
+        return {col: np.asarray(vals, dtype=object)}
+
+    parts: list[np.ndarray] = []
+    seen = 0
+    uniq_ds = ds.select_columns([col]).map_batches(
+        partial, batch_format="numpy", batch_size=None
+    )
+    for b in uniq_ds.iter_batches(batch_size=1_000_000, batch_format="numpy"):
+        parts.append(np.asarray(b[col], dtype=object))
+        seen += len(parts[-1])
+        if seen > 50 * cap:  # early abort on clearly-unbounded columns
+            raise ValueError(
+                f"column {col!r} exceeds the pooled cardinality budget "
+                f"({seen}+ partial-distinct values; cap {cap})"
+            )
+    if not parts:
+        return np.empty(0, dtype=object)
+    vals = pd.unique(np.concatenate(parts))
+    if len(vals) > cap:
+        raise ValueError(
+            f"column {col!r} has {len(vals)} distinct values; pooled engine "
+            f"cap is {cap}"
+        )
+    return np.sort(np.asarray(vals, dtype=object))
+
+
+def _add_code_columns(
+    ds: ray.data.Dataset, dicts: dict[str, np.ndarray]
+) -> ray.data.Dataset:
+    """Replace each dict column with an int32 ``c_<col>`` code (-1 = null)."""
+    dicts_ref = ray.put(dicts)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        the_dicts = ray.get(dicts_ref)
+        for col, vals in the_dicts.items():
+            arr = batch.column(col).to_numpy(zero_copy_only=False)
+            s = pd.Series(arr, dtype=object)
+            isna = s.isna().to_numpy()
+            codes = np.full(len(s), -1, dtype=np.int32)
+            if len(vals) and (~isna).any():
+                nz = np.flatnonzero(~isna)
+                codes[nz] = np.searchsorted(vals, s.iloc[nz].to_numpy()).astype(
+                    np.int32
+                )
+            batch = batch.drop_columns([col]).append_column(
+                f"c_{col}", pa.array(codes, type=pa.int32())
+            )
+        return batch
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# gamma LUTs
+
+
+def _build_gamma_lut(
+    vals_a: np.ndarray,
+    vals_b: np.ndarray,
+    v: VarConfig,
+    cells_per_task: int = 2_000_000,
+) -> np.ndarray:
+    """(n_a+1, n_b+1) uint8 gamma LUT for one string variable, distributed.
+
+    Row i / column j hold gamma(vals_a[i], vals_b[j]); the padding row and
+    column (index -1 remapped to n) hold MISSING.  The unique-pair sweep is
+    a Ray Dataset over A-value row ranges — the string-distance kernel work
+    (the expensive part) fans out across the cluster; the finished LUT is
+    n_a*n_b bytes on the driver.
+    """
+    na, nb = len(vals_a), len(vals_b)
+    lut = np.full((na + 1, nb + 1), MISSING, dtype=np.uint8)
+    if na == 0 or nb == 0:
+        return lut
+    if v.upper:
+        vals_a = np.array([s.upper() for s in vals_a], dtype=object)
+        vals_b = np.array([s.upper() for s in vals_b], dtype=object)
+    method, w, cut_a, cut_b, partial = (
+        v.distmethod,
+        v.w,
+        float(v.cut_a),
+        float(v.cut_b),
+        v.partial,
+    )
+    if method == "jw":
+        # encode each pool ONCE; every task reuses the code matrices and
+        # char bitmasks (bound-pruned grid kernel) — zero per-pair Python
+        enc_a, len_a = encode_strings(list(vals_a))
+        enc_b, len_b = encode_strings(list(vals_b))
+        if enc_a.dtype != enc_b.dtype:
+            enc_a = enc_a.astype(np.uint32)
+            enc_b = enc_b.astype(np.uint32)
+        vals_ref = ray.put(
+            (enc_a, len_a, char_bitmask(enc_a), enc_b, len_b, char_bitmask(enc_b))
+        )
+    else:
+        vals_ref = ray.put((vals_a, vals_b))
+    rows_per_task = max(1, cells_per_task // nb)
+    n_blocks = math.ceil(na / rows_per_task)
+    #: grid cells per inner kernel call (bounds the (chunk, nb) temporaries)
+    inner_chunk_rows = max(1, 2_000_000 // nb)
+    prune_below = float(cut_b if partial else cut_a)
+
+    def score_rows(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ia = np.asarray(batch["id"], dtype=np.int64)
+        if method == "jw":
+            ea, la, ma, eb, lb, mb = ray.get(vals_ref)
+            g_out = np.empty((len(ia), nb), dtype=np.uint8)
+            for c0 in range(0, len(ia), inner_chunk_rows):
+                rows = ia[c0 : c0 + inner_chunk_rows]
+                sims = jaro_winkler_grid(
+                    ea, la, ma, eb, lb, mb, rows, p=w, prune_below=prune_below
+                )
+                g_out[c0 : c0 + len(rows)] = gamma_from_similarity(
+                    sims.ravel(), cut_a=cut_a, cut_b=cut_b, partial=partial
+                ).reshape(len(rows), nb)
+            return {"ia": ia, "gamma_row": g_out}
+        va, vb = ray.get(vals_ref)
+        A = np.repeat(va[ia], len(vb))
+        B = np.tile(vb, len(ia))
+        sims = similarity_pairs(A, B, method=method, w=w)
+        g = gamma_from_similarity(sims, cut_a=cut_a, cut_b=cut_b, partial=partial)
+        return {"ia": ia, "gamma_row": g.reshape(len(ia), len(vb))}
+
+    swept = ray.data.range(na, override_num_blocks=n_blocks).map_batches(
+        score_rows, batch_format="numpy", batch_size=rows_per_task
+    )
+    for b in swept.iter_batches(batch_size=None, batch_format="numpy"):
+        ia = np.asarray(b["ia"], dtype=np.int64)
+        lut[ia, :nb] = np.asarray(b["gamma_row"], dtype=np.uint8)
+    lut[na, :] = MISSING
+    lut[:, nb] = MISSING
+    return lut
+
+
+@dataclass
+class _PooledVar:
+    """Per-variable pooled scoring spec shipped to the scan tasks."""
+
+    name: str
+    kind: str  # "lut" | "exact" | "numeric"
+    bit: int  # bit offset in the packed pattern key (2 bits per var)
+    lut: np.ndarray | None = None  # (na+1, nb+1) uint8, kind == "lut"
+    na: int = 0
+    nb: int = 0
+    cut_a: float = 0.0
+    cut_b: float = 0.0
+    partial: bool = True
+
+
+def _prepare_pooled_vars(
+    leaf_vars: list[VarConfig],
+    dicts_a: dict[str, np.ndarray],
+    dicts_b: dict[str, np.ndarray],
+    lut_max_cells: int,
+) -> list[_PooledVar]:
+    """Build the per-var specs; string vars with identical (dicts, method,
+    cuts) share one LUT (the reference recomputes these — a pure win)."""
+    specs: list[_PooledVar] = []
+    lut_cache: dict[tuple, np.ndarray] = {}
+    for k, v in enumerate(leaf_vars):
+        bit = BITS_PER_VAR * k
+        if v.kernel == "exact":
+            specs.append(
+                _PooledVar(
+                    name=v.name,
+                    kind="exact",
+                    bit=bit,
+                    na=len(dicts_a[v.name]),
+                    nb=len(dicts_b[v.name]),
+                )
+            )
+        elif v.kernel == "numeric":
+            specs.append(
+                _PooledVar(
+                    name=v.name,
+                    kind="numeric",
+                    bit=bit,
+                    cut_a=float(v.cut_a),
+                    cut_b=float(v.cut_b),
+                    partial=v.partial,
+                )
+            )
+        elif v.kernel == "string":
+            va, vb = dicts_a[v.name], dicts_b[v.name]
+            cells = (len(va) + 1) * (len(vb) + 1)
+            if cells > lut_max_cells:
+                raise ValueError(
+                    f"variable {v.name!r}: {len(va)}x{len(vb)} unique-pair "
+                    f"grid exceeds lut_max_cells={lut_max_cells}; use the "
+                    "row-pair scoring engine for this config"
+                )
+            key = (
+                v.distmethod,
+                v.w,
+                float(v.cut_a),
+                float(v.cut_b),
+                v.partial,
+                v.upper,
+                hash(tuple(va)),
+                hash(tuple(vb)),
+            )
+            lut = lut_cache.get(key)
+            if lut is None:
+                lut = _build_gamma_lut(va, vb, v)
+                lut_cache[key] = lut
+            specs.append(
+                _PooledVar(
+                    name=v.name,
+                    kind="lut",
+                    bit=bit,
+                    lut=lut,
+                    na=len(va),
+                    nb=len(vb),
+                )
+            )
+        else:  # pragma: no cover - guarded by poolable()
+            raise ValueError(f"variable {v.name!r} is not poolable ({v.kernel})")
+    return specs
+
+
+# ---------------------------------------------------------------------------
+# the two-pass cell scan
+
+
+def _pair_patterns(
+    specs: list[_PooledVar],
+    cols_a: dict[str, np.ndarray],
+    cols_b: dict[str, np.ndarray],
+    ia: np.ndarray,
+    ib_all: np.ndarray,
+) -> np.ndarray:
+    """Packed pattern keys for the cross product rows ``ia`` x ``ib_all``.
+
+    Returns an (len(ia), len(ib_all)) int64 matrix of pattern keys.  All
+    per-variable work is LUT gathers / broadcast compares — no Python per
+    pair.
+    """
+    m, n = len(ia), len(ib_all)
+    keys = np.zeros((m, n), dtype=np.int64)
+    for s in specs:
+        if s.kind == "lut":
+            ca = cols_a[f"c_{s.name}"][ia].astype(np.int64)
+            cb = cols_b[f"c_{s.name}"][ib_all].astype(np.int64)
+            ca = np.where(ca < 0, s.na, ca)
+            cb = np.where(cb < 0, s.nb, cb)
+            g = s.lut[ca[:, None], cb[None, :]]
+        elif s.kind == "exact":
+            ca = cols_a[f"c_{s.name}"][ia]
+            cb = cols_b[f"c_{s.name}"][ib_all]
+            eq = ca[:, None] == cb[None, :]
+            g = np.where(eq, MATCH2, NONMATCH).astype(np.uint8)
+            miss = (ca[:, None] < 0) | (cb[None, :] < 0)
+            g[miss] = MISSING
+        else:  # numeric
+            va = np.asarray(cols_a[s.name][ia], dtype=np.float64)
+            vb = np.asarray(cols_b[s.name][ib_all], dtype=np.float64)
+            d = np.abs(va[:, None] - vb[None, :])
+            g = np.full((m, n), NONMATCH, dtype=np.uint8)
+            with np.errstate(invalid="ignore"):
+                if s.partial:
+                    g[d <= s.cut_b] = MATCH1
+                    g[d <= s.cut_a] = MATCH2
+                else:
+                    g[d < s.cut_a] = MATCH2
+            g[np.isnan(d)] = MISSING
+        keys |= g.astype(np.int64) << np.int64(s.bit)
+    return keys
+
+
+def _cell_indices(
+    cols: dict[str, np.ndarray], id_col: str, link: bool
+) -> tuple[np.ndarray, np.ndarray, bool] | None:
+    """Row-index sets (a_rows, b_rows, triangular) for one pair-group cell."""
+    if link:
+        side = np.asarray(cols["_side"])
+        a_rows = np.flatnonzero(side == "a")
+        b_rows = np.flatnonzero(side == "b")
+        if len(a_rows) == 0 or len(b_rows) == 0:
+            return None
+        return a_rows, b_rows, False
+    n = len(cols[id_col])
+    if n < 2:
+        return None
+    sub_i = int(cols["sub_i"][0])
+    sub_j = int(cols["sub_j"][0])
+    if sub_i == sub_j:
+        order = np.argsort(cols[id_col], kind="stable")
+        return order, order, True
+    salt = cols["salt"]
+    left = np.flatnonzero(salt == sub_i)
+    right = np.flatnonzero(salt == sub_j)
+    if len(left) == 0 or len(right) == 0:
+        return None
+    return left, right, False
+
+
+def _make_hist_fn(specs_ref, id_col: str, link: bool, n_bins: int):
+    """Pass-1 UDF: per-cell pattern histogram (no pair rows)."""
+
+    def hist_fn(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        specs = ray.get(specs_ref)
+        cols = {k: np.asarray(v) for k, v in group.items()}
+        empty = {
+            "pattern_key": np.empty(0, dtype=np.int64),
+            "cnt": np.empty(0, dtype=np.int64),
+        }
+        idx = _cell_indices(cols, id_col, link)
+        if idx is None:
+            return empty
+        a_rows, b_rows, tri = idx
+        nb_c = len(b_rows)
+        chunk = max(1, SCAN_CHUNK_PAIRS // max(nb_c, 1))
+        counts = np.zeros(n_bins, dtype=np.int64)
+        for c0 in range(0, len(a_rows), chunk):
+            ia = a_rows[c0 : c0 + chunk]
+            if tri:
+                # upper triangle only: columns j > global row position
+                jb = b_rows[c0 + 1 :]
+                if len(jb) == 0:
+                    continue
+                keys = _pair_patterns(specs, cols, cols, ia, jb)
+                # row r (global c0+r) pairs with columns at local index > r-1
+                mask = (
+                    np.arange(len(jb))[None, :]
+                    >= np.arange(len(ia))[:, None]
+                )
+                counts += np.bincount(keys[mask], minlength=n_bins)
+            else:
+                keys = _pair_patterns(specs, cols, cols, ia, b_rows)
+                counts += np.bincount(keys.ravel(), minlength=n_bins)
+        nz = np.flatnonzero(counts)
+        return {"pattern_key": nz.astype(np.int64), "cnt": counts[nz]}
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return {
+            "pattern_key": np.empty(0, dtype=np.int64),
+            "cnt": np.empty(0, dtype=np.int64),
+        }
+
+    return hist_fn, empty_fn
+
+
+def _make_match_fn(
+    specs_ref,
+    matched_ref,
+    id_col: str,
+    id_out: tuple[str, str],
+    link: bool,
+):
+    """Pass-2 UDF: emit only pairs whose pattern is in the matched set."""
+
+    def empty(cols: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out = {
+            id_out[0]: cols[id_col][:0],
+            id_out[1]: cols[id_col][:0],
+            "pattern_key": np.empty(0, dtype=np.int64),
+            "zeta_j": np.empty(0, dtype=np.float64),
+            "weights": np.empty(0, dtype=np.float64),
+        }
+        return out
+
+    def match_fn(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        specs = ray.get(specs_ref)
+        mkeys, mzeta, mweights = ray.get(matched_ref)
+        cols = {k: np.asarray(v) for k, v in group.items()}
+        idx = _cell_indices(cols, id_col, link)
+        if idx is None or len(mkeys) == 0:
+            return empty(cols)
+        a_rows, b_rows, tri = idx
+        nb_c = len(b_rows)
+        chunk = max(1, SCAN_CHUNK_PAIRS // max(nb_c, 1))
+        ids = cols[id_col]
+        out_a, out_b, out_k = [], [], []
+        for c0 in range(0, len(a_rows), chunk):
+            ia = a_rows[c0 : c0 + chunk]
+            if tri:
+                jb = b_rows[c0 + 1 :]
+                if len(jb) == 0:
+                    continue
+                keys = _pair_patterns(specs, cols, cols, ia, jb)
+                tri_mask = (
+                    np.arange(len(jb))[None, :]
+                    >= np.arange(len(ia))[:, None]
+                )
+            else:
+                jb = b_rows
+                keys = _pair_patterns(specs, cols, cols, ia, jb)
+                tri_mask = None
+            pos = np.searchsorted(mkeys, keys.ravel())
+            pos_c = np.clip(pos, 0, len(mkeys) - 1)
+            hit = mkeys[pos_c] == keys.ravel()
+            if tri_mask is not None:
+                hit &= tri_mask.ravel()
+            flat = np.flatnonzero(hit)
+            if len(flat) == 0:
+                continue
+            ri, ci = np.unravel_index(flat, keys.shape)
+            out_a.append(ids[ia[ri]])
+            out_b.append(ids[jb[ci]])
+            out_k.append(keys.ravel()[flat])
+        if not out_a:
+            return empty(cols)
+        id_a = np.concatenate(out_a)
+        id_b = np.concatenate(out_b)
+        kk = np.concatenate(out_k)
+        if not link:
+            swap = id_a > id_b
+            id_a, id_b = np.where(swap, id_b, id_a), np.where(swap, id_a, id_b)
+        pos = np.searchsorted(mkeys, kk)
+        return {
+            id_out[0]: id_a,
+            id_out[1]: id_b,
+            "pattern_key": kk,
+            "zeta_j": mzeta[pos],
+            "weights": mweights[pos],
+        }
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return empty({k: np.asarray(v) for k, v in batch.items()})
+
+    return match_fn, empty_fn
+
+
+def _attach_gammas(matches: ray.data.Dataset, leaf_names: list[str]):
+    """Unpack gamma_<var> columns from pattern_key (matched rows only)."""
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        keys = batch.column("pattern_key").to_numpy(zero_copy_only=False)
+        mat = unpack_patterns(keys, len(leaf_names))
+        for k, name in enumerate(leaf_names):
+            batch = batch.append_column(
+                f"gamma_{name}", pa.array(mat[:, k], type=pa.uint8())
+            )
+        return batch
+
+    return matches.map_batches(unpack, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# pipelines
+
+
+def _scan_partitions() -> int:
+    return max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+
+def pooled_pattern_histogram(
+    records: ray.data.Dataset,
+    variables: list[VarConfig],
+    id_col: str,
+    block_keys: list[str],
+    blocking=None,
+    lut_max_cells: int = DEFAULT_LUT_MAX_CELLS,
+    max_distinct: int = DEFAULT_MAX_DISTINCT,
+) -> pd.DataFrame:
+    """Standalone pass-1: the agreement-pattern histogram of a blocked
+    self-link through the pooled engine (no EM, no residual) — the pooled
+    counterpart of ``score_pairs`` + ``pattern_histogram``.
+
+    Returns a DataFrame (pattern_key, cnt) over the blocked pairs only.
+    """
+    from ..config import BlockingConfig
+
+    blocking = blocking or BlockingConfig(cap=100_000)
+    fields = [v.name for v in variables]
+    string_like = [v.name for v in variables if v.kernel in ("string", "exact")]
+    ds = records.select_columns(list(dict.fromkeys([id_col, *fields, *block_keys])))
+    ds = blocking_stage.derive_block_keys(ds, block_keys).materialize()
+    dicts = {c: _distinct_values(ds, c, max_distinct) for c in string_like}
+    ds_c = _add_code_columns(ds, dicts)
+    specs = _prepare_pooled_vars(variables, dicts, dicts, lut_max_cells)
+    specs_ref = ray.put(specs)
+    plan, bcount = blocking_stage.plan_salts(ds, blocking)
+    expanded = blocking_stage.expand_pair_groups(
+        ds_c, plan, id_col, side=None,
+        dropped=set(bcount.notes.get("dropped_block_keys", [])),
+    )
+    n_part = _scan_partitions()
+    K = len(variables)
+    hist_fn, hist_empty = _make_hist_fn(
+        specs_ref, id_col, False, 1 << (BITS_PER_VAR * K)
+    )
+    hp = sorted_group_scan(
+        expanded, "pg_key", hist_fn, hist_empty, n_part
+    ).to_pandas()
+    return hp.groupby("pattern_key", as_index=False)["cnt"].sum()
+
+
+def link_records_pooled(
+    records_a: ray.data.Dataset,
+    records_b: ray.data.Dataset,
+    config: LinkConfig,
+    block_keys: list[str] | None = None,
+    seed: int = 1234,
+    lut_max_cells: int = DEFAULT_LUT_MAX_CELLS,
+    max_distinct: int = DEFAULT_MAX_DISTINCT,
+) -> LinkResult:
+    """Two-table link through the pooled LUT engine.
+
+    ``block_keys=[]`` (or a config with no blocking keys) runs the
+    reference's UNBLOCKED full cross product: every record lands in one
+    constant block, which the salting machinery immediately shards into
+    bounded pair-group cells — the explicit-skew path doubles as the
+    no-blocking path.
+    """
+    leaf_vars = config.leaf_vars()
+    if not poolable(leaf_vars):
+        raise ValueError(
+            "config has non-poolable variables; use link_records()"
+        )
+    counters: dict[str, Any] = {}
+    id_a_col, id_b_col = config.idvar
+    keys = config.blocking.keys if block_keys is None else block_keys
+    fields = [v.name for v in leaf_vars]
+    string_like = [v.name for v in leaf_vars if v.kernel in ("string", "exact")]
+    numeric_fields = [v.name for v in leaf_vars if v.kernel == "numeric"]
+
+    da = records_a.select_columns(
+        list(dict.fromkeys([id_a_col, *fields, *keys]))
+    )
+    db = records_b.select_columns(
+        list(dict.fromkeys([id_b_col, *fields, *keys]))
+    )
+    if keys:
+        da = blocking_stage.derive_block_keys(da, keys)
+        db = blocking_stage.derive_block_keys(db, keys)
+    else:
+
+        def add_const(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "block_key", pa.array(np.zeros(len(b), dtype=np.int64))
+            )
+
+        da = da.map_batches(add_const, batch_format="pyarrow")
+        db = db.map_batches(add_const, batch_format="pyarrow")
+    da = da.materialize()
+    db = db.materialize()
+    n_a, n_b = da.count(), db.count()
+    counters["records_a"] = n_a
+    counters["records_b"] = n_b
+    total_comparisons = n_a * n_b
+
+    # --- factorize ---------------------------------------------------------
+    dicts_a = {c: _distinct_values(da, c, max_distinct) for c in string_like}
+    dicts_b = {c: _distinct_values(db, c, max_distinct) for c in string_like}
+    # exact vars compare codes directly, so both sides must share a dict
+    for v in leaf_vars:
+        if v.kernel == "exact":
+            union = np.sort(
+                pd.unique(
+                    np.concatenate([dicts_a[v.name], dicts_b[v.name]])
+                ).astype(object)
+            )
+            dicts_a[v.name] = union
+            dicts_b[v.name] = union
+    counters["pool_sizes"] = {
+        c: (len(dicts_a[c]), len(dicts_b[c])) for c in string_like
+    }
+
+    # small value-level sample for residual u-estimation (before coding)
+    frac_a = min(1.0, 1000 / max(n_a, 1))
+    frac_b = min(1.0, 1000 / max(n_b, 1))
+    sample_a = da.random_sample(frac_a, seed=seed).to_pandas()
+    sample_b = db.random_sample(frac_b, seed=seed + 1).to_pandas()
+
+    da_c = _add_code_columns(da, dicts_a)
+    db_c = _add_code_columns(db, dicts_b)
+
+    # --- gamma LUTs (the string-distance work, distributed) ----------------
+    specs = _prepare_pooled_vars(leaf_vars, dicts_a, dicts_b, lut_max_cells)
+    specs_ref = ray.put(specs)
+
+    # --- salt plan + expansion --------------------------------------------
+    def tag(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_side", pa.array(np.repeat(side, len(b)))
+            )
+
+        return fn
+
+    da_c = da_c.map_batches(tag("a"), batch_format="pyarrow").materialize()
+    db_c = db_c.map_batches(tag("b"), batch_format="pyarrow").materialize()
+    both_keys = da_c.select_columns(["block_key"]).union(
+        db_c.select_columns(["block_key"])
+    )
+    plan, bcount = blocking_stage.plan_salts(both_keys, config.blocking)
+    counters["hot_blocks"] = bcount.n_hot_blocks
+    dropped = set(bcount.notes.get("dropped_block_keys", []))
+
+    def rename_id(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            names = [("_pair_id" if c == col else c) for c in b.column_names]
+            return b.rename_columns(names)
+
+        return fn
+
+    ea = blocking_stage.expand_pair_groups(
+        da_c, plan, id_a_col, side="a", dropped=dropped
+    ).map_batches(rename_id(id_a_col), batch_format="pyarrow")
+    eb = blocking_stage.expand_pair_groups(
+        db_c, plan, id_b_col, side="b", dropped=dropped
+    ).map_batches(rename_id(id_b_col), batch_format="pyarrow")
+    expanded = ea.union(eb)
+
+    # --- sort once, scan twice --------------------------------------------
+    n_part = config.execution.pair_shuffle_partitions or _scan_partitions()
+    sorted_cells = sort_by_key(expanded, "pg_key", n_part)
+
+    K = len(leaf_vars)
+    n_bins = 1 << (BITS_PER_VAR * K)
+    if n_bins > 1 << 20:
+        raise ValueError(
+            f"{K} variables need {n_bins} histogram bins; pooled engine "
+            "caps at 10 variables (use the row engine beyond)"
+        )
+    hist_fn, hist_empty = _make_hist_fn(specs_ref, "_pair_id", True, n_bins)
+    hist_parts = sorted_group_scan(
+        sorted_cells, "pg_key", hist_fn, hist_empty, n_part, presorted=True
+    )
+    # merge the per-cell partial histograms on the driver (<= 4^K rows each)
+    hp = hist_parts.to_pandas()
+    hist = (
+        hp.groupby("pattern_key", as_index=False)["cnt"]
+        .sum()
+        .rename(columns={"cnt": "cnt"})
+    )
+    counters["scored_pairs"] = float(hist["cnt"].sum())
+    counters["unique_leaf_patterns"] = len(hist)
+
+    # --- EM (+ residual accounting, reusing the row-engine driver path) ----
+    from ..stages.patterns import add_residual_pattern, merge_histograms, sample_residual_histogram
+
+    residual = total_comparisons - float(hist["cnt"].sum())
+    counters["residual_pairs"] = residual
+    if residual > 0:
+        res_hist = sample_residual_histogram(
+            sample_a, sample_b, leaf_vars, residual, seed=seed + 1
+        )
+        hist = merge_histograms(hist, res_hist)
+        counters["residual_mode"] = "sampled"
+    else:
+        counters["residual_mode"] = "none"
+    root_em, child_ems, leaf = fit_patterns(hist, config, seed=seed)
+
+    # --- pass 2: extract matches ------------------------------------------
+    lw = leaf
+    t = root_em.threshold_match
+    w_bound = lw["weights_raw"] if "weights_raw" in lw.columns else lw["weights"]
+    matched = lw[(lw["zeta_j"] >= t) & (w_bound <= root_em.u_b)]
+    mkeys = matched["pattern_key"].to_numpy(np.int64)
+    order = np.argsort(mkeys)
+    matched_ref = ray.put(
+        (
+            mkeys[order],
+            matched["zeta_j"].to_numpy(np.float64)[order],
+            matched["weights"].to_numpy(np.float64)[order],
+        )
+    )
+    match_fn, match_empty = _make_match_fn(
+        specs_ref, matched_ref, "_pair_id", ("id_a", "id_b"), True
+    )
+    matches = sorted_group_scan(
+        sorted_cells, "pg_key", match_fn, match_empty, n_part, presorted=True
+    )
+    matches = _attach_gammas(matches, [v.name for v in leaf_vars]).materialize()
+    counters["matched_pairs"] = matches.count()
+
+    return LinkResult(
+        em=root_em,
+        child_ems=child_ems,
+        leaf_patterns=leaf,
+        matches=matches,
+        scored_pairs=None,
+        clusters=None,
+        tf_matches=None,
+        counters=counters,
+    )
+
+
+def dedupe_records_pooled(
+    records: ray.data.Dataset,
+    config: LinkConfig,
+    id_col: str,
+    block_keys: list[str] | None = None,
+    cluster: bool = True,
+    seed: int = 1234,
+    lut_max_cells: int = DEFAULT_LUT_MAX_CELLS,
+    max_distinct: int = DEFAULT_MAX_DISTINCT,
+) -> LinkResult:
+    """Self-link (dedupe) through the pooled LUT engine."""
+    leaf_vars = config.leaf_vars()
+    if not poolable(leaf_vars):
+        raise ValueError("config has non-poolable variables; use dedupe_records()")
+    counters: dict[str, Any] = {}
+    keys = config.blocking.keys if block_keys is None else block_keys
+    fields = [v.name for v in leaf_vars]
+    string_like = [v.name for v in leaf_vars if v.kernel in ("string", "exact")]
+
+    ds = records.select_columns(list(dict.fromkeys([id_col, *fields, *keys])))
+    if keys:
+        ds = blocking_stage.derive_block_keys(ds, keys)
+    else:
+
+        def add_const(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "block_key", pa.array(np.zeros(len(b), dtype=np.int64))
+            )
+
+        ds = ds.map_batches(add_const, batch_format="pyarrow")
+    ds = ds.materialize()
+    n = ds.count()
+    counters["records"] = n
+    total_comparisons = n * (n - 1) // 2
+
+    dicts = {c: _distinct_values(ds, c, max_distinct) for c in string_like}
+    counters["pool_sizes"] = {c: len(dicts[c]) for c in string_like}
+    frac = min(1.0, 2000 / max(n, 1))
+    sample = ds.random_sample(frac, seed=seed).to_pandas()
+    ds_c = _add_code_columns(ds, dicts).materialize()
+
+    specs = _prepare_pooled_vars(leaf_vars, dicts, dicts, lut_max_cells)
+    specs_ref = ray.put(specs)
+
+    plan, bcount, block_counts = blocking_stage.analyze_blocks(
+        ds_c, config.blocking
+    )
+    counters["hot_blocks"] = bcount.n_hot_blocks
+    counters["dropped_blocks"] = bcount.n_dropped_blocks
+    paired = blocking_stage.filter_to_multi_blocks(ds_c, counts=block_counts)
+    expanded = blocking_stage.expand_pair_groups(
+        paired, plan, id_col, side=None,
+        dropped=set(bcount.notes.get("dropped_block_keys", [])),
+    )
+    n_part = config.execution.pair_shuffle_partitions or _scan_partitions()
+    sorted_cells = sort_by_key(expanded, "pg_key", n_part)
+
+    K = len(leaf_vars)
+    n_bins = 1 << (BITS_PER_VAR * K)
+    if n_bins > 1 << 20:
+        raise ValueError("pooled engine caps at 10 variables")
+    hist_fn, hist_empty = _make_hist_fn(specs_ref, id_col, False, n_bins)
+    hp = sorted_group_scan(
+        sorted_cells, "pg_key", hist_fn, hist_empty, n_part, presorted=True
+    ).to_pandas()
+    hist = hp.groupby("pattern_key", as_index=False)["cnt"].sum()
+    counters["scored_pairs"] = float(hist["cnt"].sum())
+
+    from ..stages.patterns import merge_histograms, sample_residual_histogram
+
+    residual = total_comparisons - float(hist["cnt"].sum())
+    counters["residual_pairs"] = residual
+    if residual > 0:
+        res_hist = sample_residual_histogram(
+            sample, sample, leaf_vars, residual, seed=seed + 1
+        )
+        hist = merge_histograms(hist, res_hist)
+        counters["residual_mode"] = "sampled"
+    else:
+        counters["residual_mode"] = "none"
+    root_em, child_ems, leaf = fit_patterns(hist, config, seed=seed)
+
+    t = root_em.threshold_match
+    w_bound = (
+        leaf["weights_raw"] if "weights_raw" in leaf.columns else leaf["weights"]
+    )
+    matched = leaf[(leaf["zeta_j"] >= t) & (w_bound <= root_em.u_b)]
+    mkeys = matched["pattern_key"].to_numpy(np.int64)
+    order = np.argsort(mkeys)
+    matched_ref = ray.put(
+        (
+            mkeys[order],
+            matched["zeta_j"].to_numpy(np.float64)[order],
+            matched["weights"].to_numpy(np.float64)[order],
+        )
+    )
+    match_fn, match_empty = _make_match_fn(
+        specs_ref, matched_ref, id_col, ("id_a", "id_b"), False
+    )
+    matches = sorted_group_scan(
+        sorted_cells, "pg_key", match_fn, match_empty, n_part, presorted=True
+    )
+    matches = _attach_gammas(matches, [v.name for v in leaf_vars]).materialize()
+    counters["matched_pairs"] = matches.count()
+
+    clusters = None
+    if cluster:
+        nodes = ds.select_columns([id_col]).map_batches(
+            lambda b: b.rename_columns(["node"]), batch_format="pyarrow"
+        )
+        clusters = connected_components(
+            matches,
+            nodes,
+            node_col="node",
+            src_col="id_a",
+            dst_col="id_b",
+            local_threshold=config.execution.cc_local_threshold,
+            num_partitions=config.execution.cc_num_partitions,
+        )
+
+    return LinkResult(
+        em=root_em,
+        child_ems=child_ems,
+        leaf_patterns=leaf,
+        matches=matches,
+        scored_pairs=None,
+        clusters=clusters,
+        tf_matches=None,
+        counters=counters,
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["make_transcripts", "make_person_tables"]
+__all__ = ["make_transcripts", "make_person_tables", "make_ref_benchmark_tables"]
 
 _WORDS = (
     "please help me debug the failing unit test in my parser module "
@@ -373,3 +373,95 @@ def make_person_tables(
         }
     )
     return df_a, df_b, truth
+
+
+def _name_pool(rng: np.random.Generator, size: int, lo: int, hi: int) -> np.ndarray:
+    """Deterministic pool of distinct uppercase pseudo-words."""
+    letters = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+    vowels = np.array(list("AEIOU"))
+    seen: set[str] = set()
+    out: list[str] = []
+    while len(out) < size:
+        L = int(rng.integers(lo, hi + 1))
+        chars = []
+        for i in range(L):
+            src = vowels if i % 2 == 1 and rng.random() < 0.7 else letters
+            chars.append(str(rng.choice(src)))
+        s = "".join(chars)
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return np.asarray(out, dtype=object)
+
+
+def make_ref_benchmark_tables(
+    n_a: int = 10_000,
+    n_b: int = 10_000,
+    seed: int = 1234,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Deterministic tables shaped like the reference's benchmark inputs.
+
+    The reference benchmarks ``fastLink(dfA, dfB, config)`` over two voter
+    files with 6 comparison variables that are 3 distinct columns duplicated
+    (``src/benchmark.jl:94-101``): FIRST_NAME(1) jarowinkler, MIDDLE_NAME(1)
+    exact, STREET_NAME(1) jarowinkler.  Its committed results record the
+    pool cardinalities at 10k x 10k (``benchmark.csv:8``): dfA 1204 / 2247 /
+    6009 distinct, dfB 900 / 2178 / 4844.  This generator reproduces that
+    SHAPE — zipf-weighted draws from shared pools sized so the distinct
+    counts land in the same ballpark, ~1.5% planted B-side near-duplicates
+    of A rows (typos) so the EM has signal — with no external data.
+    """
+    rng = np.random.default_rng(seed)
+    # (pool size, zipf exponent) tuned so 10k weighted draws yield ~the
+    # reference's distinct counts (1204 / 2247 / 6009 on the A side); pools
+    # scale with n for smaller test runs
+    scale_a = max(n_a / 10_000, 0.2)
+    first_pool = _name_pool(rng, max(30, int(2400 * scale_a)), 3, 9)
+    mid_pool = _name_pool(rng, max(40, int(3000 * scale_a)), 4, 10)
+    street_pool = _name_pool(rng, max(60, int(10500 * scale_a)), 5, 14)
+
+    def draw(pool: np.ndarray, n: int, s: float) -> np.ndarray:
+        # zipf-ish weights: heavy head (common names), long tail
+        w = 1.0 / np.arange(1, len(pool) + 1, dtype=np.float64) ** s
+        w /= w.sum()
+        return rng.choice(pool, size=n, p=w)
+
+    def table(n: int, id_base: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "TV_ID": np.arange(id_base, id_base + n, dtype="int64"),
+                "FIRST_NAME": draw(first_pool, n, 1.15),
+                "MIDDLE_NAME": draw(mid_pool, n, 0.85),
+                "STREET_NAME": draw(street_pool, n, 0.32),
+            }
+        )
+
+    df_a = table(n_a, 0)
+    df_b = table(n_b, 1_000_000)
+    # plant ~1.5% of B as near-duplicates of A rows (the benchmark's voter
+    # files share true persons across files)
+    n_dup = max(1, int(0.015 * min(n_a, n_b)))
+    src = rng.choice(n_a, size=n_dup, replace=False)
+    dst = rng.choice(n_b, size=n_dup, replace=False)
+    for ia, ib in zip(src, dst):
+        row = df_a.iloc[int(ia)]
+        fn, mn, sn = row["FIRST_NAME"], row["MIDDLE_NAME"], row["STREET_NAME"]
+        if rng.random() < 0.4:
+            fn = _typo(rng, fn, 1)
+        if rng.random() < 0.3:
+            sn = _typo(rng, sn, 1)
+        df_b.loc[int(ib), ["FIRST_NAME", "MIDDLE_NAME", "STREET_NAME"]] = [
+            fn, mn, sn,
+        ]
+    # missingness comparable to voter data
+    for col, p in (("FIRST_NAME", 0.005), ("MIDDLE_NAME", 0.25), ("STREET_NAME", 0.01)):
+        for df in (df_a, df_b):
+            mask = rng.random(len(df)) < p
+            df.loc[mask, col] = None
+    # the duplicated columns (benchmark.jl:99-105)
+    for df in (df_a, df_b):
+        df["FIRST_NAME1"] = df["FIRST_NAME"]
+        df["MIDDLE_NAME1"] = df["MIDDLE_NAME"]
+        df["STREET_NAME1"] = df["STREET_NAME"]
+    df_b = df_b.rename(columns={"TV_ID": "TS_ID"})
+    return df_a, df_b

@@ -26,7 +26,7 @@ import ray.data
 
 from .sortedrun import sorted_group_scan
 
-__all__ = ["generate_pairs_dedupe", "generate_pairs_link"]
+__all__ = ["generate_pairs_dedupe", "generate_pairs_link", "pair_schema"]
 
 
 def _emit(
@@ -87,11 +87,34 @@ def _default_partitions() -> int:
     return max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
 
+def pair_schema(
+    source_schema: pa.Schema | None, fields: list[str], id_col: str
+) -> pa.Schema | None:
+    """Explicit pair-row schema (id_a, id_b, f_a, f_b...) from the source
+    records' Arrow schema.  Pinning types stops an all-null string slice in
+    one output block from being type-inferred as null/float and breaking
+    Arrow schema unification at the next shuffle (a real hazard on nullable
+    comparison fields)."""
+    if source_schema is None:
+        return None
+    try:
+        id_type = source_schema.field(id_col).type
+        out = [pa.field("id_a", id_type), pa.field("id_b", id_type)]
+        for f in fields:
+            t = source_schema.field(f).type
+            out.append(pa.field(f"{f}_a", t))
+            out.append(pa.field(f"{f}_b", t))
+        return pa.schema(out)
+    except KeyError:
+        return None
+
+
 def generate_pairs_dedupe(
     records: ray.data.Dataset,
     fields: list[str],
     id_col: str = "conv_id",
     num_partitions: int | None = None,
+    source_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Self-link pair generation over salted pair-groups (one shuffle).
 
@@ -127,6 +150,7 @@ def generate_pairs_dedupe(
         gen,
         lambda batch: _empty_pairs(fields, batch, id_col),
         num_partitions=n,
+        out_schema=pair_schema(source_schema, fields, id_col),
     )
 
 
@@ -135,6 +159,7 @@ def generate_pairs_link(
     fields: list[str],
     id_col: str = "id",
     num_partitions: int | None = None,
+    source_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Two-table link pair generation; ``records`` must carry a ``_side``
     column ("a"/"b") from the union of the two expanded inputs."""
@@ -157,4 +182,5 @@ def generate_pairs_link(
         gen,
         lambda batch: _empty_pairs(fields, batch, id_col),
         num_partitions=n,
+        out_schema=pair_schema(source_schema, fields, id_col),
     )

@@ -25,7 +25,7 @@ import numpy as np
 
 import ray.data
 
-__all__ = ["sorted_group_scan", "count_by_key"]
+__all__ = ["sorted_group_scan", "sort_by_key", "count_by_key"]
 
 
 def _group_slices(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -138,6 +138,37 @@ def count_by_key(
     return interior_out.union(repaired)
 
 
+def sort_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    num_partitions: int,
+    sort_keys: list[str] | None = None,
+) -> ray.data.Dataset:
+    """The shuffle half of :func:`sorted_group_scan`, exposed so callers
+    that scan the same grouping twice (e.g. the pooled linkage engine's
+    histogram pass + match pass) pay for the sort once."""
+    return ds.repartition(num_partitions).sort(sort_keys or [key]).materialize()
+
+
+def _dict_to_table(out: dict, schema) -> "object":
+    """Convert a UDF output dict to a pa.Table with EXPLICIT column types.
+
+    Without this, an output block whose string column happens to be all-null
+    (e.g. every pair in the block has a missing comparison field) gets
+    type-inferred as null/float and breaks Arrow schema unification in the
+    next shuffle.  ``from_pandas=True`` maps None/NaN to Arrow nulls.
+    """
+    import pyarrow as pa
+
+    arrays = []
+    for f in schema:
+        col = out[f.name]
+        if not isinstance(col, np.ndarray):
+            col = np.asarray(col, dtype=object)
+        arrays.append(pa.array(col, type=f.type, from_pandas=True))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
 def sorted_group_scan(
     ds: ray.data.Dataset,
     key: str,
@@ -145,15 +176,22 @@ def sorted_group_scan(
     empty_fn: Callable[[dict[str, np.ndarray]], dict],
     num_partitions: int,
     sort_keys: list[str] | None = None,
+    presorted: bool = False,
+    out_schema=None,
 ) -> ray.data.Dataset:
     """Apply ``group_fn`` per ``key``-group via sort + vectorized block scan.
 
     ``empty_fn(batch)`` must return a zero-row output dict with the UDF's
     schema (used for blocks that contain only boundary groups, so every
-    block yields a consistently-typed batch).
+    block yields a consistently-typed batch).  With ``presorted=True`` the
+    input must already be globally sorted by ``key`` (e.g. via
+    :func:`sort_by_key`) and the shuffle is skipped.  ``out_schema``
+    (pa.Schema, optional) pins output block types explicitly — required
+    when outputs carry nullable string columns that could otherwise be
+    type-inferred from an all-null block (see :func:`_dict_to_table`).
     """
     sorted_ds = (
-        ds.repartition(num_partitions).sort(sort_keys or [key]).materialize()
+        ds if presorted else sort_by_key(ds, key, num_partitions, sort_keys)
     )
 
     def interior(batch: dict[str, np.ndarray]) -> dict:
@@ -166,7 +204,20 @@ def sorted_group_scan(
             if keys[s] == first_val or keys[s] == last_val:
                 continue  # boundary group: repaired in the second pass
             parts.append(group_fn({k: v[s:e] for k, v in batch.items()}))
-        return _concat_outputs(parts) or empty_fn(batch)
+        out = _concat_outputs(parts) or empty_fn(batch)
+        return _dict_to_table(out, out_schema) if out_schema is not None else out
+
+    in_schema = None
+    try:  # materialized input -> schema() is metadata-only
+        import pyarrow as pa
+
+        s = sorted_ds.schema(fetch_if_missing=False)
+        base = getattr(s, "base_schema", None)
+        # pandas/numpy-backed datasets report a PandasBlockSchema here —
+        # only a real Arrow schema can pin types
+        in_schema = base if isinstance(base, pa.Schema) else None
+    except Exception:
+        in_schema = None
 
     def boundary_rows(batch: dict[str, np.ndarray]) -> dict:
         keys = np.asarray(batch[key])
@@ -174,7 +225,14 @@ def sorted_group_scan(
             return batch
         mask = (keys == keys[0]) | (keys == keys[-1])
         idx = np.flatnonzero(mask)
-        return {k: np.asarray(v)[idx] for k, v in batch.items()}
+        out = {k: np.asarray(v)[idx] for k, v in batch.items()}
+        # pin input types: an all-null string slice must not re-infer
+        return _dict_to_table(out, in_schema) if in_schema is not None else out
+
+    repair_fn = group_fn
+    if out_schema is not None:
+        def repair_fn(group):  # noqa: F811 - intentional wrapper
+            return _dict_to_table(group_fn(group), out_schema)
 
     interior_out = sorted_ds.map_batches(
         interior, batch_format="numpy", batch_size=None
@@ -182,6 +240,6 @@ def sorted_group_scan(
     repaired = (
         sorted_ds.map_batches(boundary_rows, batch_format="numpy", batch_size=None)
         .groupby(key)
-        .map_groups(group_fn, batch_format="numpy")
+        .map_groups(repair_fn, batch_format="numpy")
     )
     return interior_out.union(repaired)
