@@ -367,11 +367,13 @@ def _q_top_users(sf_dir: str):
             }
         )
 
-    df = agg.map_batches(proj, batch_format="pyarrow").to_pandas()
+    # distributed top-k: sort + limit stays in Ray (no driver materialization
+    # of every user's aggregate)
     return (
-        df.sort_values(["total_value_e4", "user_id"], ascending=[False, True])
-        .head(10)
-        .reset_index(drop=True)
+        agg.map_batches(proj, batch_format="pyarrow")
+        .sort(["total_value_e4", "user_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
     )
 
 
@@ -626,18 +628,22 @@ def _q_cluster_exact_dups(sf_dir: str):
     )
 
 
+def _query_vectors(sf_dir: str, n: int = 5):
+    """First n query vectors via Ray limit — never a driver read of the
+    whole embeddings table."""
+    ds = _read(sf_dir, "embeddings")
+    qdf = ds.limit(n).to_pandas()
+    queries = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in qdf["embedding"]]
+    )
+    return ds, queries, qdf["vec_id"].tolist()
+
+
 def _q_ann_topk(sf_dir: str):
     from raylink.ops.ann import ann_brute_force
 
-    df = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    qdf = df.head(5)
-    queries = np.stack([np.asarray(e, dtype=np.float64) for e in qdf["embedding"]])
-    res = ann_brute_force(
-        ray.data.from_pandas(df),
-        queries,
-        qdf["vec_id"].tolist(),
-        k=10,
-    )
+    ds, queries, qids = _query_vectors(sf_dir)
+    res = ann_brute_force(ds, queries, qids, k=10)
     res = res.copy()
     res["cosine"] = res["cosine"].round(4)
     return res[["query_id", "vec_id", "rank", "cosine"]]
@@ -649,15 +655,8 @@ def _q_ann_topk_lsh(sf_dir: str):
     construction, so no SQL oracle."""
     from raylink.ops.ann import ann_lsh
 
-    df = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    qdf = df.head(5)
-    queries = np.stack([np.asarray(e, dtype=np.float64) for e in qdf["embedding"]])
-    res = ann_lsh(
-        ray.data.from_pandas(df),
-        queries,
-        qdf["vec_id"].tolist(),
-        k=10,
-    )
+    ds, queries, qids = _query_vectors(sf_dir)
+    res = ann_lsh(ds, queries, qids, k=10)
     res = res.copy()
     res["cosine"] = res["cosine"].round(4)
     return res[["query_id", "vec_id", "rank", "cosine"]]
@@ -696,10 +695,28 @@ def _q_char_jaccard_dups(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
-    from raylink.ops.dedup import embedding_cosine_dedup
+    """Exact all-pairs cosine near-dup at a non-vacuous threshold.
+
+    0.45 returns rows at every sf (sf0.001's max off-diagonal cosine is
+    0.479, so the old 0.99 run returned zero rows and verified nothing);
+    the exact broadcast-matmul path is DuckDB-oracled, while the LSH scale
+    path (embedding_cosine_dedup) is graded by recall against this result
+    in bench.py and pytest."""
+    from raylink.ops.dedup import embedding_cosine_pairs_exact
 
     emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
-    return embedding_cosine_dedup(emb, "embedding", "vec_id", threshold=0.99)
+    out = embedding_cosine_pairs_exact(emb, "embedding", "vec_id", threshold=0.45)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t.column("id_a").cast(pa.int64()),
+                "id_b": t.column("id_b").cast(pa.int64()),
+                "cosine": pc.round(t.column("cosine"), ndigits=4),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
 
 
 def _q_transcript_dedupe(sf_dir: str):
@@ -971,6 +988,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
                    rank::BIGINT AS rank, round(cosine, 4) AS cosine
             FROM ranked WHERE rank <= 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 6) >= 0.45
         """,
         "char_jaccard_dups": """
             SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b

@@ -63,9 +63,13 @@ def gamma_exact(a, b) -> np.ndarray:
     miss = _null_mask(a) | _null_mask(b)
     out = np.full(len(a), NONMATCH, dtype=np.uint8)
     if a.dtype == object or b.dtype == object:
-        eq = np.array(
-            [x == y for x, y in zip(a, b)], dtype=bool
-        )
+        # factorize over the concatenated values (C speed), then compare
+        # int codes — no per-row Python equality loop
+        import pandas as pd
+
+        codes, _ = pd.factorize(np.concatenate([a, b]), use_na_sentinel=True)
+        n = len(a)
+        eq = codes[:n] == codes[n:]
     else:
         eq = a == b
     out[np.asarray(eq, dtype=bool) & ~miss] = MATCH2

@@ -92,23 +92,32 @@ def ann_lsh(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 11,
     n_probes: int | None = None,
 ) -> pd.DataFrame:
-    """Approximate top-k: score only vectors in the query's hyperplane sign
-    bucket and (multi-probe) its Hamming-1 neighbor buckets — without the
-    extra probes a bucket holds ~N/2^planes vectors, usually fewer than k.
-    Same output schema as :func:`ann_brute_force`."""
+    """Approximate top-k: score only vectors sharing a hyperplane sign
+    bucket (or a Hamming-1 neighbor bucket) with the query in ANY of
+    ``n_tables`` independent hash tables — the classic multi-table LSH
+    recall lever: each table's probes cover ~(1+n_planes)/2^n_planes of the
+    space, but coverage is proximity-correlated, so the union's recall
+    grows much faster than its cost.  Same output schema as
+    :func:`ann_brute_force`."""
     qm = _normalize(_as_matrix(queries))
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((qm.shape[1], n_planes))
-    q_keys = _bucket_keys(qm, planes)
+    planes = [
+        rng.standard_normal((qm.shape[1], n_planes)) for _ in range(n_tables)
+    ]
     if n_probes is None:
         n_probes = 1 + n_planes  # exact bucket + all Hamming-1 flips
-    probe_keys = []
-    for qk in q_keys:
-        ks = [qk] + [qk ^ (1 << b) for b in range(n_planes)]
-        probe_keys.append(np.array(sorted(set(ks[:n_probes])), dtype=np.int64))
+    probe_keys = []  # per table: (Q, n_probes) arrays
+    for t in range(n_tables):
+        q_keys = _bucket_keys(qm, planes[t])
+        per_q = []
+        for qk in q_keys:
+            ks = [qk] + [qk ^ (1 << b) for b in range(n_planes)]
+            per_q.append(np.array(sorted(set(ks[:n_probes])), dtype=np.int64))
+        probe_keys.append(per_q)
     state = {"planes": planes, "qm": qm, "probe_keys": probe_keys}
     s_ref = ray.put(state)
 
@@ -116,10 +125,14 @@ def ann_lsh(
         st = ray.get(s_ref)
         emb = _normalize(_as_matrix(batch.column(emb_col).to_pylist()))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        keys = _bucket_keys(emb, st["planes"])
+        keys = [_bucket_keys(emb, p) for p in st["planes"]]
+        n_q = len(st["qm"])
         out_q, out_id, out_sim = [], [], []
-        for qi, pk in enumerate(st["probe_keys"]):
-            rows = np.flatnonzero(np.isin(keys, pk))
+        for qi in range(n_q):
+            cand = np.zeros(len(emb), dtype=bool)
+            for t in range(len(keys)):
+                cand |= np.isin(keys[t], st["probe_keys"][t][qi])
+            rows = np.flatnonzero(cand)
             if len(rows) == 0:
                 continue
             sims = emb[rows] @ st["qm"][qi]

@@ -42,6 +42,7 @@ __all__ = [
     "simhash_dedup",
     "ngram_jaccard_dedup",
     "embedding_cosine_dedup",
+    "embedding_cosine_pairs_exact",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -72,29 +73,63 @@ def _default_partitions() -> int:
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, col: str, id_col: str
+    ds: ray.data.Dataset,
+    col: str,
+    id_col: str,
+    driver_threshold: int = 20_000_000,
 ) -> ray.data.Dataset:
     """Exact duplicate groups by ``col``: one row per distinct value with the
-    kept (minimum) id and the duplicate count.  Hash-partitioned groupby —
-    the canonical 'exact dedup = hash partition + per-group first' shape."""
-    from ray.data.aggregate import AggregateFn  # noqa: F401  (doc pointer)
+    kept (minimum) id and the duplicate count.
 
-    grouped = ds.groupby(col).aggregate(
-        _min_agg(id_col), _count_agg()
-    )
-    return grouped
+    The canonical 'exact dedup = hash partition + per-group first' shape,
+    realized as per-block (min, count) PARTIALS + a merge — Ray's sort-based
+    row aggregate burns ~100us/row in Python merge code, while the partials
+    (one row per distinct value per block) are orders of magnitude fewer.
+    Small partial sets merge on the driver; larger ones shuffle ONLY the
+    partials through a sorted-run scan.
+    """
+    keep_col = f"keep_{id_col}"
 
+    def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        df = pd.DataFrame({col: batch[col], id_col: batch[id_col]})
+        g = df.groupby(col, dropna=False, sort=False)[id_col].agg(["min", "size"])
+        return {
+            col: np.asarray(g.index.to_numpy(), dtype=object),
+            keep_col: g["min"].to_numpy(),
+            "n_dups": g["size"].to_numpy().astype(np.int64),
+        }
 
-def _min_agg(col: str):
-    from ray.data.aggregate import Min
+    partials = ds.select_columns([col, id_col]).map_batches(
+        partial, batch_format="numpy", batch_size=None
+    ).materialize()
+    if partials.count() <= driver_threshold:
+        df = partials.to_pandas()
+        g = (
+            df.groupby(col, dropna=False, sort=False)
+            .agg(**{keep_col: (keep_col, "min"), "n_dups": ("n_dups", "sum")})
+            .reset_index()
+        )
+        return ray.data.from_pandas(g)
 
-    return Min(col, alias_name=f"keep_{col}")
+    # at-scale: shuffle only the partials; merge runs via sorted-run scan
+    from ..stages.sortedrun import sorted_group_scan
 
+    def merge(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return {
+            col: np.asarray(group[col])[:1],
+            keep_col: np.asarray([np.min(group[keep_col])]),
+            "n_dups": np.asarray([np.sum(group["n_dups"])], dtype=np.int64),
+        }
 
-def _count_agg():
-    from ray.data.aggregate import Count
+    def empty(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return {
+            col: np.asarray(batch[col])[:0],
+            keep_col: np.asarray(batch[keep_col])[:0],
+            "n_dups": np.empty(0, dtype=np.int64),
+        }
 
-    return Count(alias_name="n_dups")
+    n_part = _default_partitions()
+    return sorted_group_scan(partials, col, merge, empty, num_partitions=n_part)
 
 
 # --------------------------------------------------------------------------
@@ -156,11 +191,16 @@ def _bucket_pairs(
     payload_col: str | None,
     bucket_cols: list[str],
     cap: int = 2000,
+    carry_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
-    """Triangle pairs within each bucket (groupby shuffle + vectorized emit).
+    """Triangle pairs within each bucket (sorted-run scan + vectorized emit).
 
     Buckets larger than ``cap`` are truncated to their ``cap`` smallest ids
     and flagged via the ``truncated`` column (explicit, never silent).
+    Runs through :func:`raylink.stages.sortedrun.sorted_group_scan` — the
+    bucket columns hash into one scan key — because ``groupby.map_groups``
+    costs ~300us/group of slicing machinery and dedup corpora have many
+    tiny buckets.
     """
 
     def gen(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -175,6 +215,8 @@ def _bucket_pairs(
             pl = np.asarray(group[payload_col])
             out_empty["payload_a"] = pl[:0]
             out_empty["payload_b"] = pl[:0]
+        for c in carry_cols or []:
+            out_empty[c] = np.asarray(group[c])[:0]
         n = len(ids)
         if n < 2:
             return out_empty
@@ -194,9 +236,33 @@ def _bucket_pairs(
             pl = np.asarray(group[payload_col])
             out["payload_a"] = pl[order[ia]]
             out["payload_b"] = pl[order[ib]]
+        for c in carry_cols or []:
+            # group-constant columns (e.g. which LSH table emitted this
+            # bucket) survive onto the pair rows
+            out[c] = np.full(len(ia), np.asarray(group[c])[0])
         return out
 
-    return buckets.groupby(bucket_cols).map_groups(gen, batch_format="numpy")
+    from ..functions.hashing import combine_hashes, hash64_array
+    from ..stages.sortedrun import sorted_group_scan
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h = None
+        for c in bucket_cols:
+            col = batch.column(c).to_numpy(zero_copy_only=False)
+            hk = hash64_array(col)
+            h = hk if h is None else combine_hashes(h, hk)
+        key = (np.asarray(h, dtype=np.uint64) & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        return batch.append_column("_scan_key", pa.array(key, type=pa.int64()))
+
+    keyed = buckets.map_batches(add_key, batch_format="pyarrow")
+    n_part = max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    return sorted_group_scan(
+        keyed,
+        "_scan_key",
+        gen,
+        lambda batch: gen({k: np.asarray(v)[:0] for k, v in batch.items()}),
+        num_partitions=n_part,
+    )
 
 
 def minhash_lsh_dedup(
@@ -530,61 +596,101 @@ def embedding_cosine_dedup(
     emb_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int | None = None,
+    n_tables: int = 4,
     seed: int = 7,
     bucket_cap: int = 4000,
     dim: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs by cosine similarity over an embedding column.
 
-    Random-hyperplane LSH: bucket = sign pattern of ``n_planes`` projections
-    (collision probability ``(1 - theta/pi)^n``); exact cosine verify inside
-    buckets.  The scale path — brute force within buckets only.
+    Multi-table random-hyperplane LSH: each of ``n_tables`` independent
+    tables buckets vectors by the sign pattern of ``n_planes`` projections;
+    exact cosine verify inside buckets; a pair is charged to its FIRST
+    shared table only (the first-band-wins rule minhash/simhash already
+    use), so no distinct-pairs shuffle is needed.  ``n_planes`` defaults to
+    the value that gives ~50% per-table collision at ``threshold``
+    (p = 1 - arccos(threshold)/pi per plane; n = log(0.5)/log(p)), so
+    recall across T tables is ~1 - 0.5^T.  The scale path — brute force
+    within buckets only.
     """
-    state: dict = {}
+    if n_planes is None:
+        p = 1.0 - np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi
+        n_planes = int(max(4, min(16, round(np.log(0.5) / np.log(max(p, 0.55))))))
+    rng = np.random.default_rng(seed)
+    state: dict = {"planes": None}
 
     def bucket(batch: pa.Table) -> pa.Table:
         emb = np.stack(
             [np.asarray(e, dtype=np.float64) for e in batch.column(emb_col).to_pylist()]
         )
-        if "planes" not in state:
-            rng = np.random.default_rng(seed)
-            state["planes"] = rng.standard_normal((emb.shape[1], n_planes))
-        signs = (emb @ state["planes"]) > 0
-        key = np.zeros(len(emb), dtype=np.int64)
-        for p in range(n_planes):
-            key |= signs[:, p].astype(np.int64) << p
+        if state["planes"] is None:
+            r = np.random.default_rng(seed)
+            state["planes"] = [
+                r.standard_normal((emb.shape[1], n_planes))
+                for _ in range(n_tables)
+            ]
+        n = len(emb)
+        keys = np.empty((n, n_tables), dtype=np.int64)
+        for t, pl in enumerate(state["planes"]):
+            signs = (emb @ pl) > 0
+            k = np.zeros(n, dtype=np.int64)
+            for b in range(n_planes):
+                k |= signs[:, b].astype(np.int64) << b
+            keys[:, t] = k
         norm = np.linalg.norm(emb, axis=1)
         norm[norm == 0] = 1.0
-        unit = emb / norm[:, None]
+        unit = (emb / norm[:, None]).astype(np.float32)
+        # payload = all table keys (int64 x T) || unit vector (float32 x d):
+        # the pair stage needs both sides' full key vectors for the
+        # first-shared-table filter
+        payloads = [
+            keys[i].tobytes() + unit[i].tobytes() for i in range(n)
+        ]
+        # replicate each record into its bucket row per table
+        out_id, out_tab, out_key, out_pl = [], [], [], []
+        for t in range(n_tables):
+            out_tab.append(np.full(n, t, dtype=np.int8))
+            out_key.append(keys[:, t])
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                id_col: batch.column(id_col),
-                "bucket": pa.array(key, type=pa.int64()),
-                "unit": pa.array(
-                    [u.astype(np.float32).tobytes() for u in unit], type=pa.binary()
-                ),
+                id_col: pa.array(np.tile(ids, n_tables)),
+                "_table": pa.array(np.concatenate(out_tab), type=pa.int8()),
+                "bucket": pa.array(np.concatenate(out_key), type=pa.int64()),
+                "unit": pa.array(payloads * n_tables, type=pa.binary()),
             }
         )
 
     bucketed = ds.map_batches(bucket, batch_format="pyarrow")
-    cand = _bucket_pairs(bucketed, id_col, "unit", ["bucket"], cap=bucket_cap)
+    cand = _bucket_pairs(
+        bucketed, id_col, "unit", ["_table", "bucket"], cap=bucket_cap,
+        carry_cols=["_table"],
+    )
+    key_bytes = 8 * n_tables
 
     def verify(batch: pa.Table) -> pa.Table:
         ua = batch.column("payload_a").to_pylist()
         ub = batch.column("payload_b").to_pylist()
-        sim = np.array(
-            [
-                float(
-                    np.dot(
-                        np.frombuffer(x, dtype=np.float32),
-                        np.frombuffer(y, dtype=np.float32),
-                    )
+        n = len(ua)
+        sim = np.empty(n, dtype=np.float64)
+        first_shared = np.empty(n, dtype=np.int64)
+        for i, (x, y) in enumerate(zip(ua, ub)):
+            ka = np.frombuffer(x[:key_bytes], dtype=np.int64)
+            kb = np.frombuffer(y[:key_bytes], dtype=np.int64)
+            shared = np.flatnonzero(ka == kb)
+            first_shared[i] = shared[0] if len(shared) else -1
+            sim[i] = float(
+                np.dot(
+                    np.frombuffer(x[key_bytes:], dtype=np.float32),
+                    np.frombuffer(y[key_bytes:], dtype=np.float32),
                 )
-                for x, y in zip(ua, ub)
-            ]
-        )
-        keep = sim >= threshold
+            )
+        # a pair appears in every shared table\'s bucket; keep it ONLY in
+        # the FIRST shared table (the first-band-wins rule — exactly-once
+        # emission with no distinct-pairs shuffle)
+        table = batch.column("_table").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (sim >= threshold) & (first_shared == table)
         sub = batch.take(pa.array(np.flatnonzero(keep)))
         return pa.table(
             {
@@ -595,3 +701,69 @@ def embedding_cosine_dedup(
         )
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def embedding_cosine_pairs_exact(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    id_col: str,
+    threshold: float,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """EXACT all-pairs cosine near-duplicates (small-table verification path).
+
+    Broadcasts the full (unit-normalized) embedding matrix once via
+    ``ray.put`` and runs one matmul per input block against it — O(N^2 d)
+    but fully vectorized and shuffle-free.  Guarded by ``broadcast_limit``
+    rows: beyond that use :func:`embedding_cosine_dedup` (LSH buckets), the
+    scale path.  Returns (id_a, id_b, cosine) for id_a < id_b with
+    ``cosine >= threshold``.
+    """
+    mat_parts, id_parts = [], []
+    for b in ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        id_parts.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        mat_parts.append(
+            np.stack([np.asarray(e, dtype=np.float64) for e in b.column(emb_col).to_pylist()])
+        )
+    ids = np.concatenate(id_parts)
+    mat = np.concatenate(mat_parts)
+    if len(ids) > broadcast_limit:
+        raise ValueError(
+            f"{len(ids)} rows exceed the exact-path broadcast limit "
+            f"({broadcast_limit}); use embedding_cosine_dedup (LSH)"
+        )
+    norm = np.linalg.norm(mat, axis=1)
+    norm[norm == 0] = 1.0
+    unit = mat / norm[:, None]
+    order = np.argsort(ids, kind="stable")
+    ids, unit = ids[order], unit[order]
+    ref = ray.put((ids, unit))
+    n = len(ids)
+    chunk = max(1, 4_000_000 // max(n, 1))
+    starts = list(range(0, n, chunk))
+    import ray.data as rd
+
+    def score(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        all_ids, all_unit = ray.get(ref)
+        out_a, out_b, out_c = [], [], []
+        for s0 in np.asarray(batch["id"], dtype=np.int64):
+            s0 = int(s0)
+            rows = slice(s0, min(s0 + chunk, n))
+            sims = all_unit[rows] @ all_unit.T
+            ri, ci = np.nonzero(np.round(sims, 6) >= threshold)
+            keep = (ri + s0) < ci  # strict upper triangle: id_a < id_b
+            ri, ci = ri[keep], ci[keep]
+            out_a.append(all_ids[ri + s0])
+            out_b.append(all_ids[ci])
+            out_c.append(sims[ri, ci])
+        return {
+            "id_a": np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64),
+            "id_b": np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64),
+            "cosine": np.concatenate(out_c) if out_c else np.empty(0, dtype=np.float64),
+        }
+
+    return rd.from_items(
+        [{"id": s} for s in starts], override_num_blocks=len(starts)
+    ).map_batches(score, batch_format="numpy", batch_size=None)

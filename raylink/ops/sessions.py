@@ -1,8 +1,12 @@
 """Event sessionization — a windowed aggregate the reference lacks.
 
-Splits each user's event stream into sessions at inactivity gaps larger than
-``gap``: one ``groupby(user)`` shuffle, vectorized per-group cumsum of
-gap indicators (the same assembly pattern as conversations).
+Splits each user's event stream into sessions at inactivity gaps larger
+than ``gap``: one sort shuffle, then a vectorized per-group cumsum of gap
+indicators.  Runs through ``sorted_group_scan`` (sort + block scan +
+boundary repair) rather than ``groupby().map_groups`` — at 10^9 users the
+~300us/group slicing tax of map_groups dominates the work (the same
+measurement that drove the assembly stage's design,
+raylink/stages/sortedrun.py).
 """
 
 from __future__ import annotations
@@ -10,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 
 import ray.data
+
+from ..stages.sortedrun import sorted_group_scan
 
 __all__ = ["sessionize"]
 
@@ -54,4 +60,20 @@ def sessionize(
             out["sum_value"] = sums
         return out
 
-    return events.groupby(user_col).map_groups(fn, batch_format="numpy")
+    def empty(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out = {
+            user_col: np.asarray(batch[user_col])[:0],
+            "session_idx": np.empty(0, dtype=np.int64),
+            "n_events": np.empty(0, dtype=np.int64),
+            "ts_start": np.empty(0, dtype=np.int64),
+            "ts_end": np.empty(0, dtype=np.int64),
+            "duration_s": np.empty(0, dtype=np.float64),
+        }
+        if value_col is not None and value_col in batch:
+            out["sum_value"] = np.empty(0, dtype=np.float64)
+        return out
+
+    import ray
+
+    n_part = max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    return sorted_group_scan(events, user_col, fn, empty, num_partitions=n_part)

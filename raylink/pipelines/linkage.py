@@ -254,7 +254,12 @@ def dedupe_records(
     records = records.select_columns(
         list(dict.fromkeys([id_col, *leaf_fields, "block_key"]))
     )
-    tf_vars = [v for v in config.leaf_vars() if v.tf_adjust]
+    # case-normalize ONCE on records (O(records)), not per pair row in the
+    # scorer (O(pairs), both sides)
+    from ..stages.scoring import normalize_upper
+
+    records, scored_vars = normalize_upper(records, config.leaf_vars())
+    tf_vars = [v for v in scored_vars if v.tf_adjust]
     if tf_vars:
         records = add_tf_columns(records, tf_vars, n)
     records = records.materialize()
@@ -265,7 +270,7 @@ def dedupe_records(
     counters["dropped_blocks"] = bcount.n_dropped_blocks
     counters["dropped_rows"] = bcount.dropped_rows
 
-    leaf_vars = config.leaf_vars()
+    leaf_vars = scored_vars
     fields = [v.name for v in leaf_vars]
     tf_cols = [f"tf_{v.name}" for v in tf_vars]
     # singleton blocks generate no pairs — drop them before the pair shuffle
@@ -375,6 +380,12 @@ def link_records(
     db = blocking_stage.derive_block_keys(records_b, keys).select_columns(
         list(dict.fromkeys([id_b_col, *fields, "block_key"]))
     )
+    # case-normalize ONCE per table, not per pair row in the scorer
+    from ..stages.scoring import normalize_upper
+
+    da, leaf_vars = normalize_upper(da, leaf_vars)
+    db, _ = normalize_upper(db, config.leaf_vars())
+    tf_vars = [v for v in leaf_vars if v.tf_adjust]
     if tf_vars:
         # per-table frequency tables (the reference's tf_table_x / tf_table_y)
         da = add_tf_columns(da, tf_vars, n_a)

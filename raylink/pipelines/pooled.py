@@ -31,8 +31,8 @@ design re-expressed Ray-Data-first:
    materialized, only streamed.
 
 Scale assumptions (documented per the custom-operator rule): per-variable
-distinct counts must satisfy ``n_a * n_b <= lut_max_cells`` (default 64M,
-i.e. a 64 MB uint8 LUT — broadcast once, read zero-copy by every task).
+distinct counts must satisfy ``n_a * n_b <= lut_max_cells`` (default 256M,
+i.e. a 256 MB uint8 LUT — broadcast once, read zero-copy by every task).
 High-cardinality free-text comparators (token_lv over transcripts) are NOT
 poolable; :func:`poolable` reports False and callers fall back to the
 row-pair scoring engine (:mod:`raylink.stages.scoring`).
@@ -73,9 +73,10 @@ __all__ = [
     "pooled_pattern_histogram",
 ]
 
-#: Max cells in one gamma LUT (uint8 bytes).  64M = one 64 MB broadcast
-#: object; beyond this the pooled engine refuses (fallback: row scoring).
-DEFAULT_LUT_MAX_CELLS = 64_000_000
+#: Max cells in one gamma LUT (uint8 bytes).  256M = one 256 MB broadcast
+#: object (put once, read zero-copy from the object store by every task);
+#: beyond this the pooled engine refuses (fallback: row scoring).
+DEFAULT_LUT_MAX_CELLS = 256_000_000
 #: Max distinct values per side per variable before the pooled assumption
 #: is considered violated.
 DEFAULT_MAX_DISTINCT = 1_000_000
@@ -93,39 +94,61 @@ def poolable(variables: list[VarConfig]) -> bool:
 # factorization
 
 
-def _distinct_values(ds: ray.data.Dataset, col: str, cap: int) -> np.ndarray:
-    """Distinct non-null values of ``col`` (sorted object array).
+def _distinct_values_multi(
+    ds: ray.data.Dataset, cols: list[str], cap: int
+) -> dict[str, np.ndarray]:
+    """Distinct non-null values of every column in ``cols``, ONE pass.
 
-    Per-block ``unique`` partials stream to the driver; the union is bounded
-    by the pooled-cardinality assumption (checked against ``cap``).
+    Per-block ``unique`` partials for all columns stream to the driver
+    together (one Dataset execution, not one per column); the union is
+    bounded by the pooled-cardinality assumption (checked against ``cap``).
     """
+    if not cols:
+        return {}
 
     def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        vals = pd.Series(batch[col]).dropna().unique()
-        return {col: np.asarray(vals, dtype=object)}
+        out: dict[str, np.ndarray] = {}
+        width = 0
+        for c in cols:
+            vals = pd.Series(batch[c]).dropna().unique()
+            out[c] = np.asarray(vals, dtype=object)
+            width = max(width, len(out[c]))
+        # pad to a rectangle (None pads drop out at the union)
+        for c in cols:
+            if len(out[c]) < width:
+                out[c] = np.concatenate(
+                    [out[c], np.full(width - len(out[c]), None, dtype=object)]
+                )
+        return out
 
-    parts: list[np.ndarray] = []
+    parts: dict[str, list[np.ndarray]] = {c: [] for c in cols}
     seen = 0
-    uniq_ds = ds.select_columns([col]).map_batches(
+    uniq_ds = ds.select_columns(cols).map_batches(
         partial, batch_format="numpy", batch_size=None
     )
     for b in uniq_ds.iter_batches(batch_size=1_000_000, batch_format="numpy"):
-        parts.append(np.asarray(b[col], dtype=object))
-        seen += len(parts[-1])
-        if seen > 50 * cap:  # early abort on clearly-unbounded columns
+        for c in cols:
+            arr = np.asarray(b[c], dtype=object)
+            parts[c].append(arr)
+            seen += len(arr)
+        if seen > 50 * cap * len(cols):  # early abort on unbounded columns
             raise ValueError(
-                f"column {col!r} exceeds the pooled cardinality budget "
+                f"columns {cols} exceed the pooled cardinality budget "
                 f"({seen}+ partial-distinct values; cap {cap})"
             )
-    if not parts:
-        return np.empty(0, dtype=object)
-    vals = pd.unique(np.concatenate(parts))
-    if len(vals) > cap:
-        raise ValueError(
-            f"column {col!r} has {len(vals)} distinct values; pooled engine "
-            f"cap is {cap}"
-        )
-    return np.sort(np.asarray(vals, dtype=object))
+    out_vals: dict[str, np.ndarray] = {}
+    for c in cols:
+        if not parts[c]:
+            out_vals[c] = np.empty(0, dtype=object)
+            continue
+        vals = pd.Series(np.concatenate(parts[c])).dropna().unique()
+        if len(vals) > cap:
+            raise ValueError(
+                f"column {c!r} has {len(vals)} distinct values; pooled "
+                f"engine cap is {cap}"
+            )
+        out_vals[c] = np.sort(np.asarray(vals, dtype=object))
+    return out_vals
 
 
 def _add_code_columns(
@@ -158,83 +181,108 @@ def _add_code_columns(
 # gamma LUTs
 
 
-def _build_gamma_lut(
-    vals_a: np.ndarray,
-    vals_b: np.ndarray,
-    v: VarConfig,
+def _build_gamma_luts(
+    jobs: list[tuple[np.ndarray, np.ndarray, VarConfig]],
     cells_per_task: int = 2_000_000,
-) -> np.ndarray:
-    """(n_a+1, n_b+1) uint8 gamma LUT for one string variable, distributed.
+) -> list[np.ndarray]:
+    """(n_a+1, n_b+1) uint8 gamma LUTs for the given string variables,
+    built by ONE distributed sweep over every job's unique-pair grid.
 
-    Row i / column j hold gamma(vals_a[i], vals_b[j]); the padding row and
-    column (index -1 remapped to n) hold MISSING.  The unique-pair sweep is
-    a Ray Dataset over A-value row ranges — the string-distance kernel work
-    (the expensive part) fans out across the cluster; the finished LUT is
-    n_a*n_b bytes on the driver.
+    Row i / column j of LUT k hold gamma(vals_a[i], vals_b[j]) for job k;
+    the padding row and column (code -1 remapped to n) hold MISSING.  All
+    jobs' row-chunks interleave in a single Dataset execution — the
+    per-execution fixed cost (startup, scheduling) is paid once however
+    many variables the config has, which matters for scaling at low
+    parallelism.  Each finished LUT is n_a*n_b bytes on the driver.
     """
-    na, nb = len(vals_a), len(vals_b)
-    lut = np.full((na + 1, nb + 1), MISSING, dtype=np.uint8)
-    if na == 0 or nb == 0:
-        return lut
-    if v.upper:
-        vals_a = np.array([s.upper() for s in vals_a], dtype=object)
-        vals_b = np.array([s.upper() for s in vals_b], dtype=object)
-    method, w, cut_a, cut_b, partial = (
-        v.distmethod,
-        v.w,
-        float(v.cut_a),
-        float(v.cut_b),
-        v.partial,
-    )
-    if method == "jw":
-        # encode each pool ONCE; every task reuses the code matrices and
-        # char bitmasks (bound-pruned grid kernel) — zero per-pair Python
-        enc_a, len_a = encode_strings(list(vals_a))
-        enc_b, len_b = encode_strings(list(vals_b))
-        if enc_a.dtype != enc_b.dtype:
-            enc_a = enc_a.astype(np.uint32)
-            enc_b = enc_b.astype(np.uint32)
-        vals_ref = ray.put(
-            (enc_a, len_a, char_bitmask(enc_a), enc_b, len_b, char_bitmask(enc_b))
+    luts = [
+        np.full((len(va) + 1, len(vb) + 1), MISSING, dtype=np.uint8)
+        for va, vb, _ in jobs
+    ]
+    items: list[dict] = []
+    payloads = []
+    params = []
+    for j, (vals_a, vals_b, v) in enumerate(jobs):
+        na, nb = len(vals_a), len(vals_b)
+        params.append(
+            {
+                "method": v.distmethod,
+                "w": v.w,
+                "cut_a": float(v.cut_a),
+                "cut_b": float(v.cut_b),
+                "partial": v.partial,
+                "nb": nb,
+            }
         )
-    else:
-        vals_ref = ray.put((vals_a, vals_b))
-    rows_per_task = max(1, cells_per_task // nb)
-    n_blocks = math.ceil(na / rows_per_task)
-    #: grid cells per inner kernel call (bounds the (chunk, nb) temporaries)
-    inner_chunk_rows = max(1, 2_000_000 // nb)
-    prune_below = float(cut_b if partial else cut_a)
+        if na == 0 or nb == 0:
+            payloads.append(None)
+            continue
+        if v.upper:
+            vals_a = np.array([s.upper() for s in vals_a], dtype=object)
+            vals_b = np.array([s.upper() for s in vals_b], dtype=object)
+        if v.distmethod == "jw":
+            # encode each pool ONCE; every task reuses the code matrices
+            # and char bitmasks (bound-pruned grid kernel) — zero per-pair
+            # Python anywhere
+            enc_a, len_a = encode_strings(list(vals_a))
+            enc_b, len_b = encode_strings(list(vals_b))
+            if enc_a.dtype != enc_b.dtype:
+                enc_a = enc_a.astype(np.uint32)
+                enc_b = enc_b.astype(np.uint32)
+            payloads.append(
+                (enc_a, len_a, char_bitmask(enc_a), enc_b, len_b, char_bitmask(enc_b))
+            )
+        else:
+            payloads.append((vals_a, vals_b))
+        rows_per_task = max(1, cells_per_task // nb)
+        for s in range(0, na, rows_per_task):
+            items.append({"job": j, "start": s, "end": min(s + rows_per_task, na)})
+    if not items:
+        return luts
+    payloads_ref = ray.put(payloads)
 
-    def score_rows(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        ia = np.asarray(batch["id"], dtype=np.int64)
-        if method == "jw":
-            ea, la, ma, eb, lb, mb = ray.get(vals_ref)
+    def score_item(job: int, start: int, end: int) -> np.ndarray:
+        pl = ray.get(payloads_ref)[job]
+        p = params[job]
+        nb = p["nb"]
+        ia = np.arange(start, end, dtype=np.int64)
+        if p["method"] == "jw":
+            ea, la, ma, eb, lb, mb = pl
+            prune_below = float(p["cut_b"] if p["partial"] else p["cut_a"])
+            inner = max(1, 2_000_000 // nb)  # bounds (chunk, nb) temporaries
             g_out = np.empty((len(ia), nb), dtype=np.uint8)
-            for c0 in range(0, len(ia), inner_chunk_rows):
-                rows = ia[c0 : c0 + inner_chunk_rows]
+            for c0 in range(0, len(ia), inner):
+                rows = ia[c0 : c0 + inner]
                 sims = jaro_winkler_grid(
-                    ea, la, ma, eb, lb, mb, rows, p=w, prune_below=prune_below
+                    ea, la, ma, eb, lb, mb, rows, p=p["w"], prune_below=prune_below
                 )
                 g_out[c0 : c0 + len(rows)] = gamma_from_similarity(
-                    sims.ravel(), cut_a=cut_a, cut_b=cut_b, partial=partial
+                    sims.ravel(), cut_a=p["cut_a"], cut_b=p["cut_b"],
+                    partial=p["partial"],
                 ).reshape(len(rows), nb)
-            return {"ia": ia, "gamma_row": g_out}
-        va, vb = ray.get(vals_ref)
-        A = np.repeat(va[ia], len(vb))
+            return g_out
+        va, vb = pl
+        A = np.repeat(va[ia], nb)
         B = np.tile(vb, len(ia))
-        sims = similarity_pairs(A, B, method=method, w=w)
-        g = gamma_from_similarity(sims, cut_a=cut_a, cut_b=cut_b, partial=partial)
-        return {"ia": ia, "gamma_row": g.reshape(len(ia), len(vb))}
+        sims = similarity_pairs(A, B, method=p["method"], w=p["w"])
+        return gamma_from_similarity(
+            sims, cut_a=p["cut_a"], cut_b=p["cut_b"], partial=p["partial"]
+        ).reshape(len(ia), nb)
 
-    swept = ray.data.range(na, override_num_blocks=n_blocks).map_batches(
-        score_rows, batch_format="numpy", batch_size=rows_per_task
+    # plain Ray tasks, not a Dataset: the sweep is a scatter-compute-gather
+    # onto a driver-side matrix — Dataset block machinery adds seconds of
+    # fixed overhead here with no streaming benefit (results are consumed
+    # whole, immediately, by the driver)
+    score_task = ray.remote(
+        lambda j, s, e: score_item(j, s, e)
     )
-    for b in swept.iter_batches(batch_size=None, batch_format="numpy"):
-        ia = np.asarray(b["ia"], dtype=np.int64)
-        lut[ia, :nb] = np.asarray(b["gamma_row"], dtype=np.uint8)
-    lut[na, :] = MISSING
-    lut[:, nb] = MISSING
-    return lut
+    refs = [
+        score_task.remote(it["job"], it["start"], it["end"]) for it in items
+    ]
+    for it, g in zip(items, ray.get(refs)):
+        j, s, e = it["job"], it["start"], it["end"]
+        luts[j][s:e, : params[j]["nb"]] = g
+    return luts
 
 
 @dataclass
@@ -259,9 +307,12 @@ def _prepare_pooled_vars(
     lut_max_cells: int,
 ) -> list[_PooledVar]:
     """Build the per-var specs; string vars with identical (dicts, method,
-    cuts) share one LUT (the reference recomputes these — a pure win)."""
+    cuts) share one LUT (the reference recomputes these — a pure win).  All
+    distinct LUTs are built by ONE distributed sweep (:func:`_build_gamma_luts`)."""
     specs: list[_PooledVar] = []
-    lut_cache: dict[tuple, np.ndarray] = {}
+    lut_jobs: list[tuple[np.ndarray, np.ndarray, VarConfig]] = []
+    job_of_key: dict[tuple, int] = {}
+    pending: list[tuple[int, int]] = []  # (spec index, job index)
     for k, v in enumerate(leaf_vars):
         bit = BITS_PER_VAR * k
         if v.kernel == "exact":
@@ -304,22 +355,26 @@ def _prepare_pooled_vars(
                 hash(tuple(va)),
                 hash(tuple(vb)),
             )
-            lut = lut_cache.get(key)
-            if lut is None:
-                lut = _build_gamma_lut(va, vb, v)
-                lut_cache[key] = lut
+            if key not in job_of_key:
+                job_of_key[key] = len(lut_jobs)
+                lut_jobs.append((va, vb, v))
+            pending.append((len(specs), job_of_key[key]))
             specs.append(
                 _PooledVar(
                     name=v.name,
                     kind="lut",
                     bit=bit,
-                    lut=lut,
+                    lut=None,  # filled below
                     na=len(va),
                     nb=len(vb),
                 )
             )
         else:  # pragma: no cover - guarded by poolable()
             raise ValueError(f"variable {v.name!r} is not poolable ({v.kernel})")
+    if lut_jobs:
+        luts = _build_gamma_luts(lut_jobs)
+        for spec_idx, job_idx in pending:
+            specs[spec_idx].lut = luts[job_idx]
     return specs
 
 
@@ -336,39 +391,70 @@ def _pair_patterns(
 ) -> np.ndarray:
     """Packed pattern keys for the cross product rows ``ia`` x ``ib_all``.
 
-    Returns an (len(ia), len(ib_all)) int64 matrix of pattern keys.  All
-    per-variable work is LUT gathers / broadcast compares — no Python per
-    pair.
+    Returns an (len(ia), len(ib_all)) matrix of pattern keys — uint16 when
+    every variable's bits fit (the common case; 4x less write traffic than
+    int64 on a gather-bound scan), int64 beyond.  All per-variable work is
+    LUT gathers / broadcast compares — no Python per pair.  Variables whose
+    inputs are bit-identical (same LUT object + same code slices, e.g. a
+    column compared twice under two names) are gathered ONCE and shifted
+    into both bit positions.
     """
     m, n = len(ia), len(ib_all)
-    keys = np.zeros((m, n), dtype=np.int64)
+    max_bit = max((s.bit for s in specs), default=0) + BITS_PER_VAR
+    dtype = np.uint16 if max_bit <= 16 else np.int64
+    # one (gamma matrix, bit multiplier) entry per UNIQUE computation:
+    # duplicated variables accumulate their bit weights onto one gather
+    groups: dict[tuple, list] = {}
     for s in specs:
         if s.kind == "lut":
             ca = cols_a[f"c_{s.name}"][ia].astype(np.int64)
             cb = cols_b[f"c_{s.name}"][ib_all].astype(np.int64)
-            ca = np.where(ca < 0, s.na, ca)
-            cb = np.where(cb < 0, s.nb, cb)
-            g = s.lut[ca[:, None], cb[None, :]]
+            sig = ("lut", id(s.lut), ca.tobytes(), cb.tobytes())
+            if sig not in groups:
+                ca = np.where(ca < 0, s.na, ca)
+                cb = np.where(cb < 0, s.nb, cb)
+                groups[sig] = [s.lut[ca[:, None], cb[None, :]], 0]
         elif s.kind == "exact":
             ca = cols_a[f"c_{s.name}"][ia]
             cb = cols_b[f"c_{s.name}"][ib_all]
-            eq = ca[:, None] == cb[None, :]
-            g = np.where(eq, MATCH2, NONMATCH).astype(np.uint8)
-            miss = (ca[:, None] < 0) | (cb[None, :] < 0)
-            g[miss] = MISSING
+            sig = ("exact", ca.tobytes(), cb.tobytes())
+            if sig not in groups:
+                eq = ca[:, None] == cb[None, :]
+                g = np.where(eq, MATCH2, NONMATCH).astype(np.uint8)
+                miss = (ca[:, None] < 0) | (cb[None, :] < 0)
+                g[miss] = MISSING
+                groups[sig] = [g, 0]
         else:  # numeric
             va = np.asarray(cols_a[s.name][ia], dtype=np.float64)
             vb = np.asarray(cols_b[s.name][ib_all], dtype=np.float64)
-            d = np.abs(va[:, None] - vb[None, :])
-            g = np.full((m, n), NONMATCH, dtype=np.uint8)
-            with np.errstate(invalid="ignore"):
-                if s.partial:
-                    g[d <= s.cut_b] = MATCH1
-                    g[d <= s.cut_a] = MATCH2
-                else:
-                    g[d < s.cut_a] = MATCH2
-            g[np.isnan(d)] = MISSING
-        keys |= g.astype(np.int64) << np.int64(s.bit)
+            sig = (
+                "num", s.cut_a, s.cut_b, s.partial, va.tobytes(), vb.tobytes()
+            )
+            if sig not in groups:
+                d = np.abs(va[:, None] - vb[None, :])
+                g = np.full((m, n), NONMATCH, dtype=np.uint8)
+                with np.errstate(invalid="ignore"):
+                    if s.partial:
+                        g[d <= s.cut_b] = MATCH1
+                        g[d <= s.cut_a] = MATCH2
+                    else:
+                        g[d < s.cut_a] = MATCH2
+                g[np.isnan(d)] = MISSING
+                groups[sig] = [g, 0]
+        groups[sig][1] += 1 << s.bit
+    # gamma codes occupy 2 bits and multipliers target disjoint bit spans,
+    # so OR of shifts == sum of products: ONE multiply-add per unique gamma
+    keys: np.ndarray | None = None
+    for g, mult in groups.values():
+        contrib = g.astype(dtype)
+        if mult != 1:
+            contrib *= dtype(mult)
+        if keys is None:
+            keys = contrib
+        else:
+            keys += contrib
+    if keys is None:
+        keys = np.zeros((m, n), dtype=dtype)
     return keys
 
 
@@ -511,6 +597,7 @@ def _make_match_fn(
         if not link:
             swap = id_a > id_b
             id_a, id_b = np.where(swap, id_b, id_a), np.where(swap, id_a, id_b)
+        kk = kk.astype(np.int64)
         pos = np.searchsorted(mkeys, kk)
         return {
             id_out[0]: id_a,
@@ -539,6 +626,183 @@ def _attach_gammas(matches: ray.data.Dataset, leaf_names: list[str]):
         return batch
 
     return matches.map_batches(unpack, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# direct cell tasks (the no-blocking fast path)
+#
+# When there is no blocking the comparison space is ONE salted block whose
+# cell membership is pure arithmetic (salt = hash(id) % s), so the
+# expansion+sort shuffle of the general path is unnecessary data movement:
+# records are bucketed by salt ONCE (one ray.put per bucket — object-store
+# resident, read zero-copy), and each pair-group cell is a plain Ray task
+# reading its two buckets.  This is one of the sanctioned drops to raw Ray
+# tasks: the Dataset API cannot express "join each bucket with each other
+# bucket without replicating rows s times".  Requires the (coded, narrow)
+# records to fit in the object store — true by construction for unblocked
+# linkage, whose O(N^2) comparisons bound N itself.
+
+
+def _collect_columns(ds: ray.data.Dataset, cols: list[str]) -> dict[str, np.ndarray]:
+    parts: dict[str, list[np.ndarray]] = {c: [] for c in cols}
+    for b in ds.select_columns(cols).iter_batches(
+        batch_size=None, batch_format="numpy"
+    ):
+        for c in cols:
+            parts[c].append(np.asarray(b[c]))
+    return {
+        c: (np.concatenate(v) if v else np.empty(0)) for c, v in parts.items()
+    }
+
+
+def _salt_buckets(
+    cols: dict[str, np.ndarray], id_col: str, s: int,
+    sort_col: str | None = None,
+) -> list:
+    """Split collected record columns into s object-store buckets by the
+    same stable id-hash rule the expansion path uses.
+
+    ``sort_col`` orders each bucket by that (code) column: the cell scan's
+    LUT gather then walks LUT rows/columns near-sequentially instead of
+    randomly — cache-line reuse on the biggest LUT is the difference
+    between a bandwidth-bound and a compute-bound scan.
+    """
+    from ..functions.hashing import hash64_array
+
+    ids = cols[id_col]
+    if sort_col is not None:
+        order = np.argsort(cols[sort_col], kind="stable")
+        cols = {c: v[order] for c, v in cols.items()}
+        ids = cols[id_col]
+    salt = (hash64_array(ids, seed=7) % np.uint64(s)).astype(np.int64)
+    refs = []
+    for k in range(s):
+        idx = np.flatnonzero(salt == k)
+        refs.append(ray.put({c: v[idx] for c, v in cols.items()}))
+    return refs
+
+
+def _hot_sort_col(specs: list[_PooledVar]) -> str | None:
+    """Code column of the largest LUT variable (the gather to optimize)."""
+    luts = [sp for sp in specs if sp.kind == "lut"]
+    if not luts:
+        return None
+    hot = max(luts, key=lambda sp: (sp.na + 1) * (sp.nb + 1))
+    return f"c_{hot.name}"
+
+
+@ray.remote
+def _cell_hist_task(ba, bb, specs, id_col: str, n_bins: int, diag: bool):
+    """Pattern histogram of one cell (bucket_a x bucket_b) -> (n_bins,) counts."""
+    cols_a, cols_b = ba, bb
+    na, nb = len(cols_a[id_col]), len(cols_b[id_col])
+    counts = np.zeros(n_bins, dtype=np.int64)
+    if na == 0 or nb == 0:
+        return counts
+    # bucket order is preserved (code-sorted by _salt_buckets); the diag
+    # triangle counts each unordered pair once under ANY fixed order
+    a_rows = np.arange(na)
+    b_rows = np.arange(nb)
+    chunk = max(1, SCAN_CHUNK_PAIRS // max(len(b_rows), 1))
+    for c0 in range(0, len(a_rows), chunk):
+        ia = a_rows[c0 : c0 + chunk]
+        if diag:
+            jb = b_rows[c0 + 1 :]
+            if len(jb) == 0:
+                continue
+            keys = _pair_patterns(specs, cols_a, cols_a, ia, jb)
+            mask = np.arange(len(jb))[None, :] >= np.arange(len(ia))[:, None]
+            counts += np.bincount(keys[mask], minlength=n_bins)
+        else:
+            keys = _pair_patterns(specs, cols_a, cols_b, ia, b_rows)
+            counts += np.bincount(keys.ravel(), minlength=n_bins)
+    return counts
+
+
+@ray.remote
+def _cell_match_task(
+    ba, bb, specs, matched, id_col: str, id_out, diag: bool, dedupe: bool
+):
+    """Matched pairs of one cell -> pa.Table(id_a, id_b, pattern_key, zeta_j, weights)."""
+    mkeys, mzeta, mweights = matched
+    cols_a, cols_b = ba, bb
+    na, nb = len(cols_a[id_col]), len(cols_b[id_col])
+    ids_a_all, ids_b_all = cols_a[id_col], cols_b[id_col]
+
+    def empty_tbl():
+        return pa.table(
+            {
+                id_out[0]: pa.array(ids_a_all[:0]),
+                id_out[1]: pa.array(ids_b_all[:0]),
+                "pattern_key": pa.array([], type=pa.int64()),
+                "zeta_j": pa.array([], type=pa.float64()),
+                "weights": pa.array([], type=pa.float64()),
+            }
+        )
+
+    if na == 0 or nb == 0 or len(mkeys) == 0:
+        return empty_tbl()
+    # any fixed order works for the diag triangle: the dedupe swap below
+    # normalizes pair orientation to id_a < id_b
+    a_rows = np.arange(na)
+    b_rows = np.arange(nb)
+    chunk = max(1, SCAN_CHUNK_PAIRS // max(len(b_rows), 1))
+    out_a, out_b, out_k = [], [], []
+    for c0 in range(0, len(a_rows), chunk):
+        ia = a_rows[c0 : c0 + chunk]
+        if diag:
+            jb = b_rows[c0 + 1 :]
+            if len(jb) == 0:
+                continue
+            keys = _pair_patterns(specs, cols_a, cols_a, ia, jb)
+            tri_mask = (
+                np.arange(len(jb))[None, :] >= np.arange(len(ia))[:, None]
+            )
+        else:
+            jb = b_rows
+            keys = _pair_patterns(specs, cols_a, cols_b, ia, jb)
+            tri_mask = None
+        pos = np.searchsorted(mkeys, keys.ravel())
+        pos_c = np.clip(pos, 0, len(mkeys) - 1)
+        hit = mkeys[pos_c] == keys.ravel()
+        if tri_mask is not None:
+            hit &= tri_mask.ravel()
+        flat = np.flatnonzero(hit)
+        if len(flat) == 0:
+            continue
+        ri, ci = np.unravel_index(flat, keys.shape)
+        out_a.append((ids_a_all if diag else ids_a_all)[ia[ri]])
+        out_b.append((ids_a_all if diag else ids_b_all)[jb[ci]])
+        out_k.append(keys.ravel()[flat])
+    if not out_a:
+        return empty_tbl()
+    id_a = np.concatenate(out_a)
+    id_b = np.concatenate(out_b)
+    kk = np.concatenate(out_k)
+    if dedupe:
+        swap = id_a > id_b
+        id_a, id_b = np.where(swap, id_b, id_a), np.where(swap, id_a, id_b)
+    pos = np.searchsorted(mkeys, kk)
+    return pa.table(
+        {
+            id_out[0]: pa.array(id_a),
+            id_out[1]: pa.array(id_b),
+            "pattern_key": pa.array(kk, type=pa.int64()),
+            "zeta_j": pa.array(mzeta[pos], type=pa.float64()),
+            "weights": pa.array(mweights[pos], type=pa.float64()),
+        }
+    )
+
+
+def _direct_cells(s: int, link: bool) -> list[tuple[int, int, bool]]:
+    """(i, j, diag) cell list: link = full s x s grid; dedupe = triangle."""
+    if link:
+        return [(i, j, False) for i in range(s) for j in range(s)]
+    out = []
+    for i in range(s):
+        for j in range(i, s):
+            out.append((i, j, i == j))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +835,7 @@ def pooled_pattern_histogram(
     string_like = [v.name for v in variables if v.kernel in ("string", "exact")]
     ds = records.select_columns(list(dict.fromkeys([id_col, *fields, *block_keys])))
     ds = blocking_stage.derive_block_keys(ds, block_keys).materialize()
-    dicts = {c: _distinct_values(ds, c, max_distinct) for c in string_like}
+    dicts = _distinct_values_multi(ds, string_like, max_distinct)
     ds_c = _add_code_columns(ds, dicts)
     specs = _prepare_pooled_vars(variables, dicts, dicts, lut_max_cells)
     specs_ref = ray.put(specs)
@@ -588,6 +852,9 @@ def pooled_pattern_histogram(
     hp = sorted_group_scan(
         expanded, "pg_key", hist_fn, hist_empty, n_part
     ).to_pandas()
+    if "pattern_key" not in hp.columns:  # zero blocked pairs: schema-less
+        return pd.DataFrame({"pattern_key": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
     return hp.groupby("pattern_key", as_index=False)["cnt"].sum()
 
 
@@ -646,8 +913,8 @@ def link_records_pooled(
     total_comparisons = n_a * n_b
 
     # --- factorize ---------------------------------------------------------
-    dicts_a = {c: _distinct_values(da, c, max_distinct) for c in string_like}
-    dicts_b = {c: _distinct_values(db, c, max_distinct) for c in string_like}
+    dicts_a = _distinct_values_multi(da, string_like, max_distinct)
+    dicts_b = _distinct_values_multi(db, string_like, max_distinct)
     # exact vars compare codes directly, so both sides must share a dict
     for v in leaf_vars:
         if v.kernel == "exact":
@@ -662,20 +929,16 @@ def link_records_pooled(
         c: (len(dicts_a[c]), len(dicts_b[c])) for c in string_like
     }
 
-    # small value-level sample for residual u-estimation (before coding)
-    frac_a = min(1.0, 1000 / max(n_a, 1))
-    frac_b = min(1.0, 1000 / max(n_b, 1))
-    sample_a = da.random_sample(frac_a, seed=seed).to_pandas()
-    sample_b = db.random_sample(frac_b, seed=seed + 1).to_pandas()
+    # small value-level sample for residual u-estimation (before coding) —
+    # only when blocking prunes pairs; an unblocked run covers the full
+    # cross product, so there is no residual and no sampling pass to pay
+    sample_a = sample_b = None
+    if keys:
+        frac_a = min(1.0, 1000 / max(n_a, 1))
+        frac_b = min(1.0, 1000 / max(n_b, 1))
+        sample_a = da.random_sample(frac_a, seed=seed).to_pandas()
+        sample_b = db.random_sample(frac_b, seed=seed + 1).to_pandas()
 
-    da_c = _add_code_columns(da, dicts_a)
-    db_c = _add_code_columns(db, dicts_b)
-
-    # --- gamma LUTs (the string-distance work, distributed) ----------------
-    specs = _prepare_pooled_vars(leaf_vars, dicts_a, dicts_b, lut_max_cells)
-    specs_ref = ray.put(specs)
-
-    # --- salt plan + expansion --------------------------------------------
     def tag(side: str):
         def fn(b: pa.Table) -> pa.Table:
             return b.append_column(
@@ -684,33 +947,32 @@ def link_records_pooled(
 
         return fn
 
-    da_c = da_c.map_batches(tag("a"), batch_format="pyarrow").materialize()
-    db_c = db_c.map_batches(tag("b"), batch_format="pyarrow").materialize()
-    both_keys = da_c.select_columns(["block_key"]).union(
-        db_c.select_columns(["block_key"])
+    da_c = _add_code_columns(da, dicts_a).map_batches(
+        tag("a"), batch_format="pyarrow"
     )
-    plan, bcount = blocking_stage.plan_salts(both_keys, config.blocking)
+    db_c = _add_code_columns(db, dicts_b).map_batches(
+        tag("b"), batch_format="pyarrow"
+    )
+
+    # --- gamma LUTs (the string-distance work, distributed) ----------------
+    specs = _prepare_pooled_vars(leaf_vars, dicts_a, dicts_b, lut_max_cells)
+    specs_ref = ray.put(specs)
+
+    # --- salt plan + expansion --------------------------------------------
+    if keys:
+        both_keys = da.select_columns(["block_key"]).union(
+            db.select_columns(["block_key"])
+        )
+        plan, bcount = blocking_stage.plan_salts(both_keys, config.blocking)
+    else:
+        # single constant block: the plan is arithmetic, no count pass
+        total = n_a + n_b
+        s = math.ceil(total / config.blocking.cap)
+        plan = {0: min(s, config.blocking.max_salts)} if s > 1 else {}
+        bcount = blocking_stage.BlockingCounters(n_hot_blocks=len(plan))
+        bcount.notes["dropped_block_keys"] = []
     counters["hot_blocks"] = bcount.n_hot_blocks
     dropped = set(bcount.notes.get("dropped_block_keys", []))
-
-    def rename_id(col: str):
-        def fn(b: pa.Table) -> pa.Table:
-            names = [("_pair_id" if c == col else c) for c in b.column_names]
-            return b.rename_columns(names)
-
-        return fn
-
-    ea = blocking_stage.expand_pair_groups(
-        da_c, plan, id_a_col, side="a", dropped=dropped
-    ).map_batches(rename_id(id_a_col), batch_format="pyarrow")
-    eb = blocking_stage.expand_pair_groups(
-        db_c, plan, id_b_col, side="b", dropped=dropped
-    ).map_batches(rename_id(id_b_col), batch_format="pyarrow")
-    expanded = ea.union(eb)
-
-    # --- sort once, scan twice --------------------------------------------
-    n_part = config.execution.pair_shuffle_partitions or _scan_partitions()
-    sorted_cells = sort_by_key(expanded, "pg_key", n_part)
 
     K = len(leaf_vars)
     n_bins = 1 << (BITS_PER_VAR * K)
@@ -719,17 +981,85 @@ def link_records_pooled(
             f"{K} variables need {n_bins} histogram bins; pooled engine "
             "caps at 10 variables (use the row engine beyond)"
         )
-    hist_fn, hist_empty = _make_hist_fn(specs_ref, "_pair_id", True, n_bins)
-    hist_parts = sorted_group_scan(
-        sorted_cells, "pg_key", hist_fn, hist_empty, n_part, presorted=True
-    )
-    # merge the per-cell partial histograms on the driver (<= 4^K rows each)
-    hp = hist_parts.to_pandas()
-    hist = (
-        hp.groupby("pattern_key", as_index=False)["cnt"]
-        .sum()
-        .rename(columns={"cnt": "cnt"})
-    )
+    spec_cols = [
+        (f"c_{sp.name}" if sp.kind in ("lut", "exact") else sp.name)
+        for sp in specs
+    ]
+
+    if not keys:
+        # --- direct cell tasks (no shuffle): bucket by salt, one task per
+        # pair-group cell, histogram via per-cell bincounts --------------
+        s_salts = plan.get(0, 1)
+        cols_a = _collect_columns(da_c, [id_a_col, *spec_cols])
+        cols_b = _collect_columns(db_c, [id_b_col, *spec_cols])
+        cols_a["_pair_id"] = cols_a.pop(id_a_col)
+        cols_b["_pair_id"] = cols_b.pop(id_b_col)
+        hot = _hot_sort_col(specs)
+        ba = _salt_buckets(cols_a, "_pair_id", s_salts, sort_col=hot)
+        bb = _salt_buckets(cols_b, "_pair_id", s_salts, sort_col=hot)
+        cells = _direct_cells(s_salts, link=True)
+        hist_refs = [
+            _cell_hist_task.remote(ba[i], bb[j], specs_ref, "_pair_id", n_bins, d)
+            for (i, j, d) in cells
+        ]
+        counts = np.zeros(n_bins, dtype=np.int64)
+        for c in ray.get(hist_refs):
+            counts += c
+        nz = np.flatnonzero(counts)
+        hist = pd.DataFrame(
+            {"pattern_key": nz.astype(np.int64), "cnt": counts[nz]}
+        )
+
+        def run_pass2(matched_ref):
+            refs = [
+                _cell_match_task.remote(
+                    ba[i], bb[j], specs_ref, matched_ref, "_pair_id",
+                    ("id_a", "id_b"), d, False,
+                )
+                for (i, j, d) in cells
+            ]
+            return ray.data.from_arrow_refs(refs)
+
+    else:
+        # --- general path: salted expansion, sort ONCE, scan twice -------
+        def rename_id(col: str):
+            def fn(b: pa.Table) -> pa.Table:
+                names = [("_pair_id" if c == col else c) for c in b.column_names]
+                return b.rename_columns(names)
+
+            return fn
+
+        ea = blocking_stage.expand_pair_groups(
+            da_c, plan, id_a_col, side="a", dropped=dropped
+        ).map_batches(rename_id(id_a_col), batch_format="pyarrow")
+        eb = blocking_stage.expand_pair_groups(
+            db_c, plan, id_b_col, side="b", dropped=dropped
+        ).map_batches(rename_id(id_b_col), batch_format="pyarrow")
+        expanded = ea.union(eb)
+
+        n_part = config.execution.pair_shuffle_partitions or _scan_partitions()
+        sorted_cells = sort_by_key(expanded, "pg_key", n_part)
+
+        hist_fn, hist_empty = _make_hist_fn(specs_ref, "_pair_id", True, n_bins)
+        hist_parts = sorted_group_scan(
+            sorted_cells, "pg_key", hist_fn, hist_empty, n_part, presorted=True
+        )
+        # merge per-cell partial histograms on the driver (<= 4^K rows each)
+        hp = hist_parts.to_pandas()
+        if "pattern_key" not in hp.columns:
+            hp = pd.DataFrame({"pattern_key": pd.Series([], dtype="int64"),
+                               "cnt": pd.Series([], dtype="int64")})
+        hist = hp.groupby("pattern_key", as_index=False)["cnt"].sum()
+
+        def run_pass2(matched_ref):
+            match_fn, match_empty = _make_match_fn(
+                specs_ref, matched_ref, "_pair_id", ("id_a", "id_b"), True
+            )
+            return sorted_group_scan(
+                sorted_cells, "pg_key", match_fn, match_empty, n_part,
+                presorted=True,
+            )
+
     counters["scored_pairs"] = float(hist["cnt"].sum())
     counters["unique_leaf_patterns"] = len(hist)
 
@@ -738,12 +1068,15 @@ def link_records_pooled(
 
     residual = total_comparisons - float(hist["cnt"].sum())
     counters["residual_pairs"] = residual
-    if residual > 0:
+    if residual > 0 and sample_a is not None:
         res_hist = sample_residual_histogram(
             sample_a, sample_b, leaf_vars, residual, seed=seed + 1
         )
         hist = merge_histograms(hist, res_hist)
         counters["residual_mode"] = "sampled"
+    elif residual > 0:
+        hist = add_residual_pattern(hist, total_comparisons)
+        counters["residual_mode"] = "all_nonmatch"
     else:
         counters["residual_mode"] = "none"
     root_em, child_ems, leaf = fit_patterns(hist, config, seed=seed)
@@ -762,12 +1095,7 @@ def link_records_pooled(
             matched["weights"].to_numpy(np.float64)[order],
         )
     )
-    match_fn, match_empty = _make_match_fn(
-        specs_ref, matched_ref, "_pair_id", ("id_a", "id_b"), True
-    )
-    matches = sorted_group_scan(
-        sorted_cells, "pg_key", match_fn, match_empty, n_part, presorted=True
-    )
+    matches = run_pass2(matched_ref)
     matches = _attach_gammas(matches, [v.name for v in leaf_vars]).materialize()
     counters["matched_pairs"] = matches.count()
 
@@ -818,7 +1146,7 @@ def dedupe_records_pooled(
     counters["records"] = n
     total_comparisons = n * (n - 1) // 2
 
-    dicts = {c: _distinct_values(ds, c, max_distinct) for c in string_like}
+    dicts = _distinct_values_multi(ds, string_like, max_distinct)
     counters["pool_sizes"] = {c: len(dicts[c]) for c in string_like}
     frac = min(1.0, 2000 / max(n, 1))
     sample = ds.random_sample(frac, seed=seed).to_pandas()
@@ -827,28 +1155,79 @@ def dedupe_records_pooled(
     specs = _prepare_pooled_vars(leaf_vars, dicts, dicts, lut_max_cells)
     specs_ref = ray.put(specs)
 
-    plan, bcount, block_counts = blocking_stage.analyze_blocks(
-        ds_c, config.blocking
-    )
-    counters["hot_blocks"] = bcount.n_hot_blocks
-    counters["dropped_blocks"] = bcount.n_dropped_blocks
-    paired = blocking_stage.filter_to_multi_blocks(ds_c, counts=block_counts)
-    expanded = blocking_stage.expand_pair_groups(
-        paired, plan, id_col, side=None,
-        dropped=set(bcount.notes.get("dropped_block_keys", [])),
-    )
-    n_part = config.execution.pair_shuffle_partitions or _scan_partitions()
-    sorted_cells = sort_by_key(expanded, "pg_key", n_part)
-
     K = len(leaf_vars)
     n_bins = 1 << (BITS_PER_VAR * K)
     if n_bins > 1 << 20:
         raise ValueError("pooled engine caps at 10 variables")
-    hist_fn, hist_empty = _make_hist_fn(specs_ref, id_col, False, n_bins)
-    hp = sorted_group_scan(
-        sorted_cells, "pg_key", hist_fn, hist_empty, n_part, presorted=True
-    ).to_pandas()
-    hist = hp.groupby("pattern_key", as_index=False)["cnt"].sum()
+    spec_cols = [
+        (f"c_{sp.name}" if sp.kind in ("lut", "exact") else sp.name)
+        for sp in specs
+    ]
+
+    if not keys:
+        # --- direct cell tasks: single salted block, no shuffle ----------
+        s_salts = max(1, math.ceil(n / config.blocking.cap))
+        s_salts = min(s_salts, config.blocking.max_salts)
+        counters["hot_blocks"] = 1 if s_salts > 1 else 0
+        cols = _collect_columns(ds_c, [id_col, *spec_cols])
+        buckets = _salt_buckets(cols, id_col, s_salts, sort_col=_hot_sort_col(specs))
+        cells = _direct_cells(s_salts, link=False)
+        hist_refs = [
+            _cell_hist_task.remote(
+                buckets[i], buckets[j], specs_ref, id_col, n_bins, d
+            )
+            for (i, j, d) in cells
+        ]
+        counts = np.zeros(n_bins, dtype=np.int64)
+        for c in ray.get(hist_refs):
+            counts += c
+        nz = np.flatnonzero(counts)
+        hist = pd.DataFrame(
+            {"pattern_key": nz.astype(np.int64), "cnt": counts[nz]}
+        )
+
+        def run_pass2(matched_ref):
+            refs = [
+                _cell_match_task.remote(
+                    buckets[i], buckets[j], specs_ref, matched_ref, id_col,
+                    ("id_a", "id_b"), d, True,
+                )
+                for (i, j, d) in cells
+            ]
+            return ray.data.from_arrow_refs(refs)
+
+    else:
+        plan, bcount, block_counts = blocking_stage.analyze_blocks(
+            ds_c, config.blocking
+        )
+        counters["hot_blocks"] = bcount.n_hot_blocks
+        counters["dropped_blocks"] = bcount.n_dropped_blocks
+        paired = blocking_stage.filter_to_multi_blocks(ds_c, counts=block_counts)
+        expanded = blocking_stage.expand_pair_groups(
+            paired, plan, id_col, side=None,
+            dropped=set(bcount.notes.get("dropped_block_keys", [])),
+        )
+        n_part = config.execution.pair_shuffle_partitions or _scan_partitions()
+        sorted_cells = sort_by_key(expanded, "pg_key", n_part)
+
+        hist_fn, hist_empty = _make_hist_fn(specs_ref, id_col, False, n_bins)
+        hp = sorted_group_scan(
+            sorted_cells, "pg_key", hist_fn, hist_empty, n_part, presorted=True
+        ).to_pandas()
+        if "pattern_key" not in hp.columns:
+            hp = pd.DataFrame({"pattern_key": pd.Series([], dtype="int64"),
+                               "cnt": pd.Series([], dtype="int64")})
+        hist = hp.groupby("pattern_key", as_index=False)["cnt"].sum()
+
+        def run_pass2(matched_ref):
+            match_fn, match_empty = _make_match_fn(
+                specs_ref, matched_ref, id_col, ("id_a", "id_b"), False
+            )
+            return sorted_group_scan(
+                sorted_cells, "pg_key", match_fn, match_empty, n_part,
+                presorted=True,
+            )
+
     counters["scored_pairs"] = float(hist["cnt"].sum())
 
     from ..stages.patterns import merge_histograms, sample_residual_histogram
@@ -879,12 +1258,7 @@ def dedupe_records_pooled(
             matched["weights"].to_numpy(np.float64)[order],
         )
     )
-    match_fn, match_empty = _make_match_fn(
-        specs_ref, matched_ref, id_col, ("id_a", "id_b"), False
-    )
-    matches = sorted_group_scan(
-        sorted_cells, "pg_key", match_fn, match_empty, n_part, presorted=True
-    )
+    matches = run_pass2(matched_ref)
     matches = _attach_gammas(matches, [v.name for v in leaf_vars]).materialize()
     counters["matched_pairs"] = matches.count()
 

@@ -73,12 +73,23 @@ class BlockingCounters:
 def derive_block_keys(
     records: ray.data.Dataset, keys: list[str]
 ) -> ray.data.Dataset:
-    """Add a uint64 ``block_key`` column from the configured key columns."""
+    """Add a uint64 ``block_key`` column from the configured key columns.
+
+    A key written ``soundex(col)`` blocks on the column's Soundex code
+    (phonetic blocking for name-like fields — the reference ships a Soundex
+    encoder, /root/reference/src/encode/soundex.jl, though its pipeline
+    never calls it)."""
 
     def add_key(batch: pa.Table) -> pa.Table:
         h = None
         for k in keys:
-            col = batch.column(k).to_numpy(zero_copy_only=False)
+            if k.startswith("soundex(") and k.endswith(")"):
+                from ..functions.soundex import soundex
+
+                col = batch.column(k[8:-1]).to_numpy(zero_copy_only=False)
+                col = np.array([soundex(x) for x in col], dtype=object)
+            else:
+                col = batch.column(k).to_numpy(zero_copy_only=False)
             hk = hash64_array(col)
             h = hk if h is None else combine_hashes(h, hk)
         return batch.append_column("block_key", pa.array(_to_i63(h), type=pa.int64()))

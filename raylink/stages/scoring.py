@@ -29,7 +29,40 @@ from ..functions.gamma import (
 )
 from .patterns import pack_gammas
 
-__all__ = ["PairScorer", "score_pairs"]
+__all__ = ["PairScorer", "score_pairs", "normalize_upper"]
+
+
+def normalize_upper(
+    records: ray.data.Dataset, variables: list[VarConfig]
+) -> tuple[ray.data.Dataset, list[VarConfig]]:
+    """Uppercase ``upper``-flagged string columns ONCE on the records.
+
+    O(records) instead of the scorer's per-pair-row O(pairs) uppercasing
+    (each record appears in many pairs, duplicated on both sides).  Returns
+    the records plus variable configs with the flag cleared so the scorer
+    skips its fallback path.
+    """
+    import dataclasses
+
+    import pyarrow.compute as pc
+
+    up_cols = [v.name for v in variables if v.kernel == "string" and v.upper]
+    if not up_cols:
+        return records, variables
+
+    def up(batch: pa.Table) -> pa.Table:
+        for c in up_cols:
+            idx = batch.column_names.index(c)
+            batch = batch.set_column(idx, c, pc.utf8_upper(batch.column(c)))
+        return batch
+
+    out_vars = [
+        dataclasses.replace(v, upper=False)
+        if (v.kernel == "string" and v.upper)
+        else v
+        for v in variables
+    ]
+    return records.map_batches(up, batch_format="pyarrow"), out_vars
 
 _CACHE_LIMIT = 2_000_000  # memoized (method, a, b) -> sim entries per actor
 

@@ -44,6 +44,30 @@ __all__ = ["add_tf_columns", "tf_u_values", "apply_tf_adjustment"]
 _BROADCAST_LIMIT = 5_000_000  # distinct values; beyond this use a hash join
 
 
+def _partial_value_counts(records: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """Per-block ``value_counts`` partials merged by one small groupby-sum.
+
+    Ray's sort-based row aggregate costs ~100us/row in Python merge code;
+    the partials (one row per distinct value per block) are orders of
+    magnitude fewer rows, so the remaining groupby is cheap.  Null rows are
+    excluded here; callers recover the null count as ``n_records -
+    sum(cnt)``.
+    """
+
+    def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        s = pd.Series(batch[col])
+        vc = s.value_counts(dropna=True)
+        return {
+            col: np.asarray(vc.index.to_numpy(), dtype=object),
+            "cnt": vc.to_numpy().astype(np.int64),
+        }
+
+    partials = records.select_columns([col]).map_batches(
+        partial, batch_format="numpy", batch_size=None
+    )
+    return partials.groupby(col).sum("cnt")
+
+
 def add_tf_columns(
     records: ray.data.Dataset,
     tf_vars: list[VarConfig],
@@ -51,40 +75,95 @@ def add_tf_columns(
 ) -> ray.data.Dataset:
     """Attach ``tf_<var>`` per-record frequency columns.
 
-    One small ``groupby.count`` per tf variable; the (value -> freq) table is
-    broadcast via ``ray.put`` while it fits, else joined.
+    Per-block ``value_counts`` partials + one small groupby-sum per tf
+    variable; the (value -> freq) table is broadcast via ``ray.put`` and
+    applied with a vectorized ``searchsorted`` while it fits, else
+    distributed-hash-joined back (the reference's tf tables,
+    gammaCKpar.jl:180-193, have no cardinality ceiling and neither does
+    this).
     """
     if not tf_vars:
         return records
     n = n_records if n_records is not None else records.count()
     for v in tf_vars:
-        counts = records.groupby(v.name).count().to_pandas()
-        if len(counts) > _BROADCAST_LIMIT:
-            raise NotImplementedError(
-                f"tf variable {v.name!r} has {len(counts)} distinct values; "
-                "broadcast path only — add the join path before using this "
-                "at such cardinality"
+        counts_ds = _partial_value_counts(records, v.name).materialize()
+        n_distinct = counts_ds.count()
+        colname = f"tf_{v.name}"
+        var_name = v.name
+        if n_distinct > _BROADCAST_LIMIT:
+            # distributed join path: freq table stays a Dataset
+            def to_freq(batch: pa.Table, _v=v) -> pa.Table:
+                cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False)
+                freq = np.maximum(cnt / n, _v.tf_minimum_u_value).astype(
+                    np.float32
+                )
+                return batch.select([var_name]).append_column(
+                    colname, pa.array(freq, type=pa.float32())
+                )
+
+            freq_ds = counts_ds.map_batches(to_freq, batch_format="pyarrow")
+            import ray as _ray
+
+            nparts = max(16, int(_ray.cluster_resources().get("CPU", 8)))
+            records = records.join(
+                freq_ds,
+                join_type="left_outer",
+                num_partitions=nparts,
+                on=(var_name,),
             )
+
+            # null-key rows miss the join; give them the null-group
+            # frequency (the reference counts the missing group too,
+            # gammaKpar.jl:101-108)
+            total_nonnull = counts_ds.sum("sum(cnt)") or 0
+            null_cnt = n - int(total_nonnull)
+            null_freq = (
+                max(null_cnt / n, v.tf_minimum_u_value)
+                if null_cnt > 0
+                else v.tf_minimum_u_value
+            )
+
+            def fill_null(batch: pa.Table, _nf=null_freq) -> pa.Table:
+                tfc = batch.column(colname).to_numpy(zero_copy_only=False)
+                out = np.where(
+                    np.isnan(tfc.astype(np.float64)), np.float32(_nf), tfc
+                ).astype(np.float32)
+                idx = batch.column_names.index(colname)
+                return batch.set_column(
+                    idx, colname, pa.array(out, type=pa.float32())
+                )
+
+            records = records.map_batches(fill_null, batch_format="pyarrow")
+            continue
+        counts = counts_ds.to_pandas()
         vals = counts[v.name].to_numpy()
         freq = np.maximum(
-            counts["count()"].to_numpy() / n, v.tf_minimum_u_value
+            counts["sum(cnt)"].to_numpy() / n, v.tf_minimum_u_value
         )
         # null rows also get a frequency (the reference counts the missing
         # group too, gammaKpar.jl:101-108)
-        null_mask = pd.isna(vals)
-        null_freq = float(freq[null_mask][0]) if null_mask.any() else v.tf_minimum_u_value
-        lut = {val: f for val, f in zip(vals[~null_mask], freq[~null_mask])}
-        lut_ref = ray.put(lut)
-        colname = f"tf_{v.name}"
-        var_name = v.name
+        null_cnt = n - int(counts["sum(cnt)"].sum())
+        null_freq = (
+            max(null_cnt / n, v.tf_minimum_u_value)
+            if null_cnt > 0
+            else v.tf_minimum_u_value
+        )
+        order = np.argsort(vals)
+        vals_s = np.asarray(vals, dtype=object)[order]
+        freq_s = freq[order].astype(np.float32)
+        lut_ref = ray.put((vals_s, freq_s))
 
         def add(batch: pa.Table, _ref=lut_ref, _col=colname, _var=var_name, _nf=null_freq) -> pa.Table:
-            table = ray.get(_ref)
+            vals_sorted, freqs = ray.get(_ref)
             col = batch.column(_var).to_numpy(zero_copy_only=False)
-            out = np.array(
-                [_nf if pd.isna(x) else table.get(x, _nf) for x in col],
-                dtype=np.float32,
-            )
+            # Categorical codes = one C-speed hash lookup per row (a Python
+            # loop or object-array searchsorted here is 10-100x slower)
+            codes = pd.Categorical(col, categories=vals_sorted).codes
+            out = np.where(
+                codes >= 0,
+                freqs[np.clip(codes, 0, max(len(freqs) - 1, 0))],
+                np.float32(_nf),
+            ).astype(np.float32)
             return batch.append_column(_col, pa.array(out, type=pa.float32()))
 
         records = records.map_batches(add, batch_format="pyarrow")

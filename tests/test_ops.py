@@ -217,3 +217,45 @@ def test_multimodal_plumbing():
     ext = MediaFeatureExtractor(decoder="stub")
     with pytest.raises(NotImplementedError):
         ext(make_media_table(1))
+
+
+def test_soundex_published_vectors():
+    """Standard American Soundex vectors (the NARA/Knuth examples)."""
+    from raylink.functions.soundex import soundex
+
+    cases = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A261",  # H transparent between equal-coded consonants
+        "Ashcroft": "A261",
+        "Tymczak": "T522",  # vowel separates equal codes
+        "Pfister": "P236",
+        "Honeyman": "H555",
+        "Washington": "W252",
+        "Lee": "L000",
+        "Gutierrez": "G362",
+        "Jackson": "J250",
+        "VanDeusen": "V532",
+    }
+    for name, code in cases.items():
+        assert soundex(name) == code, (name, soundex(name), code)
+    assert soundex(None) is None
+    assert soundex("123") is None
+    assert soundex("a") == "A000"
+
+
+def test_soundex_blocking_key():
+    """soundex(col) key spec groups phonetically-equal names."""
+    import pandas as pd
+    import ray.data
+
+    from raylink.stages.blocking import derive_block_keys
+
+    df = pd.DataFrame(
+        {"name": ["Robert", "Rupert", "Ashcraft", "Ashcroft", "Lee"]}
+    )
+    out = derive_block_keys(ray.data.from_pandas(df), ["soundex(name)"]).to_pandas()
+    bk = out.set_index("name")["block_key"]
+    assert bk["Robert"] == bk["Rupert"]
+    assert bk["Ashcraft"] == bk["Ashcroft"]
+    assert bk["Lee"] != bk["Robert"]
