@@ -763,6 +763,40 @@ def _q_person_link(sf_dir: str):
     return res.matches.select_columns(["id_a", "id_b"])
 
 
+def _q_link_and_dedupe(sf_dir: str):
+    """link_and_dedupe mode: within-table dedupe + cross-table link in one
+    self-link over the tagged union (the reference's README.md:26 mode,
+    declared there but never implemented).  Fixture-tested
+    (tests/test_linkage_e2e.py::test_link_and_dedupe_mode); rows-only here
+    (EM posteriors are not SQL-expressible)."""
+    from raylink.config import parse_config
+    from raylink.pipelines.linkage import run_linkage
+    from raylink.sources.synth import make_person_tables
+
+    df_a, df_b, _ = make_person_tables(n_a=300, n_b=200, n_matches=40, seed=7)
+    config = parse_config(
+        {
+            "link_type": "link_and_dedupe",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "firstname", "method": "jarowinkler"},
+                    {"varname": "lastname", "method": "jarowinkler"},
+                    {"varname": "birthyear", "method": "numeric", "cut_a": 1, "cut_b": 2},
+                ],
+            },
+            "blocking": {"keys": ["city"], "cap": 5000},
+        }
+    )
+    res = run_linkage(
+        config, ray.data.from_pandas(df_a), ray.data.from_pandas(df_b),
+        cluster=False,
+    )
+    return res.matches.select_columns(["id_a", "id_b", "pair_type"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "block_keys": _q_block_keys,
@@ -795,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_dedupe": _q_transcript_dedupe,
         "person_link": _q_person_link,
         "pooled_hist_supplier": _q_pooled_hist_supplier,
+        "link_and_dedupe_person": _q_link_and_dedupe,
     }
 
 

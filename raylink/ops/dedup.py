@@ -137,16 +137,38 @@ def exact_dedup(
 # --------------------------------------------------------------------------
 
 
+_FNV = np.uint64(1099511628211)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Finalizer (xorshift-multiply avalanche) over uint64 values."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(29))
+    return h
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    b = (text or "").encode("utf-8")
-    if len(b) < k:
-        return np.array([zlib.crc32(b)], dtype=np.uint64)
-    return np.unique(
-        np.array(
-            [zlib.crc32(b[i : i + k]) for i in range(len(b) - k + 1)],
-            dtype=np.uint64,
-        )
-    )
+    """Unique 64-bit hashes of the text's byte k-grams, fully vectorized.
+
+    ``sliding_window_view`` + a polynomial byte hash (uint64 wraparound)
+    replace the previous per-window ``zlib.crc32`` Python loop (~1 ms per
+    document at corpus text lengths).
+    """
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.array([0], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if len(b) < k:
+            w = b[None, :].astype(np.uint64)
+            pows = _FNV ** np.arange(len(b), dtype=np.uint64)
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+            pows = _FNV ** np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (w * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(_mix64(h))
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -388,31 +410,37 @@ def minhash_lsh_dedup(
 def simhash_signatures(
     ds: ray.data.Dataset, text_col: str, id_col: str
 ) -> ray.data.Dataset:
-    """64-bit simhash over whitespace tokens (crc32-seeded bit votes)."""
+    """64-bit simhash over whitespace tokens, vectorized across the batch.
+
+    Tokens of ALL documents explode into one flat array, hash in one
+    vectorized ``hash64_array`` call (SipHash, C speed — the previous
+    per-token ``zlib.crc32`` Python loop cost ~1 ms/doc), expand into a
+    (T, 64) bit matrix, and per-document bit votes come from ONE
+    ``np.add.reduceat`` over the doc boundaries.
+    """
+    from ..functions.hashing import hash64_array
 
     def sig(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        out = np.empty(len(texts), dtype=np.int64)
-        bit_cols = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                out[i] = 0
-                continue
-            hs = np.array(
-                [
-                    zlib.crc32(tok.encode()) | (zlib.crc32(tok.encode(), 7) << 32)
-                    for tok in toks
-                ],
-                dtype=np.uint64,
-            )
-            bits = (hs[:, None] >> bit_cols[None, :]) & np.uint64(1)
-            votes = bits.sum(axis=0) * 2 - len(toks)
-            val = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    val |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(val.astype(np.int64))
+        texts = pd.Series(batch.column(text_col).to_pylist(), dtype=object)
+        toks = texts.fillna("").str.split()
+        counts = toks.str.len().to_numpy(np.int64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        nz = np.flatnonzero(counts > 0)
+        if len(nz):
+            flat = toks.iloc[nz].explode().to_numpy()
+            hs = hash64_array(flat)  # (T,) uint64, one C call
+            bits = (
+                (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int32)
+            starts = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
+            votes = np.add.reduceat(bits, starts, axis=0)  # (D, 64)
+            maj = votes * 2 > counts[nz][:, None]  # bit set on majority
+            packed = (
+                maj.astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            out[nz] = packed.view(np.int64)
         return pa.table(
             {id_col: batch.column(id_col), "simhash": pa.array(out, type=pa.int64())}
         )
@@ -546,7 +574,19 @@ def ngram_jaccard_dedup(
 
     ``char_set_mode=True`` uses character-SET Jaccard (DuckDB ``jaccard()``
     semantics) instead of k-gram sets — useful as a SQL-checkable oracle.
+    That mode precomputes each RECORD's character set as a 128-bit ASCII
+    mask (two uint64 columns) and FUSES the verify into the bucket scan:
+    per group, the strict upper triangle of pairwise popcount Jaccards is
+    computed as broadcast uint64 AND/OR matrices and only pairs clearing
+    ``threshold`` are ever emitted — no candidate-pair rows exist.
+    Non-ASCII records (bytes != characters) ride along with their raw text
+    and use a scalar fallback.  K-gram mode keeps the generic
+    bucket-pairs + per-pair verify path.
     """
+    if char_set_mode:
+        return _charset_jaccard_dedup(
+            ds, text_col, id_col, group_cols, threshold, bucket_cap
+        )
 
     def add_payload(batch: pa.Table) -> pa.Table:
         return batch.select([id_col, text_col, *group_cols])
@@ -562,17 +602,15 @@ def ngram_jaccard_dedup(
     def verify(batch: pa.Table) -> pa.Table:
         ta = batch.column("payload_a").to_pylist()
         tb = batch.column("payload_b").to_pylist()
-        sim = np.empty(len(ta), dtype=np.float64)
+        n = len(ta)
+        sim = np.empty(n, dtype=np.float64)
         for i, (x, y) in enumerate(zip(ta, tb)):
             x = x or ""
             y = y or ""
-            if char_set_mode:
-                sim[i] = char_jaccard(x, y) if x and y else (1.0 if x == y else 0.0)
-            else:
-                gx = {x[j : j + ngram_k] for j in range(max(len(x) - ngram_k + 1, 1))}
-                gy = {y[j : j + ngram_k] for j in range(max(len(y) - ngram_k + 1, 1))}
-                inter = len(gx & gy)
-                sim[i] = inter / (len(gx) + len(gy) - inter) if (gx or gy) else 1.0
+            gx = {x[j : j + ngram_k] for j in range(max(len(x) - ngram_k + 1, 1))}
+            gy = {y[j : j + ngram_k] for j in range(max(len(y) - ngram_k + 1, 1))}
+            inter = len(gx & gy)
+            sim[i] = inter / (len(gx) + len(gy) - inter) if (gx or gy) else 1.0
         keep = sim >= threshold
         sub = batch.take(pa.array(np.flatnonzero(keep)))
         return pa.table(
@@ -584,6 +622,152 @@ def ngram_jaccard_dedup(
         )
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def _charset_jaccard_dedup(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    group_cols: list[str],
+    threshold: float,
+    bucket_cap: int,
+) -> ray.data.Dataset:
+    """Character-set Jaccard with the verify fused into the bucket scan."""
+
+    def add_masks(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = len(texts)
+        lo = np.zeros(n, dtype=np.uint64)
+        hi = np.zeros(n, dtype=np.uint64)
+        fb: list = [None] * n  # raw text for non-ASCII rows only
+        for i, t in enumerate(texts):
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if len(b) and b.max() >= 128:
+                fb[i] = t
+                continue
+            u = np.unique(b).astype(np.uint64)
+            if (u < 64).any():
+                lo[i] = (np.uint64(1) << u[u < 64]).sum()
+            hs = u[u >= 64] - np.uint64(64)
+            if len(hs):
+                hi[i] = (np.uint64(1) << hs).sum()
+        out = batch.select([id_col, *group_cols])
+        out = out.append_column("_cj_lo", pa.array(lo.view(np.int64), type=pa.int64()))
+        out = out.append_column("_cj_hi", pa.array(hi.view(np.int64), type=pa.int64()))
+        return out.append_column("_cj_fb", pa.array(fb, type=pa.string()))
+
+    from ..functions.hashing import combine_hashes, hash64_array
+    from ..stages.sortedrun import sorted_group_scan
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h = None
+        for c in group_cols:
+            col = batch.column(c).to_numpy(zero_copy_only=False)
+            hk = hash64_array(col)
+            h = hk if h is None else combine_hashes(h, hk)
+        key = (np.asarray(h, dtype=np.uint64) & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        return batch.append_column("_scan_key", pa.array(key, type=pa.int64()))
+
+    keyed = ds.map_batches(add_masks, batch_format="pyarrow").map_batches(
+        add_key, batch_format="pyarrow"
+    )
+
+    def _empty(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ids = np.asarray(group[id_col])
+        return {
+            "id_a": ids[:0],
+            "id_b": ids[:0],
+            "jaccard": np.empty(0, dtype=np.float64),
+            "truncated": np.empty(0, dtype=np.int8),
+        }
+
+    def gen(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ids = np.asarray(group[id_col])
+        n = len(ids)
+        if n < 2:
+            return _empty(group)
+        order = np.argsort(ids, kind="stable")
+        truncated = 0
+        if n > bucket_cap:
+            order = order[:bucket_cap]
+            n = bucket_cap
+            truncated = 1
+        ids = ids[order]
+        lo = np.asarray(group["_cj_lo"])[order].view(np.uint64)
+        hi = np.asarray(group["_cj_hi"])[order].view(np.uint64)
+        fb = np.asarray(group["_cj_fb"], dtype=object)[order]
+        out_a, out_b, out_j = [], [], []
+        chunk = max(1, 2_000_000 // max(n, 1))
+        for c0 in range(0, n, chunk):
+            rows = slice(c0, min(c0 + chunk, n))
+            inter = _popcount64(lo[rows, None] & lo[None, :]) + _popcount64(
+                hi[rows, None] & hi[None, :]
+            )
+            union = _popcount64(lo[rows, None] | lo[None, :]) + _popcount64(
+                hi[rows, None] | hi[None, :]
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            ri, ci = np.nonzero(sim >= threshold)
+            keep = (ri + c0) < ci  # strict upper triangle
+            ri, ci = ri[keep], ci[keep]
+            out_a.append(ids[ri + c0])
+            out_b.append(ids[ci])
+            out_j.append(sim[ri, ci])
+        if not out_a:
+            return _empty(group)
+        id_a = np.concatenate(out_a)
+        id_b = np.concatenate(out_b)
+        jac = np.concatenate(out_j)
+        # non-ASCII rows: recompute their pairs scalar-exactly
+        bad = np.flatnonzero(pd.notna(fb))
+        if len(bad):
+            bad_ids = set(ids[bad].tolist())
+            mask = np.array(
+                [a in bad_ids or b in bad_ids for a, b in zip(id_a, id_b)]
+            )
+            id_a, id_b, jac = id_a[~mask], id_b[~mask], jac[~mask]
+            extra_a, extra_b, extra_j = [], [], []
+            charset = {
+                int(i): (set(fb[i]) if fb[i] is not None else None)
+                for i in range(n)
+            }
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if fb[i] is None and fb[j] is None:
+                        continue
+                    sx = charset[i] if charset[i] is not None else _mask_charset(lo[i], hi[i])
+                    sy = charset[j] if charset[j] is not None else _mask_charset(lo[j], hi[j])
+                    u2 = len(sx | sy)
+                    s = (len(sx & sy) / u2) if u2 else 1.0
+                    if s >= threshold:
+                        extra_a.append(ids[i])
+                        extra_b.append(ids[j])
+                        extra_j.append(s)
+            if extra_a:
+                id_a = np.concatenate([id_a, np.asarray(extra_a)])
+                id_b = np.concatenate([id_b, np.asarray(extra_b)])
+                jac = np.concatenate([jac, np.asarray(extra_j)])
+        return {
+            "id_a": id_a,
+            "id_b": id_b,
+            "jaccard": jac,
+            "truncated": np.full(len(id_a), truncated, dtype=np.int8),
+        }
+
+    n_part = _default_partitions()
+    return sorted_group_scan(keyed, "_scan_key", gen, _empty, num_partitions=n_part)
+
+
+def _mask_charset(lo: np.uint64, hi: np.uint64) -> set:
+    """Reconstruct the ASCII character set from a 128-bit mask."""
+    out = set()
+    for b in range(64):
+        if (int(lo) >> b) & 1:
+            out.add(chr(b))
+        if (int(hi) >> b) & 1:
+            out.add(chr(b + 64))
+    return out
 
 
 # --------------------------------------------------------------------------

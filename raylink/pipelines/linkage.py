@@ -50,7 +50,14 @@ from ..stages.scoring import score_pairs
 from ..stages import pairs as pairs_stage
 from ..stages.tf import add_tf_columns, apply_tf_adjustment
 
-__all__ = ["LinkResult", "dedupe_records", "link_records", "fit_patterns"]
+__all__ = [
+    "LinkResult",
+    "dedupe_records",
+    "link_records",
+    "link_and_dedupe_records",
+    "run_linkage",
+    "fit_patterns",
+]
 
 
 @dataclass
@@ -478,3 +485,87 @@ def link_records(
         tf_matches=tf_matches,
         counters=counters,
     )
+
+
+def link_and_dedupe_records(
+    records_a: ray.data.Dataset,
+    records_b: ray.data.Dataset,
+    config: LinkConfig,
+    block_keys: list[str] | None = None,
+    cluster: bool = True,
+    seed: int = 1234,
+) -> LinkResult:
+    """The reference's declared-but-unimplemented ``link_and_dedupe`` mode
+    (/root/reference/README.md:26; its engine only ships link_only,
+    fastlink.jl:20): dedupe WITHIN each table and link BETWEEN them in one
+    pass, realized as a self-link over the tagged union A ∪ B.
+
+    Record ids are namespaced ``A:<id>`` / ``B:<id>`` so the union id space
+    is collision-free; the matched pairs gain a ``pair_type`` column
+    (``within_a`` / ``within_b`` / ``between``) recovered from the tags.
+    All of blocking, scoring, EM and clustering reuse the dedupe stages
+    unchanged.
+    """
+    import pyarrow.compute as pc
+
+    id_a_col, id_b_col = config.idvar
+
+    def tag(prefix: str, idc: str):
+        def fn(b: pa.Table) -> pa.Table:
+            uid = pc.binary_join_element_wise(
+                pa.array([prefix] * len(b)),
+                pc.cast(b.column(idc), pa.string()),
+                ":",
+            )
+            return b.append_column("_uid", uid)
+
+        return fn
+
+    import pyarrow as pa
+
+    da = records_a.map_batches(tag("A", id_a_col), batch_format="pyarrow")
+    db = records_b.map_batches(tag("B", id_b_col), batch_format="pyarrow")
+    fields = [v.name for v in config.leaf_vars()]
+    keys = block_keys or config.blocking.keys
+    cols = list(dict.fromkeys(["_uid", *fields, *(keys or [])]))
+    both = da.select_columns(cols).union(db.select_columns(cols))
+    res = dedupe_records(
+        both, config, "_uid", block_keys=block_keys, cluster=cluster, seed=seed
+    )
+
+    def typed(b: pa.Table) -> pa.Table:
+        ta = pc.utf8_slice_codeunits(pc.cast(b.column("id_a"), pa.string()), 0, 1)
+        tb = pc.utf8_slice_codeunits(pc.cast(b.column("id_b"), pa.string()), 0, 1)
+        same = pc.equal(ta, tb)
+        is_a = pc.equal(ta, pa.scalar("A"))
+        pair_type = pc.if_else(
+            same,
+            pc.if_else(is_a, pa.scalar("within_a"), pa.scalar("within_b")),
+            pa.scalar("between"),
+        )
+        return b.append_column("pair_type", pair_type)
+
+    res.matches = res.matches.map_batches(typed, batch_format="pyarrow")
+    return res
+
+
+def run_linkage(
+    config: LinkConfig,
+    records_a: ray.data.Dataset,
+    records_b: ray.data.Dataset | None = None,
+    **kwargs,
+) -> LinkResult:
+    """Dispatch on the config's ``link_type`` (the reference schema's three
+    declared modes, /root/reference/README.md:24-27)."""
+    if config.link_type == "link_only":
+        if records_b is None:
+            raise ValueError("link_only requires two tables")
+        return link_records(records_a, records_b, config, **kwargs)
+    if config.link_type == "dedupe_only":
+        id_col = config.idvar[0]
+        return dedupe_records(records_a, config, id_col, **kwargs)
+    if config.link_type == "link_and_dedupe":
+        if records_b is None:
+            raise ValueError("link_and_dedupe requires two tables")
+        return link_and_dedupe_records(records_a, records_b, config, **kwargs)
+    raise ValueError(f"unknown link_type {config.link_type!r}")

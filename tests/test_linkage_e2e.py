@@ -135,3 +135,44 @@ def test_rethreshold_without_rerun():
     strict = get_matches(res.scored_pairs, shim, threshold=0.999).to_pandas()
     loose = get_matches(res.scored_pairs, shim, threshold=0.5).to_pandas()
     assert len(strict) <= res.matches.count() <= len(loose)
+
+
+def test_link_and_dedupe_mode():
+    """link_and_dedupe = self-link over the tagged union (README.md:26 mode
+    the reference declares but never implements)."""
+    import ray.data
+
+    from raylink.config import parse_config
+    from raylink.pipelines.linkage import run_linkage
+    from raylink.sources.synth import make_person_tables
+
+    df_a, df_b, truth = make_person_tables(300, 250, n_matches=40, seed=9)
+    cfg = parse_config(
+        {
+            "link_type": "link_and_dedupe",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "firstname", "method": "jarowinkler"},
+                    {"varname": "lastname", "method": "jarowinkler"},
+                    {"varname": "birthyear", "method": "numeric", "cut_a": 1, "cut_b": 2},
+                ],
+            },
+            "blocking": {"keys": ["city"], "cap": 5000},
+        }
+    )
+    res = run_linkage(cfg, ray.data.from_pandas(df_a), ray.data.from_pandas(df_b))
+    m = res.matches.to_pandas()
+    assert set(m["pair_type"].unique()) <= {"within_a", "within_b", "between"}
+    pred_between = set()
+    for _, r in m[m["pair_type"] == "between"].iterrows():
+        a = int(r["id_a"].split(":")[1])
+        b = int(r["id_b"].split(":")[1])
+        pred_between.add((min(a, b), max(a, b)))
+    ts = {(min(a, b), max(a, b)) for a, b in zip(truth["id_a"], truth["id_b"])}
+    hit = len(ts & pred_between)
+    assert hit / len(ts) >= 0.85, f"recovered {hit}/{len(ts)}"
+    # clusters exist over the union id space
+    assert res.clusters is not None
