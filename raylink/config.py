@@ -237,6 +237,20 @@ def _parse_comparisons(d: dict) -> ComparisonConfig:
     ):
         if k in d:
             setattr(cc, k, d[k])
+    if "digit_precision" in d:
+        # the reference's BigFloat precision knob (emlink.jl:44-46); this
+        # engine runs float64 log-space EM (verified against the reference's
+        # own fixture), so the knob cannot take effect — say so instead of
+        # silently ignoring it
+        import warnings
+
+        warnings.warn(
+            "digit_precision is a BigFloat knob of the reference "
+            "implementation; this engine's EM is float64 log-space and "
+            "ignores it (see raylink/stages/em.py module docstring)",
+            UserWarning,
+            stacklevel=3,
+        )
     return cc
 
 

