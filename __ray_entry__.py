@@ -662,6 +662,32 @@ def _q_ann_topk_lsh(sf_dir: str):
     return res[["query_id", "vec_id", "rank", "cosine"]]
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF ANN — coarse k-means quantizer (driver-trained on a bounded
+    sample, centroids broadcast), nprobe-list pruned exact scoring.
+    Rows-only check: approximate by construction; recall@10 vs the exact
+    result is graded in bench.py (``ann_ivf_recall10``)."""
+    from raylink.ops.ann import ann_ivf
+
+    ds, queries, qids = _query_vectors(sf_dir)
+    res = ann_ivf(ds, queries, qids, k=10)
+    res = res.copy()
+    res["cosine"] = res["cosine"].round(4)
+    return res[["query_id", "vec_id", "rank", "cosine"]]
+
+
+def _q_window_events(sf_dir: str):
+    """Tumbling-window aggregate: per-user event count + fixed-point value
+    sum over 6-hour windows (exact — full DuckDB oracle)."""
+    from raylink.ops.window import tumbling_window_agg
+
+    ev = _read(sf_dir, "events").select_columns(["ts", "user_id", "value"])
+    out = tumbling_window_agg(
+        ev, "ts", "value", "user_id", window_seconds=21600
+    )
+    return out.sort(["user_id", "window_start"]).to_pandas()
+
+
 def _q_minhash_dedup(sf_dir: str):
     from raylink.ops.dedup import minhash_lsh_dedup
 
@@ -822,6 +848,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_exact_dups": _q_cluster_exact_dups,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "window_events": _q_window_events,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "char_jaccard_dups": _q_char_jaccard_dups,
@@ -1003,6 +1031,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id,
                    min(doc_id) OVER (PARTITION BY text)::BIGINT AS entity
             FROM documents
+        """,
+        "window_events": """
+            SELECT user_id::BIGINT AS user_id,
+                   (floor(epoch(ts) / 21600) * 21600)::BIGINT AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT
+                       AS sum_value_e4
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "ann_topk": """
             WITH q AS (

@@ -93,6 +93,10 @@ def run_headline(sf_dir: str) -> dict:
         "wall_seconds": round(wall, 3),
         "pairs_per_sec": round(scored / wall, 1),
         "turns_per_sec": round(n_turns / wall, 1),
+        # fixed-vs-scalable attribution: per-stage distributed walls (from
+        # the checkpoint manifests) and the serial driver histogram+EM wall
+        "stage_walls": res["counters"].get("stage_walls"),
+        "em_wall": res["counters"].get("em_wall"),
     }
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
@@ -197,11 +201,15 @@ def run_quality_grades(sf_dir: str) -> dict:
 
     - langid_accuracy: language-ID predictions vs the documents table's
       ground-truth ``lang`` column.
-    - ann_lsh_recall10: LSH ANN's top-10 overlap with exact brute-force.
+    - ann_lsh_recall10 / ann_ivf_recall10: approximate ANN's top-10 overlap
+      with exact brute-force.
     - minhash_est_jaccard_mae: signature-estimated Jaccard vs EXACT shingle
       Jaccard on the emitted near-dup pairs.
+    - simhash_recall: emitted pairs vs exact all-pairs Hamming<=3 over the
+      signatures (pigeonhole banding promises 1.0 absent bucket_cap
+      truncation).
     - embedding_lsh_recall: LSH cosine near-dup pairs vs the exact
-      all-pairs result at threshold 0.9.
+      all-pairs result at the highest non-vacuous threshold.
     """
     import numpy as np
     import pandas as pd
@@ -239,6 +247,15 @@ def run_quality_grades(sf_dir: str) -> dict:
         recalls.append(len(e & a) / max(len(e), 1))
     out["ann_lsh_recall10"] = round(float(np.mean(recalls)), 4)
 
+    # --- ANN IVF recall@10 vs exact brute force --------------------------
+    ivf = entrymod.queries()["ann_topk_ivf"](sf_dir)
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        e = set(grp["vec_id"])
+        a = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    out["ann_ivf_recall10"] = round(float(np.mean(recalls)), 4)
+
     # --- minhash est_jaccard vs exact shingle jaccard --------------------
     # the exact value uses the op's own shingle definition (5-byte crc32
     # shingles), so the error measured is purely the minhash approximation
@@ -260,6 +277,34 @@ def run_quality_grades(sf_dir: str) -> dict:
             errs.append(abs(true_j - r["est_jaccard"]))
         out["minhash_est_jaccard_mae"] = round(float(np.mean(errs)), 4)
         out["minhash_pairs"] = int(len(pairs))
+
+    # --- simhash recall vs exact brute-force Hamming ---------------------
+    # pigeonhole banding guarantees recall 1.0 within max_hamming (absent
+    # bucket_cap truncation), so this grade checks the implementation
+    # against its own mathematical contract
+    from raylink.ops.dedup import _popcount64, simhash_dedup, simhash_signatures
+
+    max_h = 3
+    sig_df = simhash_signatures(docs, "text", "doc_id").to_pandas()
+    sh = sig_df["simhash"].to_numpy(np.int64).view(np.uint64)
+    sids = sig_df["doc_id"].to_numpy()
+    exact_pairs = set()
+    for i0 in range(0, len(sh), 1024):  # chunked (1024, N) XOR+popcount
+        chunk = sh[i0 : i0 + 1024]
+        d = _popcount64(chunk[:, None] ^ sh[None, :])
+        ii, jj = np.nonzero(d <= max_h)
+        gi = ii + i0
+        m = gi < jj  # upper triangle only
+        for a, b in zip(sids[gi[m]], sids[jj[m]]):
+            exact_pairs.add((a, b) if a < b else (b, a))
+    got = simhash_dedup(docs, "text", "doc_id", max_hamming=max_h).to_pandas()
+    got_pairs = set(
+        (a, b) if a < b else (b, a) for a, b in zip(got["id_a"], got["id_b"])
+    )
+    out["simhash_exact_pairs"] = int(len(exact_pairs))
+    out["simhash_recall"] = round(
+        len(exact_pairs & got_pairs) / max(len(exact_pairs), 1), 4
+    )
 
     # --- embedding LSH recall vs exact ----------------------------------
     # graded at the highest threshold where exact pairs exist at this sf

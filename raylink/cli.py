@@ -58,14 +58,16 @@ def cmd_link(args: argparse.Namespace) -> int:
     import ray.data
 
     from .config import parse_config
-    from .pipelines.linkage import link_records
+    from .pipelines.linkage import run_linkage
 
     _ensure_ray(args.num_cpus)
     with open(args.config) as f:
         config = parse_config(json.load(f))
     ds_a = ray.data.read_parquet(args.table_a)
-    ds_b = ray.data.read_parquet(args.table_b)
-    res = link_records(ds_a, ds_b, config)
+    ds_b = ray.data.read_parquet(args.table_b) if args.table_b else None
+    # dispatches on the config's link_type: link_only / dedupe_only /
+    # link_and_dedupe (the reference schema's three declared modes)
+    res = run_linkage(config, ds_a, ds_b)
     res.matches.write_parquet(args.output)
     print(json.dumps({"counters": res.counters, "p_m": res.em.p_m}, default=str))
     return 0
@@ -82,9 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--num-cpus", type=int)
     run.set_defaults(fn=cmd_run)
 
-    link = sub.add_parser("link", help="two-table record linkage")
+    link = sub.add_parser(
+        "link", help="record linkage (link / dedupe / link_and_dedupe per config)"
+    )
     link.add_argument("--table-a", required=True)
-    link.add_argument("--table-b", required=True)
+    link.add_argument("--table-b", help="required unless link_type=dedupe_only")
     link.add_argument("--config", required=True)
     link.add_argument("--output", required=True)
     link.add_argument("--num-cpus", type=int)

@@ -586,6 +586,31 @@ def similarity_pairs(
                 sims[k] = vals[pos]
                 if cache is not None:
                     cache[(method, uniq[k][0], uniq[k][1])] = float(vals[pos])
+    elif method == "lv":
+        # batch path: char-level Levenshtein through the SAME lockstep DP
+        # as the token comparator (chars are just 1-char tokens), so long
+        # fields don't fall back to the per-pair Python DP
+        miss_idx = []
+        for k, (x, y) in enumerate(uniq):
+            if cache is not None:
+                s = cache.get((method, x, y))
+                if s is not None:
+                    sims[k] = s
+                    continue
+            miss_idx.append(k)
+        if miss_idx:
+            def _enc(s: str) -> np.ndarray:
+                return np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int32)
+
+            seqs_a = [_enc(uniq[k][0]) for k in miss_idx]
+            seqs_b = [_enc(uniq[k][1]) for k in miss_idx]
+            vals = token_levenshtein_matrix(seqs_a, seqs_b)
+            for pos, k in enumerate(miss_idx):
+                sims[k] = vals[pos]
+                if cache is not None:
+                    cache[(method, uniq[k][0], uniq[k][1])] = float(vals[pos])
     elif cache is None:
         for k, (x, y) in enumerate(uniq):
             sims[k] = similarity(method, x, y, w=w)

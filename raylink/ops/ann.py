@@ -5,9 +5,16 @@
   emits its local per-query top-k; the tiny candidate stream
   (O(num_blocks * Q * k)) reduces to the global top-k on the driver.  This is
   the baseline and the verification oracle.
-- :func:`ann_lsh` — the scale path: random-hyperplane buckets over both
+- :func:`ann_lsh` — a scale path: random-hyperplane buckets over both
   vectors and queries; per-bucket exact scoring only.  Recall < 1 by design;
   returns the same schema so callers can swap it in.
+- :func:`ann_ivf` — the other classic scale path: a coarse spherical
+  k-means quantizer trained on a bounded driver sample, centroids broadcast
+  once; each batch assigns its vectors to their nearest centroid and scores
+  a query only against vectors in that query's ``nprobe`` closest lists.
+  At cluster scale the assignment pass would additionally write
+  list-partitioned parquet so later query batches read only probed lists;
+  here the single streaming scan is the same pruned compute.
 """
 
 from __future__ import annotations
@@ -19,7 +26,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["ann_brute_force", "ann_lsh"]
+__all__ = ["ann_brute_force", "ann_lsh", "ann_ivf"]
 
 
 def _as_matrix(vectors) -> np.ndarray:
@@ -150,6 +157,121 @@ def ann_lsh(
         )
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qi, grp in cand.groupby("qi"):
+        g = grp.sort_values(
+            ["cosine", id_col], ascending=[False, True], ignore_index=True
+        ).head(k)
+        for rank, row in enumerate(g.itertuples(index=False), start=1):
+            out_rows.append(
+                {
+                    "query_id": query_ids[int(qi)],
+                    id_col: getattr(row, id_col),
+                    "cosine": row.cosine,
+                    "rank": rank,
+                }
+            )
+    return pd.DataFrame(out_rows)
+
+
+def _train_centroids(
+    X: np.ndarray, nlist: int, iters: int, seed: int
+) -> np.ndarray:
+    """Spherical k-means on unit vectors (deterministic, driver-side).
+
+    The training set is a bounded sample, so this is O(sample * nlist *
+    iters) regardless of dataset size.  Empty clusters are re-seeded from
+    the points farthest from their centroid.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    nlist = min(nlist, n)
+    C = X[rng.choice(n, size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ C.T  # (n, nlist)
+        assign = np.argmax(sims, axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, X)
+        counts = np.bincount(assign, minlength=nlist)
+        empty = counts == 0
+        if empty.any():
+            # farthest-from-own-centroid points restart dead clusters
+            far = np.argsort(sims[np.arange(n), assign])[: int(empty.sum())]
+            newC[empty] = X[far]
+            counts[empty] = 1
+        newC /= counts[:, None]
+        norms = np.linalg.norm(newC, axis=1)
+        norms[norms == 0] = 1.0
+        C = newC / norms[:, None]
+    return C
+
+
+def ann_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 64,
+    nprobe: int = 8,
+    seed: int = 17,
+    train_sample: int = 20_000,
+    kmeans_iters: int = 8,
+) -> pd.DataFrame:
+    """IVF approximate top-k: score only vectors whose coarse-quantizer
+    list is among the query's ``nprobe`` nearest lists.  Same output schema
+    as :func:`ann_brute_force`; recall < 1 by design (graded in bench.py
+    against the exact result)."""
+    qm = _normalize(_as_matrix(queries))
+    total = ds.count()
+    frac = min(1.0, train_sample / max(total, 1))
+    sample = (
+        ds.select_columns([emb_col])
+        .random_sample(frac, seed=seed)
+        .limit(train_sample)
+        .to_pandas()
+    )
+    X = _normalize(_as_matrix(sample[emb_col].to_numpy()))
+    C = _train_centroids(X, nlist, kmeans_iters, seed)
+    # per-query probe lists: the nprobe closest centroids
+    q_sims = qm @ C.T  # (Q, nlist)
+    npb = min(nprobe, C.shape[0])
+    probe = np.argpartition(-q_sims, npb - 1, axis=1)[:, :npb]  # (Q, npb)
+    state_ref = ray.put({"C": C, "qm": qm, "probe": probe})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref)
+        emb = _normalize(_as_matrix(batch.column(emb_col).to_pylist()))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        assign = np.argmax(emb @ st["C"].T, axis=1)  # (B,)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(st["qm"])):
+            rows = np.flatnonzero(np.isin(assign, st["probe"][qi]))
+            if len(rows) == 0:
+                continue
+            sims = emb[rows] @ st["qm"][qi]
+            kk = min(k, len(rows))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[rows[top]])
+            out_sim.extend(sims[top])
+        return pa.table(
+            {
+                "qi": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id),
+                "cosine": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    return _global_topk(cand, query_ids, id_col, k)
+
+
+def _global_topk(
+    cand: pd.DataFrame, query_ids: list, id_col: str, k: int
+) -> pd.DataFrame:
+    """Reduce the tiny per-block candidate stream to the global top-k."""
     out_rows = []
     for qi, grp in cand.groupby("qi"):
         g = grp.sort_values(

@@ -1,0 +1,153 @@
+"""Tumbling-window aggregation over an event stream.
+
+A windowed aggregate the reference lacks (it has no event/stream operators
+at all — SURVEY.md §2.11), but any large-scale training-data pipeline
+needs: per-key counts/sums over fixed time windows.
+
+Scale design: per-batch partial aggregation first (a batch of B events
+shrinks to at most distinct-(key, window) rows, the classic combiner), so
+the shuffle moves partials, never events.  The merge is a sorted-run scan
+over the TRUE composite key (one multi-column ``sort`` — no hashed key, so
+no collision risk), with ``np.add.reduceat`` doing the interior merges at C
+speed and the at-most-2 boundary key-tuples per block repaired through a
+tiny real ``groupby().map_groups`` (same structure as
+``raylink.stages.sortedrun``, generalized to a two-column key).
+
+Sums are computed on ``round(value * 10^4)`` int64 fixed-point so results
+are exactly associative (float summation order would otherwise make the
+distributed result nondeterministic vs a SQL oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+__all__ = ["tumbling_window_agg"]
+
+
+def _epoch_seconds(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp column -> int64 epoch seconds (floor)."""
+    arr = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[s]").astype(np.int64)
+    return np.floor(arr.astype(np.float64)).astype(np.int64)
+
+
+def tumbling_window_agg(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    window_seconds: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-(group, window) event count and fixed-point value sum.
+
+    Returns columns ``(group_col, window_start, n_events, sum_value_e4)``
+    where ``window_start = floor(epoch_seconds / window) * window`` (int64
+    epoch seconds) and ``sum_value_e4 = sum(round(value * 10^4))``.
+    """
+    w = int(window_seconds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        secs = _epoch_seconds(batch.column(ts_col))
+        win = (secs // w) * w
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        # floor(x*1e4 + 0.5): explicit half-up, identical in any SQL engine
+        # (np.round is half-to-even and would diverge from a SQL oracle)
+        v4 = np.floor(
+            np.asarray(v, dtype=np.float64) * 10_000 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"g": g, "w": win, "s": v4})
+        p = (
+            df.groupby(["g", "w"], sort=False, observed=True)
+            .agg(n=("s", "size"), s=("s", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                group_col: pa.array(p["g"].to_numpy(), type=pa.int64()),
+                "window_start": pa.array(p["w"].to_numpy(), type=pa.int64()),
+                "n_events": pa.array(p["n"].to_numpy(np.int64), type=pa.int64()),
+                "sum_value_e4": pa.array(p["s"].to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([ts_col, value_col, group_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    if num_partitions is None:
+        num_partitions = max(
+            16, int(ray.cluster_resources().get("CPU", 8))
+        )
+    sp = (
+        partials.repartition(num_partitions)
+        .sort([group_col, "window_start"])
+        .materialize()
+    )
+
+    def _runs(g: np.ndarray, win: np.ndarray) -> np.ndarray:
+        """Start offsets of equal-(g, win) runs in sorted arrays."""
+        if len(g) == 0:
+            return np.empty(0, dtype=np.int64)
+        change = (g[1:] != g[:-1]) | (win[1:] != win[:-1])
+        return np.concatenate(([0], np.flatnonzero(change) + 1))
+
+    def _boundary_mask(g: np.ndarray, win: np.ndarray) -> np.ndarray:
+        first = (g == g[0]) & (win == win[0])
+        last = (g == g[-1]) & (win == win[-1])
+        return first | last
+
+    def interior(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        g = np.asarray(batch[group_col])
+        win = np.asarray(batch["window_start"])
+        n = np.asarray(batch["n_events"])
+        s = np.asarray(batch["sum_value_e4"])
+        empty = {
+            group_col: g[:0],
+            "window_start": win[:0],
+            "n_events": n[:0],
+            "sum_value_e4": s[:0],
+        }
+        if len(g) == 0:
+            return empty
+        keep = ~_boundary_mask(g, win)
+        g, win, n, s = g[keep], win[keep], n[keep], s[keep]
+        if len(g) == 0:
+            return empty
+        starts = _runs(g, win)
+        return {
+            group_col: g[starts],
+            "window_start": win[starts],
+            "n_events": np.add.reduceat(n, starts),
+            "sum_value_e4": np.add.reduceat(s, starts),
+        }
+
+    def boundary(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        g = np.asarray(batch[group_col])
+        win = np.asarray(batch["window_start"])
+        if len(g) == 0:
+            return batch
+        m = _boundary_mask(g, win)
+        return {k: np.asarray(v)[m] for k, v in batch.items()}
+
+    def merge(group: dict[str, np.ndarray]) -> dict[str, list]:
+        return {
+            group_col: [np.asarray(group[group_col])[0]],
+            "window_start": [np.asarray(group["window_start"])[0]],
+            "n_events": [int(np.asarray(group["n_events"]).sum())],
+            "sum_value_e4": [int(np.asarray(group["sum_value_e4"]).sum())],
+        }
+
+    interior_out = sp.map_batches(interior, batch_format="numpy", batch_size=None)
+    repaired = (
+        sp.map_batches(boundary, batch_format="numpy", batch_size=None)
+        .groupby([group_col, "window_start"])
+        .map_groups(merge, batch_format="numpy")
+    )
+    return interior_out.union(repaired)

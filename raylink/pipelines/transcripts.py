@@ -145,6 +145,9 @@ def run_transcript_pipeline(
     scored = scored_res.dataset
 
     # ---- driver: histogram + EM ----------------------------------------
+    import time as _time
+
+    _t_em = _time.time()
     hist = pattern_histogram(scored)
     scored_count = float(hist["cnt"].sum())
     residual = total_comparisons - scored_count
@@ -159,6 +162,7 @@ def run_transcript_pipeline(
             ),
         )
     root_em, child_ems, leaf = fit_patterns(hist, config, seed=seed)
+    em_wall = round(_time.time() - _t_em, 3)
     runner.small_artifact(
         "em",
         {
@@ -214,6 +218,10 @@ def run_transcript_pipeline(
             "scored_pairs": scored_count,
             "matched_pairs": matches.count(),
             "hot_blocks": bcount.n_hot_blocks,
+            "em_wall": em_wall,
+            "stage_walls": {
+                k: m.get("wall_seconds") for k, m in runner.manifests.items()
+            },
             "completed_stages": [
                 k for k, m in runner.manifests.items() if runner.is_complete(k, fp)
             ],

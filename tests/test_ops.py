@@ -344,3 +344,83 @@ def test_tf_high_cardinality_join_path():
     b = broad.sort_values("rid").reset_index(drop=True)
     j = joined.sort_values("rid").reset_index(drop=True)
     assert np.allclose(b["tf_name"].to_numpy(), j["tf_name"].to_numpy(), atol=1e-7)
+
+
+def test_tumbling_window_agg_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raylink.ops.window import tumbling_window_agg
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 30 * 86400, n), unit="s"),
+            "user_id": rng.integers(0, 200, n).astype(np.int64),
+            "value": rng.normal(10, 5, n),
+        }
+    )
+    out = (
+        tumbling_window_agg(
+            ray.data.from_pandas(df).repartition(8),
+            "ts", "value", "user_id", window_seconds=3600,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    secs = df["ts"].astype("int64") // 10**9
+    ref = (
+        pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "window_start": (secs // 3600) * 3600,
+                "v4": np.floor(df["value"] * 10000 + 0.5).astype(np.int64),
+            }
+        )
+        .groupby(["user_id", "window_start"])
+        .agg(n_events=("v4", "size"), sum_value_e4=("v4", "sum"))
+        .reset_index()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref)
+    assert (out["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+    assert (out["window_start"].to_numpy() == ref["window_start"].to_numpy()).all()
+    assert (out["n_events"].to_numpy() == ref["n_events"].to_numpy()).all()
+    assert (out["sum_value_e4"].to_numpy() == ref["sum_value_e4"].to_numpy()).all()
+
+
+def test_ann_ivf_planted_neighbors():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from raylink.ops.ann import ann_brute_force, ann_ivf
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(800, 16))
+    # plant 5 tight clusters around the first 5 vectors
+    queries = base[:5] + rng.normal(scale=0.01, size=(5, 16))
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(800, dtype=np.int64),
+            "embedding": [v.astype(np.float32).tolist() for v in base],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    exact = ann_brute_force(ds, queries, list(range(5)), k=10)
+    approx = ann_ivf(
+        ds, queries, list(range(5)), k=10, nlist=16, nprobe=4, train_sample=800
+    )
+    # the planted nearest neighbor must be found, and overall recall decent
+    recalls = []
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        assert q in a  # planted self-neighbor found
+        recalls.append(len(e & a) / 10)
+    assert float(np.mean(recalls)) >= 0.5, recalls

@@ -77,3 +77,30 @@ def test_method_aliases_cover_reference_table():
     for alias in ("jarowinkler", "jaro-winkler", "dameraulevenshtein", "lv",
                   "optimal string alignment", "ratcliff obershelp", "hamming"):
         assert alias in sd.METHOD_ALIASES
+
+
+def test_similarity_pairs_lv_batch_matches_scalar():
+    # the lv method runs through the lockstep char-DP; must agree with the
+    # scalar two-row DP exactly, including empty/null handling
+    import random
+    import string
+
+    rng = random.Random(11)
+    a = np.array(
+        ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(0, 15)))
+         for _ in range(200)] + ["", None],
+        dtype=object,
+    )
+    b = np.array(
+        ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(0, 15)))
+         for _ in range(200)] + ["", "x"],
+        dtype=object,
+    )
+    cache: dict = {}
+    out = sd.similarity_pairs(a, b, method="lv", cache=cache)
+    for i in range(201):
+        assert out[i] == pytest.approx(sd.similarity("lv", a[i], b[i]))
+    assert np.isnan(out[201])  # null side
+    # cache round-trip: second call served from cache, same values
+    out2 = sd.similarity_pairs(a, b, method="lv", cache=cache)
+    assert np.allclose(out[:201], out2[:201])
