@@ -35,22 +35,44 @@ def _sf_label(sf_dir: str) -> float:
 
 def _transcript_cache(n_entities: int, hot: int, seed: int = 42) -> str:
     """Generate (once) and cache the deterministic synthetic transcript
-    parquet for this scale under /tmp."""
+    parquet for this scale under /tmp.
+
+    ``turns.parquet`` is a DIRECTORY of 16 shard files: Ray parallelizes
+    parquet reads per FILE, so a single-file corpus serializes the read
+    into one task — a bench artifact that misrepresents the many-file
+    reality at scale (cache layout v2; v1 single-file caches regenerate).
+    """
     path = f"/tmp/raylink_bench/transcripts_e{n_entities}_h{hot}_s{seed}"
     marker = os.path.join(path, "_DONE")
-    if not os.path.exists(marker):
+    if not (os.path.exists(marker) and open(marker).read().startswith("v2")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         from raylink.sources.synth import make_transcripts
 
         turns, truth = make_transcripts(
             n_entities=n_entities, seed=seed, hot_block_convs=hot
         )
-        # small row groups so the read parallelizes (a single giant row
-        # group caps read fan-out at 1-2 tasks)
-        turns.to_parquet(os.path.join(path, "turns.parquet"), row_group_size=65536)
+        tdir = os.path.join(path, "turns.parquet")
+        os.makedirs(tdir, exist_ok=True)
+        t = pa.Table.from_pandas(turns, preserve_index=False)
+        shards = 16
+        per = (len(t) + shards - 1) // shards
+        for i in range(shards):
+            sl = t.slice(i * per, per)
+            if len(sl):
+                pq.write_table(
+                    sl,
+                    os.path.join(tdir, f"part-{i:04d}.parquet"),
+                    row_group_size=65536,
+                )
         truth.to_parquet(os.path.join(path, "truth.parquet"), row_group_size=65536)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write("v2")
     return path
 
 

@@ -3,14 +3,21 @@
 Images/audio/video are opaque ``binary`` columns with metadata columns
 (``media_type``, ``width``/``height`` or ``sample_rate``/``duration``).  The
 Ray-side plumbing — schema, actor-pool stage shape, batch sizing, output
-layout — is real and tested; the *codec* step is stubbed because no
-image/audio libraries exist in this environment:
+layout — is real and tested.  The codec step is REAL for uncompressed
+formats via the pure-numpy codecs in :mod:`raylink.ops.codecs`:
 
-- default: ``decoder="stub"`` raises ``NotImplementedError`` with guidance;
-- ``decoder="fake"`` produces a deterministic feature vector from the payload
-  bytes, so pipelines and tests exercise the full data path.
+- ``decoder="bmp"`` — decode 24/32-bit BMP payloads, emit mean+histogram
+  image descriptors (and see :func:`decode_resize_images` for the
+  decode → resize → re-encode stage);
+- ``decoder="wav"`` — decode PCM-16 WAV payloads, emit RMS/ZCR/FFT-band
+  descriptors;
+- ``decoder="fake"`` — deterministic feature vector from the payload
+  bytes (exercises the full data path without any format assumption);
+- ``decoder="stub"`` (default) — raises ``NotImplementedError`` with
+  guidance: COMPRESSED formats (JPEG/PNG/MP3/...) need codec libraries
+  this environment does not have.
 
-Swap in a real decoder by passing any callable ``bytes -> np.ndarray``.
+Swap in any other decoder by passing a callable ``bytes -> np.ndarray``.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ __all__ = [
     "make_media_table",
     "MediaFeatureExtractor",
     "extract_media_features",
+    "decode_resize_images",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -44,30 +52,74 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def make_media_table(n: int = 100, seed: int = 5) -> pa.Table:
-    """Deterministic synthetic media rows (payload = pseudo-random bytes)."""
+    """Deterministic synthetic media rows with REAL payloads: images are
+    valid 24-bit BMPs, audio rows are valid PCM-16 WAVs (decodable by the
+    numpy codecs), video rows are opaque bytes (stub territory)."""
+    from .codecs import encode_bmp, encode_wav
+
     rng = np.random.default_rng(seed)
     types = np.array(["image", "audio", "video"])[rng.integers(0, 3, size=n)]
-    payloads = [rng.integers(0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8).tobytes() for _ in range(n)]
+    payloads: list[bytes] = []
+    widths = np.zeros(n, dtype=np.int32)
+    heights = np.zeros(n, dtype=np.int32)
+    rates = np.zeros(n, dtype=np.int32)
+    durs = np.zeros(n, dtype=np.int32)
+    for i, t in enumerate(types):
+        if t == "image":
+            h = int(rng.integers(8, 48))
+            w = int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(img))
+            widths[i], heights[i] = w, h
+        elif t == "audio":
+            rate = 8000
+            n_samp = int(rng.integers(256, 4096))
+            tt = np.arange(n_samp) / rate
+            freq = float(rng.uniform(100, 1000))
+            wave = (np.sin(2 * np.pi * freq * tt) * 12000).astype(np.int16)
+            payloads.append(encode_wav(wave, rate))
+            rates[i] = rate
+            durs[i] = int(1000 * n_samp / rate)
+        else:
+            payloads.append(
+                rng.integers(
+                    0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8
+                ).tobytes()
+            )
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
             "media_type": pa.array(types.tolist()),
             "payload": pa.array(payloads, type=pa.binary()),
-            "width": pa.array(rng.integers(64, 1920, size=n).astype(np.int32)),
-            "height": pa.array(rng.integers(64, 1080, size=n).astype(np.int32)),
-            "sample_rate": pa.array(np.full(n, 16000, dtype=np.int32)),
-            "duration_ms": pa.array(rng.integers(100, 60000, size=n).astype(np.int32)),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "sample_rate": pa.array(rates),
+            "duration_ms": pa.array(durs),
         }
     )
 
 
 def _stub_decoder(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
-        "media decoding requires an image/audio codec library, which is not "
-        "available in this environment; pass decoder='fake' for the "
-        "deterministic test decoder or supply your own bytes -> ndarray "
-        "callable"
+        "decoding COMPRESSED media (JPEG/PNG/MP3/...) requires a codec "
+        "library, which is not available in this environment; use "
+        "decoder='bmp' or decoder='wav' for the real pure-numpy codecs "
+        "(raylink.ops.codecs), decoder='fake' for the deterministic test "
+        "decoder, or supply your own bytes -> ndarray callable"
     )
+
+
+def _bmp_features(payload: bytes) -> np.ndarray:
+    from .codecs import decode_bmp, image_features
+
+    return image_features(decode_bmp(payload))
+
+
+def _wav_features(payload: bytes) -> np.ndarray:
+    from .codecs import audio_features, decode_wav
+
+    samples, rate = decode_wav(payload)
+    return audio_features(samples, rate)
 
 
 def _fake_decoder(payload: bytes, dim: int = 32) -> np.ndarray:
@@ -91,20 +143,26 @@ class MediaFeatureExtractor:
             self.decode = _stub_decoder
         elif decoder == "fake":
             self.decode = lambda b: _fake_decoder(b, dim)
+        elif decoder == "bmp":
+            self.decode = _bmp_features
+        elif decoder == "wav":
+            self.decode = _wav_features
         else:
             self.decode = decoder
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = [self.decode(p).astype(np.float32).tobytes() for p in payloads]
+        vecs = [self.decode(p).astype(np.float32) for p in payloads]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "media_type": batch.column("media_type"),
-                "features": pa.array(feats, type=pa.binary()),
+                "features": pa.array(
+                    [v.tobytes() for v in vecs], type=pa.binary()
+                ),
                 "feat_dim": pa.array(
-                    np.full(len(feats), self.dim, dtype=np.int32)
+                    np.array([len(v) for v in vecs], dtype=np.int32)
                 ),
             }
         )
@@ -121,6 +179,56 @@ def extract_media_features(
     return media.map_batches(
         MediaFeatureExtractor,
         fn_constructor_kwargs={"decoder": decoder, "dim": dim},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+class _ImageResizer:
+    """Actor-pool stage: BMP decode -> resize -> BMP re-encode per row."""
+
+    def __init__(self, out_h: int, out_w: int, method: str = "bilinear"):
+        from .codecs import decode_bmp, encode_bmp, resize_bilinear, resize_nearest
+
+        self.decode = decode_bmp
+        self.encode = encode_bmp
+        self.resize = resize_bilinear if method == "bilinear" else resize_nearest
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [
+            self.encode(self.resize(self.decode(p), self.out_h, self.out_w))
+            for p in batch.column("payload").to_pylist()
+        ]
+        n = len(out)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "payload": pa.array(out, type=pa.binary()),
+                "width": pa.array(np.full(n, self.out_w, dtype=np.int32)),
+                "height": pa.array(np.full(n, self.out_h, dtype=np.int32)),
+            }
+        )
+
+
+def decode_resize_images(
+    media: ray.data.Dataset,
+    out_h: int,
+    out_w: int,
+    method: str = "bilinear",
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Decode BMP image rows, resize to (out_h, out_w), re-encode as BMP.
+
+    Filter the input to ``media_type == 'image'`` rows first; non-BMP
+    payloads raise (the stage is format-honest, not best-effort).  Small
+    ``batch_size`` keeps batch x concurrency of binary payloads inside the
+    worker heap — the multimodal sizing rule."""
+    return media.map_batches(
+        _ImageResizer,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w, "method": method},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",

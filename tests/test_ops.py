@@ -424,3 +424,69 @@ def test_ann_ivf_planted_neighbors():
         assert q in a  # planted self-neighbor found
         recalls.append(len(e & a) / 10)
     assert float(np.mean(recalls)) >= 0.5, recalls
+
+
+def test_codecs_roundtrip_and_features():
+    import numpy as np
+
+    from raylink.ops.codecs import (
+        audio_features,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        image_features,
+        resize_bilinear,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(21, 37, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # same-size bilinear resize is the identity
+    assert np.array_equal(resize_bilinear(img, 21, 37), img)
+    assert resize_nearest(img, 8, 8).shape == (8, 8, 3)
+    f = image_features(img)
+    assert f.shape == (27,) and abs(float(f[3:11].sum()) - 1.0) < 1e-5
+
+    wave = (np.sin(np.arange(3000) / 5) * 9000).astype(np.int16)
+    s, rate = decode_wav(encode_wav(wave, 8000))
+    assert rate == 8000 and np.array_equal(s[:, 0], wave)
+    af = audio_features(wave, 8000)
+    assert af.shape == (18,) and 0.0 < float(af[0]) < 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bmp at all.................................................")
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVEjunkjunkjunkjunkjunkjunkjunkjunkjunk")
+
+
+def test_multimodal_real_decode_stages():
+    """The bmp/wav decoders run end-to-end through the actor-pool stages
+    on the synthetic media table (whose image/audio payloads are real)."""
+    import numpy as np
+    import ray.data
+
+    from raylink.ops.codecs import decode_bmp
+    from raylink.ops.multimodal import (
+        decode_resize_images,
+        extract_media_features,
+        make_media_table,
+    )
+
+    media = ray.data.from_arrow(make_media_table(60, seed=7))
+    imgs = media.filter(lambda r: r["media_type"] == "image")
+    auds = media.filter(lambda r: r["media_type"] == "audio")
+
+    feats_i = extract_media_features(imgs, decoder="bmp").to_pandas()
+    assert len(feats_i) > 0 and (feats_i["feat_dim"] == 27).all()
+    feats_a = extract_media_features(auds, decoder="wav").to_pandas()
+    assert len(feats_a) > 0 and (feats_a["feat_dim"] == 18).all()
+
+    resized = decode_resize_images(imgs, 16, 16).to_pandas()
+    assert len(resized) == len(feats_i)
+    assert (resized["width"] == 16).all() and (resized["height"] == 16).all()
+    arr = decode_bmp(resized["payload"].iloc[0])
+    assert arr.shape == (16, 16, 3)
