@@ -36,6 +36,7 @@ __all__ = [
     "MediaFeatureExtractor",
     "extract_media_features",
     "decode_resize_images",
+    "frame_sample",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -81,11 +82,17 @@ def make_media_table(n: int = 100, seed: int = 5) -> pa.Table:
             rates[i] = rate
             durs[i] = int(1000 * n_samp / rate)
         else:
-            payloads.append(
-                rng.integers(
-                    0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8
-                ).tobytes()
-            )
+            # "video" = concatenated-BMP frame container (decodable)
+            n_frames = int(rng.integers(4, 12))
+            h = int(rng.integers(8, 16))
+            w = int(rng.integers(8, 16))
+            frames = [
+                encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+                for _ in range(n_frames)
+            ]
+            payloads.append(b"".join(frames))
+            widths[i], heights[i] = w, h
+            durs[i] = n_frames * 40  # 25 fps
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -210,6 +217,80 @@ class _ImageResizer:
                 "height": pa.array(np.full(n, self.out_h, dtype=np.int32)),
             }
         )
+
+
+def _split_bmp_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-BMP container into its frames.
+
+    The "video" format this repo can actually decode without codec
+    libraries: frames are whole BMP files laid end to end (each one
+    self-describing via its header's file-size field).  Compressed video
+    needs a real codec and stays behind the stub decoder.
+    """
+    import struct as _struct
+
+    frames = []
+    pos = 0
+    while pos + 6 <= len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"junk at offset {pos}: not a BMP frame")
+        size = _struct.unpack_from("<I", payload, pos + 2)[0]
+        if size < 54 or pos + size > len(payload):
+            raise ValueError(f"truncated BMP frame at offset {pos}")
+        frames.append(payload[pos : pos + size])
+        pos += size
+    return frames
+
+
+class _FrameSampler:
+    """Actor-pool stage: split video payloads into frames, keep every
+    ``step``-th frame (bounded by ``max_frames``), one output row per kept
+    frame — ``flat_map`` semantics expressed as a batch transform."""
+
+    def __init__(self, step: int = 2, max_frames: int | None = None):
+        self.step = max(1, step)
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        out_id, out_frame_idx, out_payload = [], [], []
+        for mid, payload in zip(ids, batch.column("payload").to_pylist()):
+            frames = _split_bmp_frames(payload)[:: self.step]
+            if self.max_frames is not None:
+                frames = frames[: self.max_frames]
+            for fi, fr in enumerate(frames):
+                out_id.append(mid)
+                out_frame_idx.append(fi)
+                out_payload.append(fr)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_frame_idx, type=pa.int32()),
+                "payload": pa.array(out_payload, type=pa.binary()),
+            }
+        )
+
+
+def frame_sample(
+    media: ray.data.Dataset,
+    step: int = 2,
+    max_frames: int | None = None,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """Sample every ``step``-th frame from concatenated-BMP video payloads.
+
+    Output rows (media_id, frame_idx, payload) are individual BMP images —
+    feed them to :func:`decode_resize_images` or the ``bmp`` feature
+    extractor.  Video rows in a compressed container raise (format-honest;
+    see :func:`_split_bmp_frames`)."""
+    return media.map_batches(
+        _FrameSampler,
+        fn_constructor_kwargs={"step": step, "max_frames": max_frames},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
 
 
 def decode_resize_images(

@@ -490,3 +490,21 @@ def test_multimodal_real_decode_stages():
     assert (resized["width"] == 16).all() and (resized["height"] == 16).all()
     arr = decode_bmp(resized["payload"].iloc[0])
     assert arr.shape == (16, 16, 3)
+
+
+def test_frame_sample_video_rows():
+    import numpy as np
+    import ray.data
+
+    from raylink.ops.codecs import decode_bmp
+    from raylink.ops.multimodal import frame_sample, make_media_table
+
+    media = ray.data.from_arrow(make_media_table(60, seed=7))
+    vids = media.filter(lambda r: r["media_type"] == "video")
+    n_vids = vids.count()
+    assert n_vids > 0
+    frames = frame_sample(vids, step=2, max_frames=3).to_pandas()
+    assert frames["media_id"].nunique() == n_vids
+    assert frames.groupby("media_id")["frame_idx"].max().max() <= 2
+    arr = decode_bmp(frames["payload"].iloc[0])
+    assert arr.ndim == 3 and arr.shape[2] == 3
