@@ -328,6 +328,43 @@ def _q_quality_scores(sf_dir: str):
     return out.select_columns(["doc_id", "quality", "stopword_ratio"])
 
 
+def _q_quality_signals(sf_dir: str):
+    """The quality op's raw signals in exactly-reproducible form: integer
+    counts plus half-up fixed-point ratios — a FULL DuckDB oracle for the
+    quality-scoring family (the composite `quality` stays heuristic)."""
+    from raylink.ops.text import with_quality_scores
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = with_quality_scores(docs).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_punct", "stop_hits"]
+    )
+
+    def fixed(t: pa.Table) -> pa.Table:
+        n_chars = t.column("n_chars").to_numpy(zero_copy_only=False)
+        n_tokens = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        n_punct = t.column("n_punct").to_numpy(zero_copy_only=False)
+        stop_hits = t.column("stop_hits").to_numpy(zero_copy_only=False)
+        pr = np.floor(
+            n_punct / np.maximum(n_chars, 1) * 10000 + 0.5
+        ).astype(np.int64)
+        sr = np.floor(
+            stop_hits / np.maximum(n_tokens, 1) * 10000 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pa.array(n_chars.astype(np.int64)),
+                "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                "n_punct": pa.array(n_punct.astype(np.int64)),
+                "stop_hits": pa.array(stop_hits.astype(np.int64)),
+                "punct_ratio_e4": pa.array(pr),
+                "stopword_ratio_e4": pa.array(sr),
+            }
+        )
+
+    return out.map_batches(fixed, batch_format="pyarrow")
+
+
 def _q_langid(sf_dir: str):
     from raylink.ops.text import with_language_id
 
@@ -836,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
         "quality_scores": _q_quality_scores,
+        "quality_signals": _q_quality_signals,
         "langid_docs": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "top_users": _q_top_users,
@@ -1031,6 +1069,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id,
                    min(doc_id) OVER (PARTITION BY text)::BIGINT AS entity
             FROM documents
+        """,
+        "quality_signals": """
+            WITH sig AS (
+                SELECT doc_id,
+                       length(coalesce(text, '')) AS n_chars,
+                       len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                           AS n_tokens,
+                       len(regexp_extract_all(coalesce(text, ''), '[.,!?;:]'))
+                           AS n_punct,
+                       len(list_filter(
+                           regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                           x -> x IN ('the','and','of','to','a','in','is','it',
+                                      'that','for','was','with','on','as','are')
+                       )) AS stop_hits
+                FROM documents
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   n_chars::BIGINT AS n_chars,
+                   n_tokens::BIGINT AS n_tokens,
+                   n_punct::BIGINT AS n_punct,
+                   stop_hits::BIGINT AS stop_hits,
+                   CAST(floor(n_punct / greatest(n_chars, 1) * 10000 + 0.5)
+                        AS BIGINT) AS punct_ratio_e4,
+                   CAST(floor(stop_hits / greatest(n_tokens, 1) * 10000 + 0.5)
+                        AS BIGINT) AS stopword_ratio_e4
+            FROM sig
         """,
         "window_events": """
             SELECT user_id::BIGINT AS user_id,

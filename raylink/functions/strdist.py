@@ -568,7 +568,8 @@ def similarity_pairs(
         (vals_a[k // len(vals_b)], vals_b[k % len(vals_b)]) for k in uniq_keys
     ]
     sims = np.empty(len(uniq), dtype=np.float64)
-    if method == "jw":
+    batch_fn = _BATCH_METHODS.get(method)
+    if batch_fn is not None:
         # batch-vectorized path: score only cache misses, in one numpy pass
         miss_idx = []
         for k, (x, y) in enumerate(uniq):
@@ -581,32 +582,7 @@ def similarity_pairs(
         if miss_idx:
             ua = [uniq[k][0] for k in miss_idx]
             ub = [uniq[k][1] for k in miss_idx]
-            vals = jaro_winkler_batch(ua, ub, p=w)
-            for pos, k in enumerate(miss_idx):
-                sims[k] = vals[pos]
-                if cache is not None:
-                    cache[(method, uniq[k][0], uniq[k][1])] = float(vals[pos])
-    elif method == "lv":
-        # batch path: char-level Levenshtein through the SAME lockstep DP
-        # as the token comparator (chars are just 1-char tokens), so long
-        # fields don't fall back to the per-pair Python DP
-        miss_idx = []
-        for k, (x, y) in enumerate(uniq):
-            if cache is not None:
-                s = cache.get((method, x, y))
-                if s is not None:
-                    sims[k] = s
-                    continue
-            miss_idx.append(k)
-        if miss_idx:
-            def _enc(s: str) -> np.ndarray:
-                return np.frombuffer(
-                    s.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int32)
-
-            seqs_a = [_enc(uniq[k][0]) for k in miss_idx]
-            seqs_b = [_enc(uniq[k][1]) for k in miss_idx]
-            vals = token_levenshtein_matrix(seqs_a, seqs_b)
+            vals = batch_fn(ua, ub, w)
             for pos, k in enumerate(miss_idx):
                 sims[k] = vals[pos]
                 if cache is not None:
@@ -624,6 +600,131 @@ def similarity_pairs(
             sims[k] = s
     out[valid] = sims[inv]
     return out
+
+
+def osa_matrix(
+    seqs_a: list[np.ndarray], seqs_b: list[np.ndarray]
+) -> np.ndarray:
+    """Normalized OSA (restricted Damerau-Levenshtein) similarity,
+    vectorized across pairs — the :func:`token_levenshtein_matrix` lockstep
+    DP plus the adjacent-transposition term (``prev2`` row)."""
+    n = len(seqs_a)
+    out = np.ones(n, dtype=np.float64)
+    if n == 0:
+        return out
+    len_a = np.array([len(s) for s in seqs_a], dtype=np.int64)
+    len_b = np.array([len(s) for s in seqs_b], dtype=np.int64)
+    denom = np.maximum(len_a, len_b)
+    lo = np.minimum(len_a, len_b)
+    nontrivial = denom > 0
+    out[nontrivial & (lo == 0)] = 0.0
+    run = nontrivial & (lo > 0)
+    if not run.any():
+        return out
+    ridx = np.flatnonzero(run)
+    order = np.argsort(denom[ridx], kind="stable")
+    ridx = ridx[order]
+    for c0 in range(0, len(ridx), 512):
+        cidx = ridx[c0 : c0 + 512]
+        _osa_chunk(seqs_a, seqs_b, cidx, len_a, len_b, denom, out)
+    return out
+
+
+def _osa_chunk(
+    seqs_a: list[np.ndarray],
+    seqs_b: list[np.ndarray],
+    ridx: np.ndarray,
+    len_a: np.ndarray,
+    len_b: np.ndarray,
+    denom: np.ndarray,
+    out: np.ndarray,
+) -> None:
+    """Lockstep OSA DP over one similarly-sized chunk of pairs."""
+    la = len_a[ridx]
+    lb = len_b[ridx]
+    m = len(ridx)
+    ta = int(la.max())
+    tb = int(lb.max())
+    A = np.full((m, ta), -1, dtype=np.int32)
+    B = np.full((m, tb), -2, dtype=np.int32)
+    for r, i in enumerate(ridx):
+        s = seqs_a[i]
+        A[r, : len(s)] = s
+        s = seqs_b[i]
+        B[r, : len(s)] = s
+    big = np.int16(ta + tb + 1)
+    col_idx = np.arange(tb + 1, dtype=np.int16)[None, :]
+    prev = np.where(col_idx <= lb[:, None], col_idx, big).astype(np.int16)
+    prev2 = None
+    arange_row = col_idx[0]
+    one = np.int16(1)
+    for r in range(1, ta + 1):
+        active = r <= la
+        sub_cost = (A[:, r - 1][:, None] != B).astype(np.int16)
+        cand = np.minimum(prev[:, :-1] + sub_cost, prev[:, 1:] + one)  # (N, Tb)
+        if r >= 2 and tb >= 2:
+            # transposition: a[r-1]==b[j-2] and a[r-2]==b[j-1] -> prev2[j-2]+1
+            tr_ok = (A[:, r - 1][:, None] == B[:, :-1]) & (
+                A[:, r - 2][:, None] == B[:, 1:]
+            )  # (N, Tb-1), covers j=2..Tb
+            tr_val = np.where(tr_ok, prev2[:, :-2] + one, big)
+            cand[:, 1:] = np.minimum(cand[:, 1:], tr_val)
+        first = np.full((m, 1), r, dtype=np.int16)
+        cand = np.concatenate([first, cand], axis=1)  # (N, Tb+1)
+        shifted = cand - arange_row[None, :]
+        np.minimum.accumulate(shifted, axis=1, out=shifted)
+        cur = shifted + arange_row[None, :]
+        cur = np.where(active[:, None], cur, prev)
+        prev2 = prev
+        prev = cur
+    dist = prev[np.arange(m), lb].astype(np.float64)
+    out[ridx] = 1.0 - dist / denom[ridx]
+
+
+def hamming_batch(strs_a: list[str], strs_b: list[str]) -> np.ndarray:
+    """Normalized Hamming similarity vectorized across pairs (length
+    difference contributes, matching :func:`hamming`)."""
+    n = len(strs_a)
+    out = np.ones(n, dtype=np.float64)
+    if n == 0:
+        return out
+    M1, l1 = encode_strings(strs_a)
+    M2, l2 = encode_strings(strs_b)
+    w = min(M1.shape[1], M2.shape[1])
+    # latin-1 byte values equal Unicode code points below 256, so a uint8
+    # matrix compares correctly against a uint32 one
+    valid = np.arange(w)[None, :] < np.minimum(l1, l2)[:, None]
+    diff = ((M1[:, :w].astype(np.uint32) != M2[:, :w].astype(np.uint32)) & valid).sum(
+        axis=1
+    ) + np.abs(l1 - l2)
+    denom = np.maximum(np.maximum(l1, l2), 1)
+    both_empty = (l1 == 0) & (l2 == 0)
+    out = 1.0 - diff / denom
+    out[both_empty] = 1.0
+    return out
+
+
+def _enc_chars(s: str) -> np.ndarray:
+    """Unicode code points as an int32 vector (chars as 1-char tokens)."""
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int32
+    )
+
+
+# Methods with an across-pairs vectorized kernel; each takes (strs_a,
+# strs_b, w) so long fields never fall back to the per-pair Python DP.
+# `lv` runs char-level Levenshtein through the SAME lockstep DP as the
+# token comparator; `osa` adds the transposition row to it.
+_BATCH_METHODS = {
+    "jw": lambda ua, ub, w: jaro_winkler_batch(ua, ub, p=w),
+    "lv": lambda ua, ub, w: token_levenshtein_matrix(
+        [_enc_chars(s) for s in ua], [_enc_chars(s) for s in ub]
+    ),
+    "osa": lambda ua, ub, w: osa_matrix(
+        [_enc_chars(s) for s in ua], [_enc_chars(s) for s in ub]
+    ),
+    "hamming": lambda ua, ub, w: hamming_batch(ua, ub),
+}
 
 
 def token_levenshtein_matrix(

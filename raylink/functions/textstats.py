@@ -94,6 +94,8 @@ def quality_scores(texts) -> dict[str, np.ndarray]:
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "stop_hits": stop_hits,
         "punct_ratio": punct_ratio,
         "stopword_ratio": stopword_ratio,
         "mean_token_len": mean_token_len,

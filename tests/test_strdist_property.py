@@ -56,3 +56,24 @@ def test_token_lv_matrix_equals_scalar_dp():
         denom = max(len(sa), len(sb))
         exp = 1.0 if denom == 0 else (denom - levenshtein(sa, sb)) / denom
         assert got[i] == pytest.approx(exp, abs=1e-12), i
+
+
+@pytest.mark.parametrize("method", ["osa", "hamming", "lv"])
+@pytest.mark.parametrize("alphabet", ALPHABETS)
+def test_batched_methods_equal_scalar(method, alphabet):
+    from raylink.functions.strdist import similarity, similarity_pairs
+
+    rng = np.random.default_rng((hash((method, alphabet))) % (2**32))
+    a = _rand_strings(rng, alphabet, 800, 24)
+    b = _rand_strings(rng, alphabet, 800, 24)
+    a += ["", "abc", "", "ab", "abcd"]
+    b += ["", "", "xyz", "ba", "acbd"]  # empties + pure transposition
+    a_arr = np.array(a, dtype=object)
+    b_arr = np.array(b, dtype=object)
+    exp = np.array([similarity(method, x, y) for x, y in zip(a, b)])
+    got = similarity_pairs(a_arr, b_arr, method=method)
+    np.testing.assert_allclose(got, exp, atol=1e-12)
+    cache = {}
+    similarity_pairs(a_arr, b_arr, method=method, cache=cache)
+    got_cached = similarity_pairs(a_arr, b_arr, method=method, cache=cache)
+    np.testing.assert_allclose(got_cached, exp, atol=1e-12)
