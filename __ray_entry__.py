@@ -379,6 +379,27 @@ def _q_fingerprints(sf_dir: str):
     return with_fingerprints(docs).select_columns(["doc_id", "fingerprint"])
 
 
+def _q_fingerprint_entities(sf_dir: str):
+    """Semantic oracle for the crc64 doc fingerprint: dedup groups keyed on
+    the FINGERPRINT must equal dedup groups keyed on the raw text (the hash
+    value itself is not SQL-expressible, but its collision-free grouping
+    behavior is — any collision at sf0.01 would break the hash match)."""
+    from raylink.ops.dedup import exact_dedup
+    from raylink.ops.text import with_fingerprints
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = exact_dedup(with_fingerprints(docs), "fingerprint", "doc_id")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "keep_doc_id": t.column("keep_doc_id").cast(pa.int64()),
+                "n_dups": t.column("n_dups").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -876,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_signals": _q_quality_signals,
         "langid_docs": _q_langid,
         "doc_fingerprints": _q_fingerprints,
+        "fingerprint_entities": _q_fingerprint_entities,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -917,6 +939,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT text, min(doc_id)::BIGINT AS keep_doc_id,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "fingerprint_entities": """
+            SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
         """,
