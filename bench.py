@@ -120,6 +120,21 @@ def run_headline(sf_dir: str) -> dict:
         "stage_walls": res["counters"].get("stage_walls"),
         "em_wall": res["counters"].get("em_wall"),
     }
+    # graded criterion: pairwise F1 vs planted truth at the same blocking
+    # key (outside the timed window; only 2-column projections leave Ray)
+    import pandas as pd
+
+    from raylink.eval import pairwise_scores, truth_pairs_from_entities
+
+    recs = res["records"].select_columns(["conv_id", "block_key"]).to_pandas()
+    block_of = dict(zip(recs["conv_id"], recs["block_key"]))
+    truth = pd.read_parquet(os.path.join(data_dir, "truth.parquet"))
+    tp = truth_pairs_from_entities(truth, block_of=block_of)
+    m = res["matches"].select_columns(["id_a", "id_b"]).to_pandas()
+    sc = pairwise_scores(set(zip(m["id_a"], m["id_b"])), tp)
+    out["f1_coblocked"] = round(sc.f1, 4)
+    out["precision"] = round(sc.precision, 4)
+    out["recall"] = round(sc.recall, 4)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
@@ -257,6 +272,28 @@ def run_quality_grades(sf_dir: str) -> dict:
     # ceiling for ANY content-based identifier on this corpus
     out["langid_majority_baseline"] = round(
         float(truth["lang"].value_counts(normalize=True).iloc[0]), 4
+    )
+    # separable-corpus control: the SAME classifier on text that actually
+    # carries language signal (each doc mixes its language's stopwords with
+    # shared filler; zh docs are CJK script) — proves the op itself works
+    # and isolates the corpus ceiling above from any classifier defect
+    from raylink.functions.textstats import _STOPWORDS, language_id
+
+    rng = np.random.default_rng(42)
+    filler = ["data", "table", "row", "batch", "query", "merge", "sort"]
+    zh_vocab = ["数据", "处理", "查询", "合并", "排序", "分布", "系统"]
+    synth_texts, synth_labels = [], []
+    for _ in range(600):
+        lang = ["en", "fr", "de", "es", "zh"][int(rng.integers(5))]
+        vocab = zh_vocab if lang == "zh" else (
+            list(_STOPWORDS[lang]) + filler
+        )
+        k = int(rng.integers(10, 40))
+        synth_texts.append(" ".join(rng.choice(vocab, k)))
+        synth_labels.append(lang)
+    synth_pred = language_id(synth_texts)
+    out["langid_synth_accuracy"] = round(
+        float((synth_pred == np.array(synth_labels, dtype=object)).mean()), 4
     )
 
     # --- ANN LSH recall@10 vs exact brute force --------------------------

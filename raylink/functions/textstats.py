@@ -41,22 +41,32 @@ def token_counts(texts) -> np.ndarray:
 
 
 def language_id(texts) -> np.ndarray:
-    """Stopword-ratio language guess among {en, fr, de, es}; 'und' if none."""
-    out = np.empty(len(texts), dtype=object)
-    for i, t in enumerate(texts):
-        if not t:
-            out[i] = "und"
-            continue
-        toks = _TOKEN_RE.split(t.lower())
-        if not toks:
-            out[i] = "und"
-            continue
-        best, best_hits = "und", 0
-        for lang, sw in _STOPWORDS.items():
-            hits = sum(1 for tok in toks if tok in sw)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        out[i] = best
+    """Language guess among {en, fr, de, es, zh}; 'und' if no signal.
+
+    Script detection first (CJK-dominant text is 'zh' — the stopword lists
+    are Latin-script and can't see it), then the stopword-hit vote, fully
+    vectorized: one explode of the token stream plus one ``isin`` per
+    language; ties keep the first language in ``_STOPWORDS`` order.
+    """
+    s = pd.Series(texts, dtype="object").fillna("")
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=object)
+    cjk = s.str.count("[\\u3040-\\u30ff\\u3400-\\u9fff]").to_numpy(np.int64)
+    n_chars = s.str.len().to_numpy(np.int64)
+    is_zh = cjk * 5 > np.maximum(n_chars, 1)  # >20% CJK codepoints
+    ex = s.str.lower().str.split().explode()
+    ex = ex[ex.notna()]
+    doc_idx = ex.index.to_numpy(np.int64)
+    toks = pd.Series(ex.to_numpy(), copy=False)
+    hits = np.zeros((n, len(_STOPWORDS)), dtype=np.int64)
+    for j, sw in enumerate(_STOPWORDS.values()):
+        np.add.at(hits[:, j], doc_idx[toks.isin(sw).to_numpy()], 1)
+    best = hits.argmax(axis=1)
+    best_hits = hits[np.arange(n), best]
+    langs = np.array(list(_STOPWORDS), dtype=object)
+    out = np.where(best_hits > 0, langs[best], "und").astype(object)
+    out[is_zh] = "zh"
     return out
 
 

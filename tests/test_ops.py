@@ -165,6 +165,11 @@ def test_text_ops():
     assert t["n_tokens"].tolist() == [10, 10, 10]
     l = with_language_id(ds).to_pandas()
     assert l["lang_pred"].tolist() == ["en", "fr", "de"]
+    # CJK script detection + no-signal fallback
+    from raylink.functions.textstats import language_id
+
+    zh = language_id(["这是一个测试文档", "xyzzy qwerty", "", None])
+    assert zh.tolist() == ["zh", "und", "und", "und"]
     q = with_quality_scores(ds).to_pandas()
     assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
     f = with_fingerprints(ds, winnow=True).to_pandas()
