@@ -781,7 +781,7 @@ def embedding_cosine_dedup(
     id_col: str,
     threshold: float = 0.95,
     n_planes: int | None = None,
-    n_tables: int = 4,
+    n_tables: int | None = None,
     seed: int = 7,
     bucket_cap: int = 4000,
     dim: int | None = None,
@@ -798,9 +798,19 @@ def embedding_cosine_dedup(
     recall across T tables is ~1 - 0.5^T.  The scale path — brute force
     within buckets only.
     """
+    p = 1.0 - np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi
     if n_planes is None:
-        p = 1.0 - np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi
         n_planes = int(max(4, min(16, round(np.log(0.5) / np.log(max(p, 0.55))))))
+    if n_tables is None:
+        # enough independent tables that a pair AT the threshold is caught
+        # with >=95% probability: T = ln(0.05)/ln(1 - p^planes).  Low
+        # thresholds genuinely need many tables (replication cost is T
+        # rows/record) — the 16-table cap bounds that cost and is the one
+        # knob trading recall for shuffle volume at scale.
+        p_table = max(min(p, 1.0 - 1e-9), 1e-9) ** n_planes
+        n_tables = int(
+            max(2, min(16, np.ceil(np.log(0.05) / np.log(1.0 - p_table))))
+        )
     rng = np.random.default_rng(seed)
     state: dict = {"planes": None}
 
