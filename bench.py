@@ -315,6 +315,41 @@ def run_quality_grades(sf_dir: str) -> dict:
         recalls.append(len(e & a) / max(len(e), 1))
     out["ann_ivf_recall10"] = round(float(np.mean(recalls)), 4)
 
+    # --- ANN clustered-synthetic control ---------------------------------
+    # the testdata embeddings are near-uniform on the sphere (no cluster
+    # structure), which caps ANY sublinear index's recall; this control
+    # runs the same IVF/LSH code on data WITH structure — recall ~1 while
+    # probing nprobe/nlist = 12.5% of the inverted lists — separating the
+    # data ceiling from index quality (same pattern as langid_synth)
+    from raylink.ops.ann import _normalize as _normalize_rows
+    from raylink.ops.ann import ann_brute_force, ann_ivf, ann_lsh
+
+    rng = np.random.default_rng(7)
+    centers = _normalize_rows(rng.standard_normal((64, 32)))
+    assign = rng.integers(0, 64, 8000)
+    vecs = _normalize_rows(
+        centers[assign] + 0.15 * rng.standard_normal((8000, 32))
+    )
+    synth_ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(8000), "embedding": list(vecs)})
+    )
+    q_idx = rng.choice(8000, 20, replace=False)
+    q_vecs = _normalize_rows(
+        vecs[q_idx] + 0.05 * rng.standard_normal((20, 32))
+    )
+    q_ids = list(range(20))
+    ex_s = ann_brute_force(synth_ds, q_vecs, q_ids, k=10)
+    for name, res in (
+        ("ann_ivf_synth_recall10", ann_ivf(synth_ds, q_vecs, q_ids, k=10)),
+        ("ann_lsh_synth_recall10", ann_lsh(synth_ds, q_vecs, q_ids, k=10)),
+    ):
+        recalls = []
+        for qid, grp in ex_s.groupby("query_id"):
+            e = set(grp["vec_id"])
+            a = set(res[res["query_id"] == qid]["vec_id"])
+            recalls.append(len(e & a) / max(len(e), 1))
+        out[name] = round(float(np.mean(recalls)), 4)
+
     # --- minhash est_jaccard vs exact shingle jaccard --------------------
     # the exact value uses the op's own shingle definition (5-byte crc32
     # shingles), so the error measured is purely the minhash approximation
