@@ -704,6 +704,118 @@ def hamming_batch(strs_a: list[str], strs_b: list[str]) -> np.ndarray:
     return out
 
 
+def dl_matrix(
+    seqs_a: list[np.ndarray], seqs_b: list[np.ndarray]
+) -> np.ndarray:
+    """Normalized unrestricted Damerau-Levenshtein similarity, vectorized
+    across pairs.
+
+    Unlike ``lv``/``osa`` the recurrence reaches arbitrarily far back
+    (``d[k][l]`` with the alphabet last-occurrence table), so each chunk
+    keeps the FULL DP history plus a per-chunk symbol-coded last-row table
+    and resolves the transposition term with one 2-D gather per row.
+    Chunks are sized so the history stays within a fixed cell budget.
+    """
+    n = len(seqs_a)
+    out = np.ones(n, dtype=np.float64)
+    if n == 0:
+        return out
+    len_a = np.array([len(s) for s in seqs_a], dtype=np.int64)
+    len_b = np.array([len(s) for s in seqs_b], dtype=np.int64)
+    denom = np.maximum(len_a, len_b)
+    lo = np.minimum(len_a, len_b)
+    nontrivial = denom > 0
+    out[nontrivial & (lo == 0)] = 0.0
+    run = nontrivial & (lo > 0)
+    if not run.any():
+        return out
+    ridx = np.flatnonzero(run)
+    order = np.argsort(denom[ridx], kind="stable")
+    ridx = ridx[order]
+    cell_budget = 8_000_000  # ~32 MB of int32 history per chunk
+    start = 0
+    while start < len(ridx):
+        ta = tb = 1
+        end = start
+        while end < len(ridx):
+            i = ridx[end]
+            nta = max(ta, int(len_a[i]))
+            ntb = max(tb, int(len_b[i]))
+            if (end - start + 1) * (nta + 2) * (ntb + 2) > cell_budget and (
+                end > start
+            ):
+                break
+            ta, tb = nta, ntb
+            end += 1
+        _dl_chunk(seqs_a, seqs_b, ridx[start:end], len_a, len_b, denom, out)
+        start = end
+    return out
+
+
+def _dl_chunk(
+    seqs_a: list[np.ndarray],
+    seqs_b: list[np.ndarray],
+    ridx: np.ndarray,
+    len_a: np.ndarray,
+    len_b: np.ndarray,
+    denom: np.ndarray,
+    out: np.ndarray,
+) -> None:
+    """Full-history DL DP over one chunk (layout: D[r, i, j] = scalar
+    ``d[i][j]`` of :func:`damerau_levenshtein`, cell (ci, cj) at
+    ``d[ci+1][cj+1]``)."""
+    la = len_a[ridx].astype(np.int64)
+    lb = len_b[ridx].astype(np.int64)
+    m = len(ridx)
+    ta = int(la.max())
+    tb = int(lb.max())
+    # per-chunk joint symbol codes; distinct pad codes so pads never match
+    chunk_syms = np.concatenate(
+        [seqs_a[i] for i in ridx] + [seqs_b[i] for i in ridx]
+    )
+    uniq = np.unique(chunk_syms)
+    S = len(uniq)
+    A = np.full((m, ta), S, dtype=np.int64)
+    B = np.full((m, tb), S + 1, dtype=np.int64)
+    for r, i in enumerate(ridx):
+        A[r, : len(seqs_a[i])] = np.searchsorted(uniq, seqs_a[i])
+        B[r, : len(seqs_b[i])] = np.searchsorted(uniq, seqs_b[i])
+    big = np.int32(ta + tb + 1)
+    D = np.full((m, ta + 2, tb + 2), big, dtype=np.int32)
+    D[:, 1, 1:] = np.arange(tb + 1, dtype=np.int32)[None, :]
+    lastrow = np.zeros((m, S + 2), dtype=np.int32)
+    rows = np.arange(m)
+    col1 = np.arange(1, tb + 1, dtype=np.int32)[None, :]
+    arange_t = np.arange(tb + 1, dtype=np.int32)
+    one = np.int32(1)
+    for i in range(1, ta + 1):
+        prev = D[:, i, :]
+        match = A[:, i - 1][:, None] == B  # (m, tb)
+        # l = db: last matching column strictly before j (0 if none)
+        pos = np.where(match, col1, np.int32(0))
+        lvec = np.maximum.accumulate(pos, axis=1)
+        lvec = np.concatenate(
+            [np.zeros((m, 1), dtype=np.int32), lvec[:, :-1]], axis=1
+        )
+        # k = da[s2[j-1]]: last row with that symbol, before this row's update
+        kvec = lastrow[rows[:, None], B]
+        dkl = D[rows[:, None], kvec, lvec]
+        trans = dkl + (np.int32(i) - kvec - one) + (col1 - lvec - one) + one
+        cost = (~match).astype(np.int32)
+        cand = np.minimum(prev[:, 1 : tb + 1] + cost, prev[:, 2 : tb + 2] + one)
+        cand = np.minimum(cand, trans)
+        # left-insertion closure via the shifted prefix-min trick
+        vals = np.concatenate(
+            [np.full((m, 1), i, dtype=np.int32), cand], axis=1
+        )
+        shifted = vals - arange_t[None, :]
+        np.minimum.accumulate(shifted, axis=1, out=shifted)
+        D[:, i + 1, 1:] = shifted + arange_t[None, :]
+        lastrow[rows, A[:, i - 1]] = i
+    dist = D[rows, la + 1, lb + 1].astype(np.float64)
+    out[ridx] = 1.0 - dist / denom[ridx]
+
+
 def _enc_chars(s: str) -> np.ndarray:
     """Unicode code points as an int32 vector (chars as 1-char tokens)."""
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
@@ -721,6 +833,9 @@ _BATCH_METHODS = {
         [_enc_chars(s) for s in ua], [_enc_chars(s) for s in ub]
     ),
     "osa": lambda ua, ub, w: osa_matrix(
+        [_enc_chars(s) for s in ua], [_enc_chars(s) for s in ub]
+    ),
+    "dl": lambda ua, ub, w: dl_matrix(
         [_enc_chars(s) for s in ua], [_enc_chars(s) for s in ub]
     ),
     "hamming": lambda ua, ub, w: hamming_batch(ua, ub),

@@ -58,7 +58,7 @@ def test_token_lv_matrix_equals_scalar_dp():
         assert got[i] == pytest.approx(exp, abs=1e-12), i
 
 
-@pytest.mark.parametrize("method", ["osa", "hamming", "lv"])
+@pytest.mark.parametrize("method", ["osa", "hamming", "lv", "dl"])
 @pytest.mark.parametrize("alphabet", ALPHABETS)
 def test_batched_methods_equal_scalar(method, alphabet):
     from raylink.functions.strdist import similarity, similarity_pairs
