@@ -400,6 +400,42 @@ def _q_fingerprint_entities(sf_dir: str):
     )
 
 
+def _q_asof_events(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest prior (or
+    simultaneous) view — DuckDB has native ASOF JOIN, giving this custom
+    operator (Ray Data has none) a full value-level oracle.  Deterministic
+    because (user_id, ts) is unique in the events table (verified both
+    sf)."""
+    from raylink.ops.asof import asof_join
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'view'")
+    out = asof_join(
+        left,
+        right,
+        "user_id",
+        "ts",
+        ["event_id", "ts"],
+        ["event_id", "ts"],
+    )
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "prior_event_id": t.column("event_id_r").cast(pa.int64()),
+                "prior_ts_us": t.column("ts_r").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -898,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "fingerprint_entities": _q_fingerprint_entities,
+        "asof_events": _q_asof_events,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -946,6 +983,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "asof_events": """
+            WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+                 r AS (SELECT * FROM events WHERE event_type = 'view')
+            SELECT l.user_id::BIGINT AS user_id,
+                   l.event_id::BIGINT AS event_id,
+                   epoch_us(l.ts)::BIGINT AS ts_us,
+                   r.event_id::BIGINT AS prior_event_id,
+                   epoch_us(r.ts)::BIGINT AS prior_ts_us
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "gamma_exact_customer": """
             SELECT a.c_custkey::BIGINT AS id_a, b.c_custkey::BIGINT AS id_b,

@@ -513,3 +513,48 @@ def test_frame_sample_video_rows():
     assert frames.groupby("media_id")["frame_idx"].max().max() <= 2
     arr = decode_bmp(frames["payload"].iloc[0])
     assert arr.ndim == 3 and arr.shape[2] == 3
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    import pyarrow as pa
+
+    from raylink.ops.asof import asof_join
+
+    rng = np.random.default_rng(4)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, n_l),
+            "ts": rng.integers(0, 10_000, n_l),
+            "lid": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, n_r),
+            "ts": rng.integers(0, 10_000, n_r),
+            "rv": rng.standard_normal(n_r),
+        }
+    ).drop_duplicates(["k", "ts"])  # determinism: no right-side ts ties
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    for tol in (None, 500):
+        got = asof_join(
+            lds, rds, "k", "ts", ["lid", "ts"], ["ts", "rv"],
+            tolerance=tol, num_partitions=4,
+        ).to_pandas()
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction="backward",
+            suffixes=("", "_r"),
+            tolerance=tol,
+        ).dropna(subset=["rv"])
+        g = got.sort_values("lid", ignore_index=True)
+        e = (
+            exp.rename(columns={"rv": "rv_r"})
+            .sort_values("lid", ignore_index=True)
+        )
+        assert len(g) == len(e), (tol, len(g), len(e))
+        assert g["lid"].tolist() == e["lid"].tolist()
+        np.testing.assert_allclose(g["rv_r"].to_numpy(), e["rv_r"].to_numpy())
