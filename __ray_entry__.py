@@ -436,6 +436,27 @@ def _q_asof_events(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _q_top_events_per_type(sf_dir: str):
+    """Grouped top-k (combiner partials, only k rows/key/block shuffle)."""
+    from raylink.ops.topk import grouped_top_k
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_type", "event_id", "value"]
+    )
+    out = grouped_top_k(ev, "event_type", "value", 5, "event_id")
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -935,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "fingerprint_entities": _q_fingerprint_entities,
         "asof_events": _q_asof_events,
+        "top_events_per_type": _q_top_events_per_type,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -983,6 +1005,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "top_events_per_type": """
+            SELECT event_type, event_id::BIGINT AS event_id, value
+            FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY value DESC, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 5
         """,
         "asof_events": """
             WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),

@@ -558,3 +558,30 @@ def test_asof_join_matches_pandas_merge_asof():
         assert len(g) == len(e), (tol, len(g), len(e))
         assert g["lid"].tolist() == e["lid"].tolist()
         np.testing.assert_allclose(g["rv_r"].to_numpy(), e["rv_r"].to_numpy())
+
+
+def test_grouped_top_k_matches_pandas():
+    import pyarrow as pa
+
+    from raylink.ops.topk import grouped_top_k
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, 500),
+            "score": rng.integers(0, 40, 500).astype(np.float64),  # ties!
+            "rid": np.arange(500),
+        }
+    )
+    got = grouped_top_k(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        "k", "score", 3, "rid", num_partitions=4,
+    ).to_pandas()
+    exp = (
+        df.sort_values(["k", "score", "rid"], ascending=[True, False, True])
+        .groupby("k")
+        .head(3)
+    )
+    g = got.sort_values(["k", "rid"], ignore_index=True)
+    e = exp.sort_values(["k", "rid"], ignore_index=True)
+    assert g["rid"].tolist() == e["rid"].tolist()
