@@ -24,6 +24,7 @@ __all__ = [
 ]
 
 _TOKEN_RE = re.compile(r"\s+")
+_FNV_PRIME = np.uint64(1099511628211)
 
 # small stopword inventories for the n-gram/stopword language heuristic
 _STOPWORDS = {
@@ -138,10 +139,13 @@ def winnowing_fingerprints(
     b = (text or "").encode("utf-8")
     if len(b) < k:
         return np.empty(0, dtype=np.int64)
-    n = len(b) - k + 1
-    hashes = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        hashes[i] = zlib.crc32(b[i : i + k])
+    # k-gram hashes in one vectorized pass: polynomial hash over the byte
+    # window (uint64 wraparound arithmetic), not a Python loop per gram
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    pw = _FNV_PRIME ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, k)
+    hashes = (win * pw[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
+    n = len(hashes)
     if n <= window:
         return np.unique(hashes.min(keepdims=True))
     # sliding-window minimum via stride trick
