@@ -457,6 +457,27 @@ def _q_top_events_per_type(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _q_value_quantiles(sf_dir: str):
+    """Grouped P50/P95/P99; half-up e4 fixed-point for exact hash compare
+    (np.quantile linear == SQL quantile_cont, but the interpolated double
+    can differ in the last ulp across engines)."""
+    from raylink.ops.quantiles import grouped_quantiles
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    out = grouped_quantiles(ev, "event_type", "value")
+
+    def fixed(t: pa.Table) -> pa.Table:
+        cols = {"event_type": t.column("event_type")}
+        for nm in ("q50", "q95", "q99"):
+            v = t.column(nm).to_numpy(zero_copy_only=False)
+            cols[nm + "_e4"] = pa.array(
+                np.floor(v * 10000 + 0.5).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return out.map_batches(fixed, batch_format="pyarrow")
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -957,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_entities": _q_fingerprint_entities,
         "asof_events": _q_asof_events,
         "top_events_per_type": _q_top_events_per_type,
+        "value_quantiles": _q_value_quantiles,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1005,6 +1027,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   CAST(floor(quantile_cont(value, 0.50) * 10000 + 0.5)
+                        AS BIGINT) AS q50_e4,
+                   CAST(floor(quantile_cont(value, 0.95) * 10000 + 0.5)
+                        AS BIGINT) AS q95_e4,
+                   CAST(floor(quantile_cont(value, 0.99) * 10000 + 0.5)
+                        AS BIGINT) AS q99_e4
+            FROM events GROUP BY event_type
         """,
         "top_events_per_type": """
             SELECT event_type, event_id::BIGINT AS event_id, value

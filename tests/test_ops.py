@@ -585,3 +585,27 @@ def test_grouped_top_k_matches_pandas():
     g = got.sort_values(["k", "rid"], ignore_index=True)
     e = exp.sort_values(["k", "rid"], ignore_index=True)
     assert g["rid"].tolist() == e["rid"].tolist()
+
+
+def test_grouped_quantiles_matches_numpy():
+    import pyarrow as pa
+
+    from raylink.ops.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 400),
+            "v": rng.standard_normal(400) * 100,
+        }
+    )
+    df.loc[df.index[:10], "v"] = np.nan  # null handling
+    got = grouped_quantiles(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        "k", "v", qs=(0.5, 0.95), num_partitions=4,
+    ).to_pandas().sort_values("k", ignore_index=True)
+    for _, row in got.iterrows():
+        vals = df[df["k"] == row["k"]]["v"].dropna().to_numpy()
+        np.testing.assert_allclose(row["q50"], np.quantile(vals, 0.5))
+        np.testing.assert_allclose(row["q95"], np.quantile(vals, 0.95))
+    assert len(got) == df["k"].nunique()
