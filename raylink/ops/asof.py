@@ -43,10 +43,7 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
 
 
 def _ts_int64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Timestamps as comparable int64 (epoch in the column's own unit)."""
-    t = col.type
-    if pa.types.is_timestamp(t):
-        return col.cast(pa.int64())
+    """Order key as comparable int64 (timestamps: epoch in their own unit)."""
     return col.cast(pa.int64())
 
 
