@@ -156,6 +156,10 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "sessionize_events",
         "cluster_exact_dups",
         "token_counts",
+        "asof_events",
+        "top_events_per_type",
+        "value_quantiles",
+        "window_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
