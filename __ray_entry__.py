@@ -411,6 +411,9 @@ def _q_asof_events(sf_dir: str):
     ev = _read(sf_dir, "events").select_columns(
         ["event_id", "ts", "user_id", "event_type", "value"]
     )
+    # partitions sized from the (metadata-free) base-table count: tiny
+    # sorts across 64 partitions are pure task overhead (measured 2x)
+    n_parts = int(max(4, min(256, ev.count() // 50_000)))
     left = ev.filter(expr="event_type == 'purchase'")
     right = ev.filter(expr="event_type == 'view'")
     out = asof_join(
@@ -420,6 +423,7 @@ def _q_asof_events(sf_dir: str):
         "ts",
         ["event_id", "ts"],
         ["event_id", "ts"],
+        num_partitions=n_parts,
     )
 
     def typed(t: pa.Table) -> pa.Table:
