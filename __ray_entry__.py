@@ -482,6 +482,26 @@ def _q_value_quantiles(sf_dir: str):
     return out.map_batches(fixed, batch_format="pyarrow")
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Overlapping fixed-token-window chunking (flat_map shape)."""
+    from raylink.ops.text import chunk_documents
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = chunk_documents(docs, max_tokens=64, overlap=16)
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "chunk_idx": t.column("chunk_idx").cast(pa.int64()),
+                "chunk_text": t.column("chunk_text"),
+                "n_tokens": t.column("n_tokens").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -983,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events": _q_asof_events,
         "top_events_per_type": _q_top_events_per_type,
         "value_quantiles": _q_value_quantiles,
+        "chunk_docs": _q_chunk_docs,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1031,6 +1052,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "chunk_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\\S+') AS t
+                FROM documents
+            ), meta AS (
+                SELECT doc_id, t, len(t) AS n,
+                       CASE WHEN len(t) <= 64 THEN 1
+                            ELSE CAST(ceil((len(t) - 16) / 48.0) AS BIGINT)
+                       END AS n_chunks
+                FROM toks
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   i AS chunk_idx,
+                   array_to_string(
+                       t[i * 48 + 1 : least(i * 48 + 64, n)], ' '
+                   ) AS chunk_text,
+                   (least(i * 48 + 64, n) - i * 48)::BIGINT AS n_tokens
+            FROM meta, unnest(generate_series(0, n_chunks - 1)) AS u(i)
         """,
         "value_quantiles": """
             SELECT event_type,

@@ -14,6 +14,7 @@ __all__ = [
     "with_language_id",
     "with_quality_scores",
     "with_fingerprints",
+    "chunk_documents",
 ]
 
 
@@ -80,5 +81,62 @@ def with_fingerprints(
             ]
             out = out.append_column("winnow_fps", pa.array(blobs, type=pa.binary()))
         return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> ray.data.Dataset:
+    """Split documents into overlapping fixed-token-window chunks (the
+    standard LLM-training prep step): chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + max_tokens)`` with ``stride = max_tokens -
+    overlap``; the last chunk is the first one reaching the end.  Every
+    doc yields >= 1 chunk (empty text -> one empty chunk), so no document
+    is silently dropped.
+
+    A flat_map-shaped batch transform: output rows ~= input rows x
+    (n_tokens / stride), each batch expanded locally — no shuffle at all.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = pd.Series(
+            batch.column(text_col).to_numpy(zero_copy_only=False),
+            dtype="object",
+        ).fillna("")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        toks = texts.str.findall(r"\S+")
+        n = toks.str.len().to_numpy(np.int64)
+        n_chunks = np.where(
+            n <= max_tokens, 1, -(-(n - overlap) // stride)
+        ).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n)), n_chunks)
+        chunk_idx = np.arange(len(doc_idx)) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks
+        )
+        starts = chunk_idx * stride
+        ends = np.minimum(starts + max_tokens, n[doc_idx])
+        tok_lists = toks.to_numpy()
+        chunk_text = [
+            " ".join(tok_lists[d][s:e])
+            for d, s, e in zip(doc_idx, starts, ends)
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_idx]),
+                "chunk_idx": pa.array(chunk_idx),
+                "chunk_text": pa.array(chunk_text, type=pa.string()),
+                "n_tokens": pa.array(ends - starts),
+            }
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")

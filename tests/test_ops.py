@@ -609,3 +609,28 @@ def test_grouped_quantiles_matches_numpy():
         np.testing.assert_allclose(row["q50"], np.quantile(vals, 0.5))
         np.testing.assert_allclose(row["q95"], np.quantile(vals, 0.95))
     assert len(got) == df["k"].nunique()
+
+
+def test_chunk_documents_boundaries():
+    from raylink.ops.text import chunk_documents
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["", mk(64), mk(65), mk(112), mk(113)],
+        }
+    )
+    out = chunk_documents(
+        ray.data.from_pandas(df), max_tokens=64, overlap=16
+    ).to_pandas().sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    per_doc = out.groupby("doc_id")["chunk_idx"].count()
+    assert per_doc.tolist() == [1, 1, 2, 2, 3]
+    assert out[out["doc_id"] == 0]["chunk_text"].iloc[0] == ""
+    # chunk windows: stride 48, last chunk reaches the end exactly
+    c113 = out[out["doc_id"] == 4]
+    assert c113["n_tokens"].tolist() == [64, 64, 17]
+    assert c113["chunk_text"].iloc[2].split()[0] == "t96"
+    assert c113["chunk_text"].iloc[2].split()[-1] == "t112"
+    # overlap region: chunk 1 starts 16 tokens before chunk 0's end
+    assert c113["chunk_text"].iloc[1].split()[0] == "t48"
