@@ -502,6 +502,33 @@ def _q_chunk_docs(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _q_doc_offsets(sf_dir: str):
+    """Distributed global prefix sum: each doc's exclusive token offset in
+    doc_id order, plus its concat-and-chunk pack bin (budget 2048)."""
+    from raylink.ops.offsets import global_prefix_sum
+    from raylink.ops.text import with_token_counts
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    n_parts = int(max(4, min(256, docs.count() // 50_000)))
+    toks = with_token_counts(docs).select_columns(["doc_id", "n_tokens"])
+    out = global_prefix_sum(
+        toks, "doc_id", "n_tokens", num_partitions=n_parts
+    )
+
+    def typed(t: pa.Table) -> pa.Table:
+        off = t.column("offset").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_tokens": t.column("n_tokens").cast(pa.int64()),
+                "offset": t.column("offset").cast(pa.int64()),
+                "pack_bin": pa.array((off // 2048).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -1004,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_type": _q_top_events_per_type,
         "value_quantiles": _q_value_quantiles,
         "chunk_docs": _q_chunk_docs,
+        "doc_offsets": _q_doc_offsets,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1052,6 +1080,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "doc_offsets": """
+            WITH toks AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   n_tokens::BIGINT AS n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS offset,
+                   (coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 2048)::BIGINT AS pack_bin
+            FROM toks
         """,
         "chunk_docs": """
             WITH toks AS (

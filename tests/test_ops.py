@@ -634,3 +634,21 @@ def test_chunk_documents_boundaries():
     assert c113["chunk_text"].iloc[2].split()[-1] == "t112"
     # overlap region: chunk 1 starts 16 tokens before chunk 0's end
     assert c113["chunk_text"].iloc[1].split()[0] == "t48"
+
+
+def test_global_prefix_sum_matches_pandas():
+    import pyarrow as pa
+
+    from raylink.ops.offsets import global_prefix_sum
+
+    rng = np.random.default_rng(6)
+    ids = rng.permutation(5000)[:1200]  # unique, unsorted, sparse
+    df = pd.DataFrame({"oid": ids, "w": rng.integers(1, 50, len(ids))})
+    got = global_prefix_sum(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        "oid", "w", bucket_width=64, num_partitions=4,
+    ).to_pandas().sort_values("oid", ignore_index=True)
+    e = df.sort_values("oid", ignore_index=True)
+    exp = np.concatenate(([0], np.cumsum(e["w"].to_numpy())[:-1]))
+    assert got["oid"].tolist() == e["oid"].tolist()
+    assert (got["offset"].to_numpy() == exp).all()
