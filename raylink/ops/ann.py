@@ -30,6 +30,32 @@ __all__ = ["ann_brute_force", "ann_lsh", "ann_ivf"]
 
 
 def _as_matrix(vectors) -> np.ndarray:
+    """(N, d) float64 matrix from an embedding column or list of vectors.
+
+    Arrow list columns take the zero-copy path: flatten + reshape (one
+    buffer view, no per-row Python) when widths are uniform and null-free
+    — at 10^9 vectors the per-row ``to_pylist`` conversion is the cost.
+    """
+    import pyarrow as pa
+
+    if isinstance(vectors, (pa.Array, pa.ChunkedArray)):
+        arr = (
+            vectors.combine_chunks()
+            if isinstance(vectors, pa.ChunkedArray)
+            else vectors
+        )
+        if arr.null_count == 0:
+            if pa.types.is_fixed_size_list(arr.type):
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                return flat.astype(np.float64).reshape(len(arr), -1)
+            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                widths = np.diff(arr.offsets.to_numpy())
+                if len(widths) and (widths == widths[0]).all():
+                    flat = arr.flatten().to_numpy(zero_copy_only=False)
+                    return flat.astype(np.float64).reshape(
+                        len(arr), int(widths[0])
+                    )
+        vectors = arr.to_pylist()
     return np.stack([np.asarray(v, dtype=np.float64) for v in vectors])
 
 
@@ -53,7 +79,7 @@ def ann_brute_force(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        emb = _normalize(_as_matrix(batch.column(emb_col).to_pylist()))
+        emb = _normalize(_as_matrix(batch.column(emb_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sims = emb @ q.T  # (B, Q)
         kk = min(k, sims.shape[0])
@@ -130,7 +156,7 @@ def ann_lsh(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         st = ray.get(s_ref)
-        emb = _normalize(_as_matrix(batch.column(emb_col).to_pylist()))
+        emb = _normalize(_as_matrix(batch.column(emb_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         keys = [_bucket_keys(emb, p) for p in st["planes"]]
         n_q = len(st["qm"])
@@ -242,7 +268,7 @@ def ann_ivf(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         st = ray.get(state_ref)
-        emb = _normalize(_as_matrix(batch.column(emb_col).to_pylist()))
+        emb = _normalize(_as_matrix(batch.column(emb_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         assign = np.argmax(emb @ st["C"].T, axis=1)  # (B,)
         out_q, out_id, out_sim = [], [], []

@@ -815,9 +815,9 @@ def embedding_cosine_dedup(
     state: dict = {"planes": None}
 
     def bucket(batch: pa.Table) -> pa.Table:
-        emb = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in batch.column(emb_col).to_pylist()]
-        )
+        from .ann import _as_matrix
+
+        emb = _as_matrix(batch.column(emb_col))
         if state["planes"] is None:
             r = np.random.default_rng(seed)
             state["planes"] = [
