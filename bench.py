@@ -160,6 +160,8 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "top_events_per_type",
         "value_quantiles",
         "window_events",
+        "chunk_docs",
+        "doc_offsets",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
