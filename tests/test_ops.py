@@ -652,3 +652,55 @@ def test_global_prefix_sum_matches_pandas():
     exp = np.concatenate(([0], np.cumsum(e["w"].to_numpy())[:-1]))
     assert got["oid"].tolist() == e["oid"].tolist()
     assert (got["offset"].to_numpy() == exp).all()
+
+
+def test_new_ops_boundary_and_edge_cases():
+    """Force the sorted-run boundary-repair path (one key spanning every
+    block) and degenerate shapes for asof/topk/quantiles."""
+    import pyarrow as pa
+
+    from raylink.ops.asof import asof_join
+    from raylink.ops.quantiles import grouped_quantiles
+    from raylink.ops.topk import grouped_top_k
+
+    rng = np.random.default_rng(3)
+    # ONE key across many partitions: every block holds only boundary rows
+    left = pd.DataFrame(
+        {"k": 0, "ts": rng.permutation(400), "lid": np.arange(400)}
+    )
+    right = pd.DataFrame(
+        {"k": 0, "ts": rng.permutation(300) + 50, "rv": np.arange(300.0)}
+    ).drop_duplicates(["k", "ts"])
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    got = asof_join(
+        lds, rds, "k", "ts", ["lid", "ts"], ["ts", "rv"], num_partitions=8
+    ).to_pandas()
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward", suffixes=("", "_r"),
+    ).dropna(subset=["rv"])
+    assert sorted(got["lid"]) == sorted(exp["lid"])
+    g = got.sort_values("lid", ignore_index=True)
+    e = exp.rename(columns={"rv": "rv_r"}).sort_values("lid", ignore_index=True)
+    np.testing.assert_allclose(g["rv_r"].to_numpy(), e["rv_r"].to_numpy())
+
+    # top-k with k larger than every group
+    small = pd.DataFrame({"k": [0, 0, 1], "s": [1.0, 2.0, 5.0], "i": [0, 1, 2]})
+    topk = grouped_top_k(
+        ray.data.from_arrow(pa.Table.from_pandas(small, preserve_index=False)),
+        "k", "s", 10, "i", num_partitions=2,
+    ).to_pandas()
+    assert len(topk) == 3
+
+    # quantiles with an all-NaN group
+    qdf = pd.DataFrame(
+        {"k": [0, 0, 1, 1], "v": [1.0, 3.0, np.nan, np.nan]}
+    )
+    q = grouped_quantiles(
+        ray.data.from_arrow(pa.Table.from_pandas(qdf, preserve_index=False)),
+        "k", "v", qs=(0.5,), num_partitions=2,
+    ).to_pandas().sort_values("k", ignore_index=True)
+    assert q["q50"].iloc[0] == 2.0
+    assert np.isnan(q["q50"].iloc[1])
