@@ -67,11 +67,32 @@ def global_prefix_sum(
         np.add.at(sums, inv, v)
         return {_BUCKET: uniq, "s": sums}
 
-    parts = (
-        bucketed.select_columns([_BUCKET, val_col])
-        .map_batches(partial, batch_format="numpy", batch_size=None)
-        .to_pandas()
+    parts_ds = bucketed.select_columns([_BUCKET, val_col]).map_batches(
+        partial, batch_format="numpy", batch_size=None
     )
+    # partial volume is one row per (block, bucket-touched) — bounded when
+    # the input is roughly clustered by order_col.  For unclustered input
+    # (every block touches ~rows buckets) merge the partials distributed
+    # first so the driver only ever sees one row per bucket.
+    parts_ds = parts_ds.materialize()
+    if parts_ds.count() > 5_000_000:
+
+        def merge(group: dict[str, np.ndarray]) -> dict:
+            return {
+                _BUCKET: np.asarray(group[_BUCKET])[:1],
+                "s": np.asarray([np.sum(group["s"])], dtype=np.int64),
+            }
+
+        def mempty(batch: dict[str, np.ndarray]) -> dict:
+            return {
+                _BUCKET: np.asarray(batch[_BUCKET])[:0],
+                "s": np.empty(0, dtype=np.int64),
+            }
+
+        parts_ds = sorted_group_scan(
+            parts_ds, _BUCKET, merge, mempty, num_partitions
+        )
+    parts = parts_ds.to_pandas()
     totals = parts.groupby(_BUCKET)["s"].sum().sort_index()
     if len(totals) == 0:
         return ds.map_batches(
