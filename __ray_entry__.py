@@ -529,6 +529,57 @@ def _q_doc_offsets(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _q_json_props(sf_dir: str):
+    """JSON field extraction off the events props column, then a typed
+    aggregate over the extracted value (vectorized flat path)."""
+    from raylink.ops.jsoncol import with_json_field
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "props"])
+    out = with_json_field(ev, "props", "k", dtype="int64", flat=True)
+
+    def agg(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "k": t.column("k").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("event_type", dropna=False)["k"].agg(["sum", "count"])
+        return pa.table(
+            {
+                "event_type": pa.array(g.index.to_numpy(), type=pa.string()),
+                "sum_k": pa.array(g["sum"].to_numpy().astype(np.int64)),
+                "cnt": pa.array(g["count"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    from raylink.stages.sortedrun import sorted_group_scan
+
+    partials = out.select_columns(["event_type", "k"]).map_batches(
+        agg, batch_format="pyarrow", batch_size=None
+    )
+
+    def merge(group: dict[str, np.ndarray]) -> dict:
+        return {
+            "event_type": np.asarray(group["event_type"])[:1],
+            "sum_k": np.asarray([np.sum(group["sum_k"])], dtype=np.int64),
+            "cnt": np.asarray([np.sum(group["cnt"])], dtype=np.int64),
+        }
+
+    def empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            "event_type": np.asarray(batch["event_type"])[:0],
+            "sum_k": np.empty(0, dtype=np.int64),
+            "cnt": np.empty(0, dtype=np.int64),
+        }
+
+    return sorted_group_scan(partials, "event_type", merge, empty, 8)
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -1032,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "chunk_docs": _q_chunk_docs,
         "doc_offsets": _q_doc_offsets,
+        "json_props": _q_json_props,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1080,6 +1132,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "json_props": """
+            SELECT event_type,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+                   count(json_extract(props, '$.k'))::BIGINT AS cnt
+            FROM events GROUP BY event_type
         """,
         "doc_offsets": """
             WITH toks AS (

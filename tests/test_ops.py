@@ -704,3 +704,30 @@ def test_new_ops_boundary_and_edge_cases():
     ).to_pandas().sort_values("k", ignore_index=True)
     assert q["q50"].iloc[0] == 2.0
     assert np.isnan(q["q50"].iloc[1])
+
+
+def test_with_json_field_paths_agree():
+    from raylink.ops.jsoncol import with_json_field
+
+    df = pd.DataFrame(
+        {
+            "j": [
+                '{"k": 42, "s": "a\\"b"}',
+                '{"s": "x", "k": -7}',
+                '{"other": 1}',
+                None,
+                "not json",
+                '{"k": 3.5}',
+            ]
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    robust = with_json_field(ds, "j", "k", dtype="float64").to_pandas()["k"]
+    fast = with_json_field(ds, "j", "k", dtype="float64", flat=True).to_pandas()["k"]
+    exp = [42.0, -7.0, None, None, None, 3.5]
+    for got in (robust, fast):
+        assert [None if v != v else v for v in got] == exp
+    # string field with escapes: robust and flat agree
+    rs = with_json_field(ds, "j", "s", dtype="string").to_pandas()["s"]
+    fs = with_json_field(ds, "j", "s", dtype="string", flat=True).to_pandas()["s"]
+    assert rs.tolist() == fs.tolist() == ['a"b', "x", None, None, None, None]
