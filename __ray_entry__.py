@@ -580,6 +580,28 @@ def _q_json_props(sf_dir: str):
     return sorted_group_scan(partials, "event_type", merge, empty, 8)
 
 
+_DECON_PROBES = ["window merge spark", "query batch join", "the line sort"]
+
+
+def _q_decontaminate(sf_dir: str):
+    """Test-set decontamination: flag docs containing any probe substring
+    (probe set broadcast in the closure, one regex-alternation scan)."""
+    from raylink.ops.text import mark_contaminated
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = mark_contaminated(docs, _DECON_PROBES)
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "contaminated": t.column("contaminated"),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -1084,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "doc_offsets": _q_doc_offsets,
         "json_props": _q_json_props,
+        "decontaminate_docs": _q_decontaminate,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1132,6 +1155,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "decontaminate_docs": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   (contains(coalesce(text, ''), 'window merge spark')
+                    OR contains(coalesce(text, ''), 'query batch join')
+                    OR contains(coalesce(text, ''), 'the line sort'))
+                       AS contaminated
+            FROM documents
         """,
         "json_props": """
             SELECT event_type,

@@ -15,6 +15,7 @@ __all__ = [
     "with_quality_scores",
     "with_fingerprints",
     "chunk_documents",
+    "mark_contaminated",
 ]
 
 
@@ -138,5 +139,40 @@ def chunk_documents(
                 "n_tokens": pa.array(ends - starts),
             }
         )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mark_contaminated(
+    ds: ray.data.Dataset,
+    probes: list[str],
+    text_col: str = "text",
+    out_col: str = "contaminated",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag documents containing ANY probe as an
+    exact substring (the standard test-set leakage check).
+
+    The probe set is the SMALL side: shipped once inside the transform
+    closure (Ray serializes it per task graph, not per batch) and scanned
+    with one vectorized ``str.contains(regex alternation)`` pass per batch
+    — never a join, never a shuffle.  For probe sets beyond closure size,
+    move them to ``ray.put`` and resolve in ``__init__`` of an actor-pool
+    stage (same pattern as the multimodal decoders).
+    """
+    import re as _re
+
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    pat = "|".join(_re.escape(p) for p in probes)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(
+            batch.column(text_col).to_numpy(zero_copy_only=False),
+            dtype="object",
+        ).fillna("")
+        hit = s.str.contains(pat, regex=True).to_numpy()
+        return batch.append_column(out_col, pa.array(hit, type=pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -731,3 +731,23 @@ def test_with_json_field_paths_agree():
     rs = with_json_field(ds, "j", "s", dtype="string").to_pandas()["s"]
     fs = with_json_field(ds, "j", "s", dtype="string", flat=True).to_pandas()["s"]
     assert rs.tolist() == fs.tolist() == ['a"b', "x", None, None, None, None]
+
+
+def test_mark_contaminated():
+    from raylink.ops.text import mark_contaminated
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "clean document here",
+                "contains the probe alpha beta gamma inside",
+                None,
+                "regex specials .* are literal: alpha beta?",
+            ],
+        }
+    )
+    out = mark_contaminated(
+        ray.data.from_pandas(df), ["alpha beta gamma", "beta?"]
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert out["contaminated"].tolist() == [False, True, False, True]
