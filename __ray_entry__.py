@@ -602,6 +602,49 @@ def _q_decontaminate(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _q_vocab_top(sf_dir: str):
+    """Global vocabulary top-100: the canonical wordcount — per-block token
+    explode + immediate np.unique combine, count_by_key partial merge, then
+    a tiny global sort/limit (deterministic: cnt desc, token asc)."""
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(
+            t.column("text").to_numpy(zero_copy_only=False), dtype="object"
+        ).fillna("")
+        toks = s.str.split().explode()
+        toks = toks[toks.notna()]
+        # per-block combine: one row per distinct token per block
+        uniq, cnt = np.unique(toks.to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq, type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from raylink.stages.sortedrun import sorted_group_scan
+
+    partials = docs.map_batches(explode, batch_format="pyarrow")
+
+    def merge(group: dict[str, np.ndarray]) -> dict:
+        return {
+            "token": np.asarray(group["token"])[:1],
+            "cnt": np.asarray([np.sum(group["n"])], dtype=np.int64),
+        }
+
+    def empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            "token": np.asarray(batch["token"])[:0],
+            "cnt": np.empty(0, dtype=np.int64),
+        }
+
+    counts = sorted_group_scan(partials, "token", merge, empty, 8)
+    return counts.sort(["cnt", "token"], descending=[True, False]).limit(100)
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -1107,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_offsets": _q_doc_offsets,
         "json_props": _q_json_props,
         "decontaminate_docs": _q_decontaminate,
+        "vocab_top100": _q_vocab_top,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1155,6 +1199,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "vocab_top100": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(
+                    coalesce(text, ''), '\\s+'
+                )) AS token
+                FROM documents
+            )
+            SELECT token, count(*)::BIGINT AS cnt
+            FROM toks WHERE token <> ''
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 100
         """,
         "decontaminate_docs": """
             SELECT doc_id::BIGINT AS doc_id,
