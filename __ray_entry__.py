@@ -645,6 +645,31 @@ def _q_vocab_top(sf_dir: str):
     return counts.sort(["cnt", "token"], descending=[True, False]).limit(100)
 
 
+def _q_customers_no_orders(sf_dir: str):
+    """Anti join: customers with no purchase events (broadcast
+    distinct-key path; non-vacuous: 1350/1500 at sf0.01)."""
+    from raylink.ops.semijoin import semi_anti_join
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_mktsegment"]
+    )
+    purch = _read(sf_dir, "events").filter(
+        expr="event_type == 'purchase'"
+    ).select_columns(["user_id"])
+    out = semi_anti_join(
+        cust, purch, "c_custkey", right_key_col="user_id", anti=True
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "c_mktsegment": t.column("c_mktsegment"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -1151,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": _q_json_props,
         "decontaminate_docs": _q_decontaminate,
         "vocab_top100": _q_vocab_top,
+        "customers_no_orders": _q_customers_no_orders,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1199,6 +1225,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey::BIGINT AS c_custkey, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events e
+                WHERE e.user_id = c.c_custkey
+                  AND e.event_type = 'purchase'
+            )
         """,
         "vocab_top100": """
             WITH toks AS (

@@ -751,3 +751,31 @@ def test_mark_contaminated():
         ray.data.from_pandas(df), ["alpha beta gamma", "beta?"]
     ).to_pandas().sort_values("doc_id", ignore_index=True)
     assert out["contaminated"].tolist() == [False, True, False, True]
+
+
+def test_semi_anti_join_both_paths():
+    import pyarrow as pa
+
+    from raylink.ops.semijoin import semi_anti_join
+
+    rng = np.random.default_rng(8)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 40, 300), "payload": np.arange(300)}
+    )
+    right = pd.DataFrame({"rk": rng.integers(20, 60, 100)})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    rset = set(right["rk"])
+    exp_semi = sorted(left[left["k"].isin(rset)]["payload"])
+    exp_anti = sorted(left[~left["k"].isin(rset)]["payload"])
+    for limit in (5_000_000, 0):  # broadcast path, then co-scan path
+        semi = semi_anti_join(
+            lds, rds, "k", right_key_col="rk", broadcast_limit=limit,
+            num_partitions=4,
+        ).to_pandas()
+        anti = semi_anti_join(
+            lds, rds, "k", right_key_col="rk", anti=True,
+            broadcast_limit=limit, num_partitions=4,
+        ).to_pandas()
+        assert sorted(semi["payload"]) == exp_semi, limit
+        assert sorted(anti["payload"]) == exp_anti, limit
