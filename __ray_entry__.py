@@ -670,6 +670,25 @@ def _q_customers_no_orders(sf_dir: str):
     )
 
 
+def _q_token_freq_scores(sf_dir: str):
+    """Model-scoring shape: unigram count model trained on the corpus,
+    broadcast, then per-doc integer frequency-sum scoring."""
+    from raylink.ops.text import token_frequency_scores
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = token_frequency_scores(docs)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "freq_sum": t.column("freq_sum").cast(pa.int64()),
+                "n_vocab_tokens": t.column("n_vocab_tokens").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -1177,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate,
         "vocab_top100": _q_vocab_top,
         "customers_no_orders": _q_customers_no_orders,
+        "token_freq_scores": _q_token_freq_scores,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1225,6 +1245,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "token_freq_scores": """
+            WITH doc_toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    coalesce(text, ''), '\\s+'
+                )) AS token
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, token FROM doc_toks WHERE token <> ''
+            ), vocab AS (
+                SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token
+            )
+            SELECT t.doc_id::BIGINT AS doc_id,
+                   sum(v.c)::BIGINT AS freq_sum,
+                   count(*)::BIGINT AS n_vocab_tokens
+            FROM toks t JOIN vocab v USING (token)
+            GROUP BY t.doc_id
         """,
         "customers_no_orders": """
             SELECT c_custkey::BIGINT AS c_custkey, c_mktsegment

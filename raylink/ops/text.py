@@ -16,6 +16,7 @@ __all__ = [
     "with_fingerprints",
     "chunk_documents",
     "mark_contaminated",
+    "token_frequency_scores",
 ]
 
 
@@ -176,3 +177,103 @@ def mark_contaminated(
         return batch.append_column(out_col, pa.array(hit, type=pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_frequency_scores(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Corpus-frequency document scoring — the train-then-score shape of a
+    model-based quality filter: pass 1 builds the unigram count model
+    (per-block combine -> driver merge, capped at ``max_vocab`` most
+    frequent tokens with an explicit flag), broadcast once via
+    ``ray.put``; pass 2 scores each doc with one exploded ``map`` +
+    ``groupby-sum`` per batch.
+
+    Scores stay in INTEGER space (sum of corpus counts over the doc's
+    tokens + token count) so the result is exactly reproducible across
+    engines; callers derive mean-frequency / rarity ratios downstream.
+    Docs whose tokens are all outside the (capped) vocab, or empty docs,
+    are dropped — inner-join semantics.
+    """
+    import pandas as pd
+
+    import ray as _ray
+
+    def explode_counts(batch: pa.Table) -> pa.Table:
+        s = pd.Series(
+            batch.column(text_col).to_numpy(zero_copy_only=False),
+            dtype="object",
+        ).fillna("")
+        toks = s.str.split().explode()
+        toks = toks[toks.notna()]
+        uniq, cnt = np.unique(toks.to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq, type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts_ds = (
+        ds.select_columns([text_col])
+        .map_batches(explode_counts, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    if parts_ds.count() > 5_000_000:
+        # giant-vocab path: merge the per-block partials distributed and
+        # keep only the top max_vocab before anything reaches the driver
+        from ..stages.sortedrun import sorted_group_scan
+
+        def merge(group: dict[str, np.ndarray]) -> dict:
+            return {
+                "token": np.asarray(group["token"])[:1],
+                "n": np.asarray([np.sum(group["n"])], dtype=np.int64),
+            }
+
+        def empty(batch: dict[str, np.ndarray]) -> dict:
+            return {
+                "token": np.asarray(batch["token"])[:0],
+                "n": np.empty(0, dtype=np.int64),
+            }
+
+        parts_ds = sorted_group_scan(
+            parts_ds, "token", merge, empty, 64
+        ).sort("n", descending=True).limit(max_vocab)
+    parts = parts_ds.to_pandas()
+    vocab = parts.groupby("token")["n"].sum()
+    if len(vocab) > max_vocab:
+        vocab = vocab.sort_values(ascending=False).head(max_vocab)
+    vocab_ref = _ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        v = _ray.get(vocab_ref)
+        s = pd.Series(
+            batch.column(text_col).to_numpy(zero_copy_only=False),
+            dtype="object",
+        ).fillna("")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        toks = s.str.split().explode()
+        toks = toks[toks.notna()]
+        freq = toks.map(v)
+        ok = freq.notna()
+        df = pd.DataFrame(
+            {
+                "i": toks.index.to_numpy()[ok.to_numpy()],
+                "f": freq[ok].to_numpy(np.int64),
+            }
+        )
+        g = df.groupby("i")["f"].agg(["sum", "count"])
+        return pa.table(
+            {
+                id_col: pa.array(ids[g.index.to_numpy()]),
+                "freq_sum": pa.array(g["sum"].to_numpy().astype(np.int64)),
+                "n_vocab_tokens": pa.array(
+                    g["count"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -779,3 +779,25 @@ def test_semi_anti_join_both_paths():
         ).to_pandas()
         assert sorted(semi["payload"]) == exp_semi, limit
         assert sorted(anti["payload"]) == exp_anti, limit
+
+
+def test_token_frequency_scores_vocab_cap():
+    from raylink.ops.text import token_frequency_scores
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a a b", "a c", ""],  # corpus counts: a=3, b=1, c=1
+        }
+    )
+    out = token_frequency_scores(ray.data.from_pandas(df)).to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    assert out["doc_id"].tolist() == [0, 1]  # empty doc dropped
+    assert out["freq_sum"].tolist() == [7, 4]  # 3+3+1, 3+1
+    assert out["n_vocab_tokens"].tolist() == [3, 2]
+    # vocab cap: only 'a' stays in-vocab; doc 1's 'c' falls out
+    capped = token_frequency_scores(
+        ray.data.from_pandas(df), max_vocab=1
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert capped["freq_sum"].tolist() == [6, 3]
+    assert capped["n_vocab_tokens"].tolist() == [2, 1]
