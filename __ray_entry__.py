@@ -689,6 +689,20 @@ def _q_token_freq_scores(sf_dir: str):
     )
 
 
+def _q_profile_events(sf_dir: str):
+    """Column profiling: per-column row/null/distinct counts on events."""
+    from raylink.ops.profile import profile_columns
+
+    ev = _read(sf_dir, "events")
+    out = profile_columns(
+        ev, ["event_id", "user_id", "event_type", "value", "props"]
+    )
+    out["n"] = out["n"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out
+
+
 def _q_top_users(sf_dir: str):
     """Sort + limit over a groupby sum.  Values are summed as integer 1e-4
     units so the aggregate is exact and order-independent (float sums differ
@@ -1197,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab_top,
         "customers_no_orders": _q_customers_no_orders,
         "token_freq_scores": _q_token_freq_scores,
+        "profile_events": _q_profile_events,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1245,6 +1260,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "profile_events": """
+            SELECT * FROM (
+                SELECT 'event_id' AS "column", count(*)::BIGINT AS n,
+                       (count(*) - count(event_id))::BIGINT AS n_null,
+                       count(DISTINCT event_id)::BIGINT AS n_distinct
+                FROM events
+                UNION ALL
+                SELECT 'user_id', count(*), count(*) - count(user_id),
+                       count(DISTINCT user_id) FROM events
+                UNION ALL
+                SELECT 'event_type', count(*), count(*) - count(event_type),
+                       count(DISTINCT event_type) FROM events
+                UNION ALL
+                SELECT 'value', count(*), count(*) - count(value),
+                       count(DISTINCT value) FROM events
+                UNION ALL
+                SELECT 'props', count(*), count(*) - count(props),
+                       count(DISTINCT props) FROM events
+            ) ORDER BY "column"
         """,
         "token_freq_scores": """
             WITH doc_toks AS (

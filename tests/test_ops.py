@@ -801,3 +801,24 @@ def test_token_frequency_scores_vocab_cap():
     ).to_pandas().sort_values("doc_id", ignore_index=True)
     assert capped["freq_sum"].tolist() == [6, 3]
     assert capped["n_vocab_tokens"].tolist() == [2, 1]
+
+
+def test_profile_columns_paths_and_nulls():
+    import pyarrow as pa
+
+    from raylink.ops.profile import profile_columns
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 2, 2, None, None],
+            "b": ["x", "x", "x", "x", None],
+            "c": [None] * 5,
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    for thr in (5_000_000, 0):  # driver merge, then distributed merge
+        out = profile_columns(ds, ["a", "b", "c"], driver_threshold=thr)
+        out = out.set_index("column")
+        assert out.loc["a"].tolist() == [5, 2, 2]
+        assert out.loc["b"].tolist() == [5, 1, 1]
+        assert out.loc["c"].tolist() == [5, 5, 0]
