@@ -66,3 +66,31 @@ def test_write_partitioned_roundtrip(ray_session, tmp_path):
     assert parts == ["k=a", "k=b"]
     back = ray.data.read_parquet(out_dir).to_pandas()
     assert int(back["v"].sum()) == 6
+
+
+def test_partitioned_write_and_pruned_read(tmp_path):
+    """User-facing resumable-output path: hive-partitioned parquet write,
+    then a partition-PRUNED read back (only the matching directory's files
+    are opened)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    df = pd.DataFrame(
+        {
+            "part": ["a"] * 30 + ["b"] * 20,
+            "v": np.arange(50, dtype=np.int64),
+        }
+    )
+    out = str(tmp_path / "p")
+    ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).write_parquet(out, partition_cols=["part"])
+    import os
+
+    dirs = sorted(os.listdir(out))
+    assert dirs == ["part=a", "part=b"]  # one directory per partition
+    back = ray.data.read_parquet(os.path.join(out, "part=b"))
+    got = back.to_pandas()
+    assert len(got) == 20
+    assert sorted(got["v"]) == list(range(30, 50))
