@@ -162,6 +162,12 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "window_events",
         "chunk_docs",
         "doc_offsets",
+        "json_props",
+        "vocab_top100",
+        "customers_no_orders",
+        "token_freq_scores",
+        "profile_events",
+        "decontaminate_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
