@@ -362,6 +362,22 @@ def run_quality_grades(sf_dir: str) -> dict:
             recalls.append(len(e & a) / max(len(e), 1))
         out[name] = round(float(np.mean(recalls)), 4)
 
+    # --- HLL approx distinct vs exact ------------------------------------
+    hll = entrymod.queries()["approx_distinct_users"](sf_dir)
+    if hasattr(hll, "to_pandas"):
+        hll = hll.to_pandas()
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    ).to_pandas()
+    exact_d = ev.groupby("event_type")["user_id"].nunique()
+    errs = [
+        abs(r["approx_distinct"] - exact_d[r["event_type"]])
+        / max(exact_d[r["event_type"]], 1)
+        for _, r in hll.iterrows()
+    ]
+    out["hll_max_rel_error"] = round(float(max(errs)), 4)
+
     # --- minhash est_jaccard vs exact shingle jaccard --------------------
     # the exact value uses the op's own shingle definition (5-byte crc32
     # shingles), so the error measured is purely the minhash approximation

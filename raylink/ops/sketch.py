@@ -1,0 +1,150 @@
+"""HyperLogLog approximate distinct counting — the canonical mergeable
+sketch (Flajolet et al. 2007).
+
+Why a sketch at 100 TB: exact per-key distinct needs every distinct value
+to cross the wire; an HLL register array is a FIXED 2^p bytes per key no
+matter the cardinality, and merging is elementwise max — associative,
+commutative, idempotent — so per-block partial sketches combine in any
+order with no re-scan.  Standard error is ~1.04/sqrt(2^p).
+
+Shapes:
+- :func:`approx_distinct` — one global estimate: per-block register
+  partials (one 2^p-byte row per block), elementwise-max reduce on the
+  driver.
+- :func:`grouped_approx_distinct` — per-key estimates: per-block
+  (key, registers) partial rows, merged through a sorted-run scan —
+  only sketch rows shuffle, never values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..functions.hashing import hash64_array
+from ..stages.sortedrun import sorted_group_scan
+
+__all__ = ["approx_distinct", "grouped_approx_distinct"]
+
+
+def _registers(values: np.ndarray, p: int) -> np.ndarray:
+    """HLL register array (uint8, length 2^p) for one batch of values."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = hash64_array(values).astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    # rank = leading zeros of the remaining bits + 1, via float64 exponent
+    lz = np.zeros(len(rest), dtype=np.int64)
+    x = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = x < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        x[mask] = x[mask] << np.uint64(shift)
+    rank = (lz + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with the standard small/large-range
+    corrections."""
+    m = float(len(regs))
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv = np.ldexp(1.0, -regs.astype(np.int64))
+    est = alpha * m * m / inv.sum()
+    if est <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)
+    elif est > (1 << 32) / 30.0:
+        est = -float(1 << 32) * np.log1p(-est / float(1 << 32))
+    return float(est)
+
+
+def approx_distinct(
+    ds: ray.data.Dataset, col: str, precision: int = 14
+) -> float:
+    """Approximate global ``count(DISTINCT col)``; ~0.8% std error at the
+    default precision (2^14 registers = 16 KiB per partial)."""
+
+    def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        v = np.asarray(batch[col])
+        v = v[~pd.isna(v)]
+        return {"regs": [_registers(v, precision).tobytes()]}
+
+    parts = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="numpy", batch_size=None)
+        .to_pandas()
+    )
+    merged = np.zeros(1 << precision, dtype=np.uint8)
+    for blob in parts["regs"]:
+        np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+    return _estimate(merged)
+
+
+def grouped_approx_distinct(
+    ds: ray.data.Dataset,
+    key_col: str,
+    col: str,
+    precision: int = 12,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-``key_col`` approximate distinct of ``col``.  Output:
+    ``(key, approx_distinct: int64)``; ~1.6% std error at the default
+    precision (4 KiB sketch per key per block)."""
+
+    def partial(batch: dict[str, np.ndarray]) -> dict:
+        keys = np.asarray(batch[key_col])
+        vals = np.asarray(batch[col])
+        ok = ~pd.isna(vals)
+        keys, vals = keys[ok], vals[ok]
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(keys)]))
+        return {
+            key_col: keys[starts],
+            "regs": [
+                _registers(vals[s:e], precision).tobytes()
+                for s, e in zip(starts, ends)
+            ],
+        }
+
+    parts = ds.select_columns([key_col, col]).map_batches(
+        partial, batch_format="numpy", batch_size=None
+    )
+
+    def merge(group: dict[str, np.ndarray]) -> dict:
+        merged = np.zeros(1 << precision, dtype=np.uint8)
+        for blob in group["regs"]:
+            np.maximum(
+                merged, np.frombuffer(blob, dtype=np.uint8), out=merged
+            )
+        return {
+            key_col: np.asarray(group[key_col])[:1],
+            "approx_distinct": np.asarray(
+                [int(round(_estimate(merged)))], dtype=np.int64
+            ),
+        }
+
+    def empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            key_col: np.asarray(batch[key_col])[:0],
+            "approx_distinct": np.empty(0, dtype=np.int64),
+        }
+
+    return sorted_group_scan(parts, key_col, merge, empty, num_partitions)

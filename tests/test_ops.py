@@ -822,3 +822,24 @@ def test_profile_columns_paths_and_nulls():
         assert out.loc["a"].tolist() == [5, 2, 2]
         assert out.loc["b"].tolist() == [5, 1, 1]
         assert out.loc["c"].tolist() == [5, 5, 0]
+
+
+def test_hyperloglog_accuracy():
+    import pyarrow as pa
+
+    from raylink.ops.sketch import approx_distinct, grouped_approx_distinct
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    vals = rng.integers(0, 20_000, n)  # ~20k distinct (dense range: ~19.9k)
+    keys = rng.integers(0, 4, n)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    exact = df["v"].nunique()
+    est = approx_distinct(ds, "v", precision=14)
+    assert abs(est - exact) / exact < 0.03, (est, exact)
+    g = grouped_approx_distinct(ds, "k", "v", precision=12, num_partitions=4)
+    got = g.to_pandas().set_index("k")["approx_distinct"]
+    for k, sub in df.groupby("k"):
+        e = sub["v"].nunique()
+        assert abs(got.loc[k] - e) / e < 0.06, (k, got.loc[k], e)
