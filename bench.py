@@ -566,12 +566,12 @@ def main() -> None:
     ref = None
     grades = None
     if not (headline_only or scale_probe):
-        # best-of-2: this probe swings 12-33 s on identical input at 32
+        # best-of-3: this probe swings 12-33 s on identical input at 32
         # CPUs (one-sided VM interference; see BASELINE.md)
-        ref = run_ref_workload()
-        ref2 = run_ref_workload()
-        if ref2["wall_seconds"] < ref["wall_seconds"]:
-            ref = ref2
+        for _rep in range(3):
+            cand = run_ref_workload()
+            if ref is None or cand["wall_seconds"] < ref["wall_seconds"]:
+                ref = cand
         queries["ref_workload"] = ref["wall_seconds"]
         grades = run_quality_grades(SF_DIR)
     total = headline["wall_seconds"] + sum(queries.values())
