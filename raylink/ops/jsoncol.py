@@ -5,7 +5,9 @@ Two paths per batch:
 
 - ``flat=True`` — one vectorized ``pandas.str.extract`` regex per batch.
   Correct ONLY for flat objects (no nested object may repeat the key);
-  this is the 100 TB path — no per-row Python.
+  this is the 100 TB path.  Numeric fields are fully vectorized; string
+  fields pay one tiny ``json.loads`` per MATCH to unescape (the value
+  grammar, not the document).
 - ``flat=False`` (default) — ``json.loads`` per row: robust for nested
   documents, Python-speed.  An engine without a native JSON kernel has no
   vectorized general parser; callers with known-flat schemas opt into the

@@ -23,6 +23,12 @@ from ..stages.sortedrun import sorted_group_scan
 __all__ = ["grouped_top_k"]
 
 
+def _negatable(score: np.ndarray) -> np.ndarray:
+    """Unsigned scores wrap under negation (0 maps to 0, not the max), so
+    the descending lexsort key needs a signed/float view of them."""
+    return score.astype(np.float64) if score.dtype.kind == "u" else score
+
+
 def grouped_top_k(
     ds: ray.data.Dataset,
     key_col: str,
@@ -43,7 +49,7 @@ def grouped_top_k(
 
     def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         keys = np.asarray(batch[key_col])
-        score = np.asarray(batch[score_col])
+        score = _negatable(np.asarray(batch[score_col]))
         tie = np.asarray(batch[tie_col])
         # one lexsort orders every group at once: key runs, then
         # (-score, tie) within each run
@@ -66,7 +72,7 @@ def grouped_top_k(
     )
 
     def group_fn(batch: dict[str, np.ndarray]) -> dict:
-        score = np.asarray(batch[score_col])
+        score = _negatable(np.asarray(batch[score_col]))
         tie = np.asarray(batch[tie_col])
         order = np.lexsort((tie, -score))[:k]
         return {c: np.asarray(batch[c])[order] for c in cols}
