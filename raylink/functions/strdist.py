@@ -652,15 +652,16 @@ def _osa_chunk(
         A[r, : len(s)] = s
         s = seqs_b[i]
         B[r, : len(s)] = s
-    big = np.int16(ta + tb + 1)
-    col_idx = np.arange(tb + 1, dtype=np.int16)[None, :]
-    prev = np.where(col_idx <= lb[:, None], col_idx, big).astype(np.int16)
+    cell = np.int16 if ta + tb + 1 < 32000 else np.int32
+    big = cell(ta + tb + 1)
+    col_idx = np.arange(tb + 1, dtype=cell)[None, :]
+    prev = np.where(col_idx <= lb[:, None], col_idx, big).astype(cell)
     prev2 = None
     arange_row = col_idx[0]
-    one = np.int16(1)
+    one = cell(1)
     for r in range(1, ta + 1):
         active = r <= la
-        sub_cost = (A[:, r - 1][:, None] != B).astype(np.int16)
+        sub_cost = (A[:, r - 1][:, None] != B).astype(cell)
         cand = np.minimum(prev[:, :-1] + sub_cost, prev[:, 1:] + one)  # (N, Tb)
         if r >= 2 and tb >= 2:
             # transposition: a[r-1]==b[j-2] and a[r-2]==b[j-1] -> prev2[j-2]+1
@@ -669,7 +670,7 @@ def _osa_chunk(
             )  # (N, Tb-1), covers j=2..Tb
             tr_val = np.where(tr_ok, prev2[:, :-2] + one, big)
             cand[:, 1:] = np.minimum(cand[:, 1:], tr_val)
-        first = np.full((m, 1), r, dtype=np.int16)
+        first = np.full((m, 1), r, dtype=cell)
         cand = np.concatenate([first, cand], axis=1)  # (N, Tb+1)
         shifted = cand - arange_row[None, :]
         np.minimum.accumulate(shifted, axis=1, out=shifted)
@@ -917,20 +918,22 @@ def _token_dp_chunk(
         A[r, : len(s)] = s
         s = seqs_b[i]
         B[r, : len(s)] = s
-    big = np.int16(ta + tb + 1)
-    # prev[i, j] = D[row, j] with out-of-range (j > len_b) masked to big;
-    # int16 cells: distances are bounded by ta+tb+1 << 32767
-    col_idx = np.arange(tb + 1, dtype=np.int16)[None, :]  # (1, Tb+1)
-    prev = np.where(col_idx <= lb[:, None], col_idx, big).astype(np.int16)
+    # int16 cells while distances (bounded by ta+tb+1) fit; int32 for the
+    # rare very-long-string chunk (lv char mode has no length cap)
+    cell = np.int16 if ta + tb + 1 < 32000 else np.int32
+    big = cell(ta + tb + 1)
+    # prev[i, j] = D[row, j] with out-of-range (j > len_b) masked to big
+    col_idx = np.arange(tb + 1, dtype=cell)[None, :]  # (1, Tb+1)
+    prev = np.where(col_idx <= lb[:, None], col_idx, big).astype(cell)
     arange_row = col_idx[0]  # 0..tb
-    one = np.int16(1)
+    one = cell(1)
     for r in range(1, ta + 1):
         active = r <= la  # pairs whose row r exists
-        sub_cost = (A[:, r - 1][:, None] != B).astype(np.int16)  # (N, Tb)
+        sub_cost = (A[:, r - 1][:, None] != B).astype(cell)  # (N, Tb)
         # substitution / deletion candidates (no intra-row dependency)
         cand = np.minimum(prev[:, :-1] + sub_cost, prev[:, 1:] + one)
         # first column of the new row is r (all-insertions)
-        first = np.full((m, 1), r, dtype=np.int16)
+        first = np.full((m, 1), r, dtype=cell)
         cand = np.concatenate([first, cand], axis=1)  # (N, Tb+1)
         # insertion recurrence cur[j] = min(cand[j], cur[j-1] + 1):
         # prefix-scan via min-accumulate of (cand - j) + j
