@@ -111,6 +111,8 @@ def grouped_approx_distinct(
         vals = np.asarray(batch[col])
         ok = ~pd.isna(vals)
         keys, vals = keys[ok], vals[ok]
+        if len(keys) == 0:
+            return {key_col: keys, "regs": []}
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
         change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
