@@ -1204,6 +1204,62 @@ def _q_link_and_dedupe(sf_dir: str):
     return res.matches.select_columns(["id_a", "id_b", "pair_type"])
 
 
+def _minstd_sql(id_expr: str, seed: int) -> str:
+    """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
+    h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
+    for _ in range(3):
+        h = f"({h}) * 48271 % 2147483647"
+    return f"({h})"
+
+
+def _q_sample_docs(sf_dir: str):
+    """Deterministic 10% hash sample of documents — map-only, no shuffle,
+    identical on rerun/resume at any cluster size."""
+    from raylink.ops.sample import hash_sample
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    return hash_sample(docs, "doc_id", 0.10, seed=7)
+
+
+def _q_mixture_docs(sf_dir: str):
+    """Per-source mixture reweighting: keep src0 fully, src1 at 50%,
+    src2 at 25%, everything else at 5% — the domain-mixture primitive."""
+    from raylink.ops.sample import mixture_sample
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    return mixture_sample(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.05,
+        seed=11,
+    )
+
+
+def _q_stratified_docs(sf_dir: str):
+    """Exactly 20 deterministic uniform draws per language (hash-rank
+    order) — per-stratum balanced subsetting for eval-set construction."""
+    from raylink.ops.sample import stratified_sample
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    return stratified_sample(
+        docs, "lang", "doc_id", k=20, seed=3, num_partitions=8
+    )
+
+
+def _q_redact_docs(sf_dir: str):
+    """Vectorized regex redaction (PII-scrub shape) over documents,
+    keeping only docs that had at least one hit."""
+    from raylink.ops.text import redact_text
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = redact_text(docs).select_columns(
+        ["doc_id", "text_redacted", "n_redactions"]
+    )
+    return out.filter(expr="n_redactions > 0")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "block_keys": _q_block_keys,
@@ -1253,6 +1309,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "person_link": _q_person_link,
         "pooled_hist_supplier": _q_pooled_hist_supplier,
         "link_and_dedupe_person": _q_link_and_dedupe,
+        "sample_docs": _q_sample_docs,
+        "mixture_docs": _q_mixture_docs,
+        "stratified_docs": _q_stratified_docs,
+        "redact_docs": _q_redact_docs,
     }
 
 
@@ -1644,6 +1704,45 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE length(a.text) > 0 AND length(b.text) > 0
               AND jaccard(a.text, b.text) >= 0.98
+        """,
+        "sample_docs": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_minstd_sql("doc_id", 7)} < {int(0.10 * 2147483647)}
+        """,
+        "mixture_docs": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_minstd_sql("doc_id", 11)} <
+              CASE source
+                WHEN 'src0' THEN 2147483647
+                WHEN 'src1' THEN {int(0.5 * 2147483647)}
+                WHEN 'src2' THEN {int(0.25 * 2147483647)}
+                ELSE {int(0.05 * 2147483647)}
+              END
+        """,
+        "stratified_docs": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY {_minstd_sql("doc_id", 3)}, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
+        "redact_docs": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '\bcustomer\b', '<ENTITY>', 'g'),
+                       '\b(key|hash)\b', '<TOKEN>', 'g') AS text_redacted,
+                   (len(regexp_extract_all(text, '\bcustomer\b'))
+                    + len(regexp_extract_all(
+                          regexp_replace(text, '\bcustomer\b', '<ENTITY>', 'g'),
+                          '\b(key|hash)\b')))::BIGINT AS n_redactions
+            FROM documents
+            WHERE (len(regexp_extract_all(text, '\bcustomer\b'))
+                   + len(regexp_extract_all(
+                         regexp_replace(text, '\bcustomer\b', '<ENTITY>', 'g'),
+                         '\b(key|hash)\b'))) > 0
         """,
         # minhash_dedup / simhash_dedup / embedding_neardup / langid_docs /
         # doc_fingerprints / quality_scores / transcript_dedupe / person_link:

@@ -168,6 +168,10 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "token_freq_scores",
         "profile_events",
         "decontaminate_docs",
+        "sample_docs",
+        "mixture_docs",
+        "stratified_docs",
+        "redact_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -1,0 +1,153 @@
+"""Deterministic sampling operators for training-data curation.
+
+The reference engine has no sampling story; a 100-TB pretraining
+pipeline needs three shapes of it:
+
+- ``hash_sample``: keep a fixed fraction of rows, decided per-row from a
+  pure function of the row id — no shuffle, no RNG state, identical
+  output on every rerun/resume and on any cluster size.
+- ``mixture_sample``: per-domain sampling rates (source reweighting for
+  data mixtures) — same map-only shape with a broadcast rate table.
+- ``stratified_sample``: exactly ``k`` rows per group, chosen by hash
+  rank — one sort shuffle (the same exchange a groupby pays), then a
+  vectorized sorted-run scan; no group ever materializes more than a
+  block.
+
+All three share one hash so results compose: a row kept at fraction f1
+is a member of the rows kept at f2 > f1 with the same seed.  The hash
+is three rounds of the MINSTD multiplicative congruential step,
+``h0 = (id % p + seed) % p;  h = h0 * 48271^3 (mod p)`` applied as
+three successive ``* 48271 % p`` steps with ``p = 2^31 - 1`` — chosen
+over a bytewise mixer because it is *exactly* expressible in ANSI SQL
+integer arithmetic (the DuckDB oracles in ``__ray_entry__`` compute the
+identical nested expression), never overflows int64 (every intermediate
+product is < 2^47), and is a bijection on [0, p).  One round is NOT
+enough: for ids below ~44k the single product never wraps past p, so
+the map is order-preserving rather than mixing; measured kept-fraction
+error with three rounds is < 0.1% on sequential ids from 5k to 1M.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray.data
+
+from ..stages.sortedrun import sorted_group_scan
+
+__all__ = [
+    "minstd_hash",
+    "hash_sample",
+    "mixture_sample",
+    "stratified_sample",
+    "MINSTD_MOD",
+]
+
+MINSTD_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+_MINSTD_MUL = 48_271
+
+
+def minstd_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Three MINSTD rounds over ``(id % p + seed) % p`` in int64 —
+    matches the SQL expression
+    ``((((id % 2147483647 + seed) % 2147483647)
+       * 48271 % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647``
+    bit-for-bit for non-negative ids."""
+    ids = np.asarray(ids).astype(np.int64)
+    h = (ids % MINSTD_MOD + int(seed)) % MINSTD_MOD
+    for _ in range(3):
+        h = (h * _MINSTD_MUL) % MINSTD_MOD
+    return h
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    fraction: float,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Keep rows where ``minstd_hash(id) < fraction * p``.
+
+    Map-only: zero shuffle, zero coordination, resumable by
+    construction — the scale-ideal shape.  ``id_col`` must be a
+    non-negative integer id; rows whose id collides mod p sample
+    together (irrelevant below 2^31 rows per id-space).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    threshold = int(fraction * MINSTD_MOD)
+
+    def filt(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        keep = minstd_hash(batch[id_col], seed) < threshold
+        return {k: np.asarray(v)[keep] for k, v in batch.items()}
+
+    return ds.map_batches(filt, batch_format="numpy")
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Per-group sampling rates: keep a row of group g where
+    ``minstd_hash(id) < fractions[g] * p``.
+
+    The domain-reweighting primitive for training-data mixtures
+    ("2x src0, 0.1x src3").  The rate table is captured by value in the
+    task closure — tiny (one float per domain), shipped once per task,
+    never per batch.  Unlisted groups get ``default_fraction``.
+    """
+    thresholds = {
+        g: int(f * MINSTD_MOD) for g, f in fractions.items()
+    }
+    default_thr = int(default_fraction * MINSTD_MOD)
+
+    def filt(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        groups = np.asarray(batch[group_col])
+        uniq, inv = np.unique(groups, return_inverse=True)
+        thr_by_uniq = np.asarray(
+            [thresholds.get(g, default_thr) for g in uniq], dtype=np.int64
+        )
+        keep = minstd_hash(batch[id_col], seed) < thr_by_uniq[inv]
+        return {k: np.asarray(v)[keep] for k, v in batch.items()}
+
+    return ds.map_batches(filt, batch_format="numpy")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Exactly ``min(k, |group|)`` rows per group, the ones with the
+    smallest ``(minstd_hash(id), id)`` — a deterministic uniform draw
+    (the hash is a bijection, so hash-rank order is a fixed pseudorandom
+    permutation of each group).
+
+    One ``sort(group_col)`` range-partition exchange, then a vectorized
+    per-run scan (``sorted_group_scan``) — groups larger than ``k`` never
+    leave their block as more than ``k`` rows.  Equivalent SQL:
+    ``row_number() OVER (PARTITION BY g ORDER BY hash, id) <= k``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = list(ds.schema().names)
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        h = minstd_hash(ids, seed)
+        order = np.lexsort((ids, h))[:k]
+        return {c: np.asarray(batch[c])[order] for c in cols}
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        return {c: np.asarray(batch[c])[:0] for c in cols}
+
+    return sorted_group_scan(
+        ds, group_col, group_fn, empty_fn, num_partitions
+    )

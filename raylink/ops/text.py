@@ -17,6 +17,7 @@ __all__ = [
     "chunk_documents",
     "mark_contaminated",
     "token_frequency_scores",
+    "redact_text",
 ]
 
 
@@ -277,3 +278,50 @@ def token_frequency_scores(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def redact_text(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    rules: list[tuple[str, str]] | None = None,
+    out_col: str = "text_redacted",
+    count_col: str = "n_redactions",
+) -> ray.data.Dataset:
+    """Regex redaction / PII scrubbing: apply ``rules`` — a list of
+    ``(pattern, replacement)`` — left to right to ``text_col``, appending
+    the scrubbed text and the total match count.
+
+    Map-only (zero shuffle); patterns compile ONCE per task closure, and
+    each rule runs as one vectorized ``pandas.str`` kernel over the whole
+    batch — no per-row Python.  Patterns must stay in the RE2-compatible
+    subset (no backrefs/lookarounds) so the DuckDB ``regexp_replace(...,
+    'g')`` oracle computes the identical transform.
+
+    Default rules are placeholder entity masks for the synthetic corpus;
+    real PII rules (emails, phone numbers, SSNs) are plain character-class
+    regexes and drop straight in.
+    """
+    import re
+
+    if rules is None:
+        rules = [
+            (r"\bcustomer\b", "<ENTITY>"),
+            (r"\b(key|hash)\b", "<TOKEN>"),
+        ]
+    compiled = [(re.compile(p), r) for p, r in rules]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(
+            batch.column(text_col).to_numpy(zero_copy_only=False),
+            dtype="object",
+        ).fillna("")
+        n = np.zeros(len(s), dtype=np.int64)
+        for pat, repl in compiled:
+            n += s.str.count(pat).to_numpy(np.int64)
+            s = s.str.replace(pat, repl, regex=True)
+        batch = batch.append_column(out_col, pa.array(s, type=pa.string()))
+        return batch.append_column(count_col, pa.array(n, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -843,3 +843,121 @@ def test_hyperloglog_accuracy():
     for k, sub in df.groupby("k"):
         e = sub["v"].nunique()
         assert abs(got.loc[k] - e) / e < 0.06, (k, got.loc[k], e)
+
+
+def test_hash_sample_deterministic_and_composable():
+    from raylink.ops.sample import MINSTD_MOD, hash_sample, minstd_hash
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64)})
+    ds = ray.data.from_pandas(df)
+    out10 = hash_sample(ds, "doc_id", 0.10, seed=7).to_pandas()
+    out30 = hash_sample(ds, "doc_id", 0.30, seed=7).to_pandas()
+    # matches the pure-SQL arithmetic exactly
+    h = (df["doc_id"] % MINSTD_MOD + 7) % MINSTD_MOD
+    for _ in range(3):
+        h = (h * 48271) % MINSTD_MOD
+    expect10 = set(df["doc_id"][h < int(0.10 * MINSTD_MOD)])
+    assert set(out10["doc_id"]) == expect10
+    # fraction is approximately honored
+    assert 0.07 < len(out10) / 5000 < 0.13
+    # nested property: the 10% sample is a subset of the 30% sample
+    assert set(out10["doc_id"]) <= set(out30["doc_id"])
+    # rerun is byte-identical (no RNG state)
+    again = hash_sample(ds, "doc_id", 0.10, seed=7).to_pandas()
+    assert set(again["doc_id"]) == set(out10["doc_id"])
+    # helper agrees with itself across dtypes
+    assert (
+        minstd_hash(np.arange(10, dtype=np.int32), 3)
+        == minstd_hash(np.arange(10, dtype=np.int64), 3)
+    ).all()
+
+
+def test_mixture_sample_rates_per_group():
+    from raylink.ops.sample import MINSTD_MOD, mixture_sample
+
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": np.repeat(["a", "b", "c"], n // 3),
+        }
+    )
+    out = mixture_sample(
+        ray.data.from_pandas(df),
+        "source",
+        "doc_id",
+        {"a": 1.0, "b": 0.2},
+        default_fraction=0.0,
+        seed=11,
+    ).to_pandas()
+    by = out.groupby("source").size()
+    assert by.get("a", 0) == n // 3          # rate 1.0 keeps everything
+    assert 0.1 < by.get("b", 0) / (n // 3) < 0.3
+    assert "c" not in set(out["source"])     # default 0 drops unlisted
+    # row membership matches the shared hash exactly
+    h = (df["doc_id"] % MINSTD_MOD + 11) % MINSTD_MOD
+    for _ in range(3):
+        h = (h * 48271) % MINSTD_MOD
+    thr = df["source"].map({"a": MINSTD_MOD, "b": int(0.2 * MINSTD_MOD)}).fillna(0)
+    assert set(out["doc_id"]) == set(df["doc_id"][h < thr])
+
+
+def test_stratified_sample_exact_k_per_group():
+    from raylink.ops.sample import MINSTD_MOD, stratified_sample
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "grp": rng.integers(0, 40, size=3000),
+        }
+    )
+    # one tiny group to exercise |group| < k
+    df.loc[df.index[:2], "grp"] = 999
+    df.loc[df.index[2:], "grp"] = df["grp"].iloc[2:].to_numpy() % 40
+    out = stratified_sample(
+        ray.data.from_pandas(df), "grp", "doc_id", k=5, seed=3,
+        num_partitions=8,
+    ).to_pandas()
+    sizes = out.groupby("grp").size()
+    for g, sz in sizes.items():
+        expect = min(5, int((df["grp"] == g).sum()))
+        assert sz == expect, (g, sz, expect)
+    # row_number()-over-(hash, id) SQL semantics, exactly
+    h = (df["doc_id"] % MINSTD_MOD + 3) % MINSTD_MOD
+    for _ in range(3):
+        h = (h * 48271) % MINSTD_MOD
+    ranked = df.assign(h=h).sort_values(["grp", "h", "doc_id"])
+    expect_ids = set(ranked.groupby("grp").head(5)["doc_id"])
+    assert set(out["doc_id"]) == expect_ids
+
+
+def test_redact_text_matches_python_re():
+    import re
+
+    from raylink.ops.text import redact_text
+
+    texts = [
+        "customer data key hash key",
+        "no hits here",
+        "",
+        "customer customer",
+        None,
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64), "text": texts}
+    )
+    out = (
+        redact_text(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    rules = [(r"\bcustomer\b", "<ENTITY>"), (r"\b(key|hash)\b", "<TOKEN>")]
+    for i, t in enumerate(texts):
+        t = t or ""
+        n = 0
+        for p, r in rules:
+            n += len(re.findall(p, t))
+            t = re.sub(p, r, t)
+        assert out["text_redacted"][i] == t
+        assert out["n_redactions"][i] == n
