@@ -1204,6 +1204,61 @@ def _q_link_and_dedupe(sf_dir: str):
     return res.matches.select_columns(["id_a", "id_b", "pair_type"])
 
 
+def _q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition quality signals per document (token /
+    distinct-token / modal-token counts + duplicate-token ratio)."""
+    from raylink.ops.text import repetition_scores
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return repetition_scores(docs)
+
+
+def _q_zscore_events(sf_dir: str):
+    """Per-event-type z-score standardization of `value` — two-pass
+    integer-moment broadcast stats, bit-identical at any parallelism."""
+    from raylink.ops.normalize import group_standardize
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "event_type", "value"]
+    )
+    out = group_standardize(ev, "event_type", "value")
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "z_e4": t.column("z_e4").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
+def _q_docs_above_median(sf_dir: str):
+    """Quantile-threshold filtering: keep documents strictly longer than
+    their language's median n_chars — grouped_quantiles composed with a
+    broadcast-threshold filter (the per-stratum quality-cut shape)."""
+    from raylink.ops.quantiles import grouped_quantiles
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"]
+    )
+    med = grouped_quantiles(docs, "lang", "n_chars", qs=(0.5,)).to_pandas()
+    thr = dict(zip(med["lang"], med["q50"]))
+    thr_ref = ray.put(thr)
+
+    def filt(batch: dict[str, np.ndarray]) -> dict:
+        lut = ray.get(thr_ref)
+        langs = np.asarray(batch["lang"])
+        uniq, inv = np.unique(langs, return_inverse=True)
+        t = np.asarray([lut[k] for k in uniq], dtype=np.float64)[inv]
+        keep = np.asarray(batch["n_chars"], dtype=np.float64) > t
+        return {k: np.asarray(v)[keep] for k, v in batch.items()}
+
+    return docs.map_batches(filt, batch_format="numpy")
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1313,6 +1368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_docs": _q_mixture_docs,
         "stratified_docs": _q_stratified_docs,
         "redact_docs": _q_redact_docs,
+        "repetition_docs": _q_repetition_docs,
+        "zscore_events": _q_zscore_events,
+        "docs_above_median": _q_docs_above_median,
     }
 
 
@@ -1743,6 +1801,60 @@ def oracle_sql() -> dict[str, str]:
                    + len(regexp_extract_all(
                          regexp_replace(text, '\bcustomer\b', '<ENTITY>', 'g'),
                          '\b(key|hash)\b'))) > 0
+        """,
+        "repetition_docs": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            per AS (
+                SELECT doc_id, w, count(*)::BIGINT AS c
+                FROM words GROUP BY doc_id, w
+            ),
+            agg AS (
+                SELECT doc_id, sum(c)::BIGINT AS n_words,
+                       count(*)::BIGINT AS n_distinct_words,
+                       max(c)::BIGINT AS top_word_count
+                FROM per GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_words, 0)::BIGINT AS n_words,
+                   coalesce(a.n_distinct_words, 0)::BIGINT
+                       AS n_distinct_words,
+                   coalesce(a.top_word_count, 0)::BIGINT AS top_word_count,
+                   floor((coalesce(a.n_words, 0) -
+                          coalesce(a.n_distinct_words, 0))
+                         / greatest(coalesce(a.n_words, 0), 1)::DOUBLE
+                         * 10000 + 0.5)::BIGINT AS dup_ratio_e4
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "zscore_events": """
+            WITH fixed AS (
+                SELECT event_id, event_type,
+                       floor(value * 100 + 0.5)::BIGINT AS vc
+                FROM events
+            ),
+            stats AS (
+                SELECT event_type, count(*)::BIGINT AS n,
+                       sum(vc)::BIGINT AS s, sum(vc * vc)::BIGINT AS ss
+                FROM fixed GROUP BY event_type
+            )
+            SELECT f.event_id, f.event_type,
+                   CASE WHEN st.n * st.ss - st.s * st.s > 0 THEN
+                       floor((st.n * f.vc - st.s)::DOUBLE
+                             / sqrt((st.n * st.ss - st.s * st.s)::DOUBLE)
+                             * 10000 + 0.5)::BIGINT
+                   ELSE 0 END AS z_e4
+            FROM fixed f JOIN stats st USING (event_type)
+        """,
+        "docs_above_median": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       quantile_cont(n_chars, 0.5)
+                           OVER (PARTITION BY lang) AS med
+                FROM documents
+            ) WHERE n_chars > med
         """,
         # minhash_dedup / simhash_dedup / embedding_neardup / langid_docs /
         # doc_fingerprints / quality_scores / transcript_dedupe / person_link:

@@ -172,6 +172,9 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "mixture_docs",
         "stratified_docs",
         "redact_docs",
+        "repetition_docs",
+        "zscore_events",
+        "docs_above_median",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -18,6 +18,7 @@ __all__ = [
     "mark_contaminated",
     "token_frequency_scores",
     "redact_text",
+    "repetition_scores",
 ]
 
 
@@ -323,5 +324,60 @@ def redact_text(
             s = s.str.replace(pat, repl, regex=True)
         batch = batch.append_column(out_col, pa.array(s, type=pa.string()))
         return batch.append_column(count_col, pa.array(n, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_scores(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Gopher-style repetition signals: per document, the whitespace-token
+    count, distinct-token count, modal-token count, and the duplicate-token
+    ratio ``(n_words - n_distinct) / max(n_words, 1)`` as half-up e4 fixed
+    point — the standard "excessively repetitive document" quality filter.
+
+    Map-only (each doc's counts depend only on itself); the per-batch
+    kernel is pandas ``split + explode`` and two C-speed groupbys — no
+    per-row Python.  Integer counts + fixed-point ratio make the output
+    exactly reproducible, so the DuckDB oracle (unnest + group by) matches
+    bit-for-bit.
+    """
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pd.Series(
+            batch.column(text_col).to_numpy(zero_copy_only=False),
+            dtype="object",
+        ).fillna("")
+        n = len(s)
+        toks = s.str.split().explode()
+        toks = toks[toks.notna()]
+        n_words = np.zeros(n, dtype=np.int64)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        top_count = np.zeros(n, dtype=np.int64)
+        if len(toks):
+            df = pd.DataFrame(
+                {"i": toks.index.to_numpy(np.int64), "w": toks.to_numpy()}
+            )
+            per = df.groupby(["i", "w"], sort=False).size()
+            lvl = per.index.get_level_values(0).to_numpy(np.int64)
+            cnt = per.to_numpy(np.int64)
+            np.add.at(n_words, lvl, cnt)
+            np.add.at(n_distinct, lvl, 1)
+            np.maximum.at(top_count, lvl, cnt)
+        dup_e4 = np.floor(
+            (n_words - n_distinct) / np.maximum(n_words, 1) * 10000 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_words": pa.array(n_words),
+                "n_distinct_words": pa.array(n_distinct),
+                "top_word_count": pa.array(top_count),
+                "dup_ratio_e4": pa.array(dup_e4),
+            }
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -961,3 +961,68 @@ def test_redact_text_matches_python_re():
             t = re.sub(p, r, t)
         assert out["text_redacted"][i] == t
         assert out["n_redactions"][i] == n
+
+
+def test_repetition_scores_matches_counter():
+    from collections import Counter
+
+    from raylink.ops.text import repetition_scores
+
+    texts = [
+        "a a a b c",            # 5 words, 3 distinct, top 3
+        "x y z",                # no repetition
+        "",                     # empty
+        None,                   # null
+        "w w w w",              # all same
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64), "text": texts})
+    out = (
+        repetition_scores(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        c = Counter(toks)
+        assert out["n_words"][i] == len(toks)
+        assert out["n_distinct_words"][i] == len(c)
+        assert out["top_word_count"][i] == (max(c.values()) if c else 0)
+        expect_e4 = int(
+            np.floor((len(toks) - len(c)) / max(len(toks), 1) * 10000 + 0.5)
+        )
+        assert out["dup_ratio_e4"][i] == expect_e4
+
+
+def test_group_standardize_matches_numpy():
+    from raylink.ops.normalize import group_standardize
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], size=500),
+            "v": np.round(rng.normal(50, 10, size=500), 2),
+        }
+    )
+    # a zero-variance group and a null value
+    df.loc[df.index[:3], "k"] = "const"
+    df.loc[df.index[:3], "v"] = 7.0
+    df.loc[df.index[10], "v"] = np.nan
+    out = group_standardize(
+        ray.data.from_pandas(df), "k", "v"
+    ).to_pandas()
+    # recompute from integer moments, same formula
+    vc = np.floor(df["v"].to_numpy() * 100 + 0.5)
+    for k, sub in df.assign(vc=vc).groupby("k"):
+        s_ok = sub["vc"].dropna()
+        n, s, ss = len(s_ok), s_ok.sum(), (s_ok**2).sum()
+        got = out[out["k"] == k]
+        disc = n * ss - s * s
+        for _, row in got.iterrows():
+            if np.isnan(row["v"]):
+                assert np.isnan(row["z_e4"])
+                continue
+            x = np.floor(row["v"] * 100 + 0.5)
+            z = (n * x - s) / np.sqrt(disc) if disc > 0 else 0.0
+            assert row["z_e4"] == np.floor(z * 10000 + 0.5), (k, row["v"])
+    # zero-variance group standardizes to exactly 0
+    assert (out[out["k"] == "const"]["z_e4"] == 0).all()
