@@ -130,14 +130,36 @@ def stratified_sample(
     (the hash is a bijection, so hash-rank order is a fixed pseudorandom
     permutation of each group).
 
-    One ``sort(group_col)`` range-partition exchange, then a vectorized
-    per-run scan (``sorted_group_scan``) — groups larger than ``k`` never
-    leave their block as more than ``k`` rows.  Equivalent SQL:
+    Combiner-first (the ``grouped_top_k`` shape): every block first
+    reduces to AT MOST ``k`` rows per group present in it with one
+    lexsort + run-slice pass, and only those partials pay the
+    ``sort(group_col)`` shuffle, where an identical per-group pass
+    finishes the merge.  Input rows never shuffle; exchanged volume is
+    bounded by ``k x groups_per_block x blocks``.  Equivalent SQL:
     ``row_number() OVER (PARTITION BY g ORDER BY hash, id) <= k``.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     cols = list(ds.schema().names)
+
+    def prune(batch: dict[str, np.ndarray]) -> dict:
+        keys = np.asarray(batch[group_col])
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        h = minstd_hash(ids, seed)
+        order = np.lexsort((ids, h, keys))
+        sk = keys[order]
+        n = len(sk)
+        if n == 0:
+            return {c: np.asarray(batch[c])[:0] for c in cols}
+        change = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        rank = np.arange(n) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [n])))
+        )
+        keep = order[rank < k]
+        return {c: np.asarray(batch[c])[keep] for c in cols}
+
+    partials = ds.map_batches(prune, batch_format="numpy", batch_size=None)
 
     def group_fn(batch: dict[str, np.ndarray]) -> dict:
         ids = np.asarray(batch[id_col]).astype(np.int64)
@@ -149,5 +171,5 @@ def stratified_sample(
         return {c: np.asarray(batch[c])[:0] for c in cols}
 
     return sorted_group_scan(
-        ds, group_col, group_fn, empty_fn, num_partitions
+        partials, group_col, group_fn, empty_fn, num_partitions
     )
