@@ -1259,6 +1259,42 @@ def _q_docs_above_median(sf_dir: str):
     return docs.map_batches(filt, batch_format="numpy")
 
 
+def _q_split_docs(sf_dir: str):
+    """Deterministic train/val/test split assignment (90/5/5) — map-only,
+    stable under resharding and resume."""
+    from raylink.ops.sample import assign_splits
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    return assign_splits(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=5
+    )
+
+
+def _q_pivot_events(sf_dir: str):
+    """Pivot / crosstab: per-user wide event-type counts (closed category
+    set + explicit `other`), combiner-first partials."""
+    from raylink.ops.pivot import pivot_counts
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    out = pivot_counts(
+        ev, "user_id", "event_type", ["click", "view", "purchase"],
+        num_partitions=8,
+    )
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "n_click": t.column("n_click"),
+                "n_view": t.column("n_view"),
+                "n_purchase": t.column("n_purchase"),
+                "n_other": t.column("n_other"),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1371,6 +1407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _q_repetition_docs,
         "zscore_events": _q_zscore_events,
         "docs_above_median": _q_docs_above_median,
+        "split_docs": _q_split_docs,
+        "pivot_events": _q_pivot_events,
     }
 
 
@@ -1855,6 +1893,28 @@ def oracle_sql() -> dict[str, str]:
                            OVER (PARTITION BY lang) AS med
                 FROM documents
             ) WHERE n_chars > med
+        """,
+        "split_docs": f"""
+            SELECT doc_id,
+                   CASE WHEN {_minstd_sql("doc_id", 5)} < 1932735282
+                        THEN 'train'
+                        WHEN {_minstd_sql("doc_id", 5)} < 2040109464
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type NOT IN
+                       ('click', 'view', 'purchase') THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_other
+            FROM events GROUP BY user_id
         """,
         # minhash_dedup / simhash_dedup / embedding_neardup / langid_docs /
         # doc_fingerprints / quality_scores / transcript_dedupe / person_link:

@@ -175,6 +175,8 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "repetition_docs",
         "zscore_events",
         "docs_above_median",
+        "split_docs",
+        "pivot_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

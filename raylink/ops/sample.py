@@ -40,6 +40,7 @@ __all__ = [
     "hash_sample",
     "mixture_sample",
     "stratified_sample",
+    "assign_splits",
     "MINSTD_MOD",
 ]
 
@@ -173,3 +174,37 @@ def stratified_sample(
     return sorted_group_scan(
         partials, group_col, group_fn, empty_fn, num_partitions
     )
+
+
+def assign_splits(
+    ds: ray.data.Dataset,
+    id_col: str,
+    splits: dict[str, float],
+    out_col: str = "split",
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: partition the hash range
+    by cumulative ``splits`` fractions (must sum to 1.0) and label each
+    row by where ``minstd_hash(id)`` falls.
+
+    Map-only and stable under resharding/resume — a row's split never
+    depends on which block or node saw it.  Split ORDER matters (it fixes
+    the range boundaries): pass an ordered dict, e.g.
+    ``{"train": 0.9, "val": 0.05, "test": 0.05}``.
+    """
+    names = list(splits)
+    fracs = np.asarray([splits[n] for n in names], dtype=np.float64)
+    if abs(fracs.sum() - 1.0) > 1e-9:
+        raise ValueError(f"splits must sum to 1.0, got {fracs.sum()}")
+    bounds = np.floor(np.cumsum(fracs) * MINSTD_MOD).astype(np.int64)
+    bounds[-1] = MINSTD_MOD  # close the range despite float rounding
+    labels = np.asarray(names, dtype=object)
+
+    def tag(batch: dict[str, np.ndarray]) -> dict:
+        h = minstd_hash(batch[id_col], seed)
+        idx = np.searchsorted(bounds, h, side="right")
+        out = dict(batch)
+        out[out_col] = labels[idx]
+        return out
+
+    return ds.map_batches(tag, batch_format="numpy")

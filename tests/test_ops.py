@@ -1026,3 +1026,65 @@ def test_group_standardize_matches_numpy():
             assert row["z_e4"] == np.floor(z * 10000 + 0.5), (k, row["v"])
     # zero-variance group standardizes to exactly 0
     assert (out[out["k"] == "const"]["z_e4"] == 0).all()
+
+
+def test_assign_splits_partition_and_determinism():
+    from raylink.ops.sample import MINSTD_MOD, assign_splits
+
+    df = pd.DataFrame({"doc_id": np.arange(20000, dtype=np.int64)})
+    out = assign_splits(
+        ray.data.from_pandas(df),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=5,
+    ).to_pandas()
+    assert len(out) == 20000
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.88 < frac["train"] < 0.92
+    assert 0.03 < frac["val"] < 0.07
+    assert 0.03 < frac["test"] < 0.07
+    # matches the SQL range arithmetic exactly
+    h = (df["doc_id"] % MINSTD_MOD + 5) % MINSTD_MOD
+    for _ in range(3):
+        h = (h * 48271) % MINSTD_MOD
+    b_train = int(np.floor(0.9 * MINSTD_MOD))
+    b_val = int(np.floor(0.95 * MINSTD_MOD))
+    expect = np.where(h < b_train, "train", np.where(h < b_val, "val", "test"))
+    got = out.sort_values("doc_id")["split"].to_numpy()
+    assert (got == expect).all()
+    # invalid fractions rejected
+    with pytest.raises(ValueError):
+        assign_splits(ray.data.from_pandas(df), "doc_id", {"a": 0.5})
+
+
+def test_pivot_counts_matches_crosstab():
+    from raylink.ops.pivot import pivot_counts
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, size=4000),
+            "c": rng.choice(["x", "y", "z", "w"], size=4000),
+        }
+    )
+    out = (
+        pivot_counts(
+            ray.data.from_pandas(df), "k", "c", ["x", "y", "z"],
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    ct = pd.crosstab(df["k"], df["c"])
+    for _, row in out.iterrows():
+        k = row["k"]
+        assert row["n_x"] == ct.loc[k].get("x", 0)
+        assert row["n_y"] == ct.loc[k].get("y", 0)
+        assert row["n_z"] == ct.loc[k].get("z", 0)
+        assert row["n_other"] == ct.loc[k].get("w", 0)
+    assert len(out) == ct.shape[0]
+    # closed category set: unknown category raises when other=None
+    with pytest.raises(Exception):
+        pivot_counts(
+            ray.data.from_pandas(df), "k", "c", ["x", "y", "z"], other=None
+        ).to_pandas()
