@@ -972,24 +972,14 @@ def _q_sessionize(sf_dir: str):
 def _q_cluster_exact_dups(sf_dir: str):
     """Connected components over exact-duplicate edges (real CC machinery;
     the oracle reduces to min-per-text because duplicate groups are cliques)."""
-    from raylink.ops.dedup import exact_dedup
+    from raylink.ops.dedup import exact_dedup_edges
     from raylink.stages.cluster import connected_components
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    groups = exact_dedup(docs, "text", "doc_id")
-
-    # edges: every duplicate doc connects to its group's keeper
-    def edges_fn(t: pa.Table) -> pa.Table:
-        keep = t.column("keep_doc_id")
-        return pa.table({"text": t.column("text"), "keep_doc_id": keep})
-
-    keyed = groups.map_batches(edges_fn, batch_format="pyarrow")
-    edges = docs.join(
-        keyed,
-        join_type="inner",
-        num_partitions=8,
-        on=("text",),
-    ).map_batches(
+    # one sorted-run scan emits every doc paired with its group keeper —
+    # no wide-text hash join (the text column shuffles exactly once)
+    edges = exact_dedup_edges(docs, "text", "doc_id", num_partitions=8)
+    edges = edges.map_batches(
         lambda t: pa.table(
             {
                 "id_a": t.column("doc_id").cast(pa.int64()),

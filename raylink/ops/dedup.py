@@ -36,6 +36,7 @@ from ..functions.strdist import char_jaccard
 
 __all__ = [
     "exact_dedup",
+    "exact_dedup_edges",
     "minhash_signatures",
     "minhash_lsh_dedup",
     "simhash_signatures",
@@ -961,3 +962,61 @@ def embedding_cosine_pairs_exact(
     return rd.from_items(
         [{"id": s} for s in starts], override_num_blocks=len(starts)
     ).map_batches(score, batch_format="numpy", batch_size=None)
+
+
+def exact_dedup_edges(
+    ds: ray.data.Dataset,
+    col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-row duplicate edges: every row paired with its exact-duplicate
+    group's keeper (minimum ``id_col``) — the input to connected
+    components, emitted in ONE sorted-run scan.
+
+    Rows shuffle once, range-partitioned by an int64 hash of ``col`` (far
+    cheaper to sort than wide strings); within each hash run the group
+    function sub-groups by the EXACT value, so a hash collision can never
+    merge distinct groups.  This replaces the dedup-then-join-back shape
+    (which shuffles the wide column twice — once into the join's build
+    side, once probe-side) with a single one-sided exchange.
+    """
+    from ..functions.hashing import hash64_array
+    from ..stages.sortedrun import sorted_group_scan
+
+    def with_hash(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return {
+            id_col: np.asarray(batch[id_col]),
+            col: np.asarray(batch[col]),
+            "__h": hash64_array(np.asarray(batch[col])).astype(np.int64),
+        }
+
+    hashed = ds.select_columns([col, id_col]).map_batches(
+        with_hash, batch_format="numpy"
+    )
+
+    keep_col = f"keep_{id_col}"
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        df = pd.DataFrame({col: batch[col], id_col: batch[id_col]})
+        keeper = df.groupby(col, dropna=False, sort=False)[id_col].transform(
+            "min"
+        )
+        return {
+            id_col: df[id_col].to_numpy(),
+            keep_col: keeper.to_numpy(),
+        }
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            id_col: np.asarray(batch[id_col])[:0],
+            keep_col: np.asarray(batch[id_col])[:0],
+        }
+
+    return sorted_group_scan(
+        hashed,
+        "__h",
+        group_fn,
+        empty_fn,
+        num_partitions or _default_partitions(),
+    )

@@ -1088,3 +1088,24 @@ def test_pivot_counts_matches_crosstab():
         pivot_counts(
             ray.data.from_pandas(df), "k", "c", ["x", "y", "z"], other=None
         ).to_pandas()
+
+
+def test_exact_dedup_edges_matches_transform_min():
+    from raylink.ops.dedup import exact_dedup_edges
+
+    rng = np.random.default_rng(31)
+    texts = rng.choice(["aa", "bb", "cc", "dd", "unique-%d" % 1], size=300)
+    texts[5] = "only-once"
+    df = pd.DataFrame(
+        {"doc_id": np.arange(300, dtype=np.int64), "text": texts}
+    )
+    out = (
+        exact_dedup_edges(
+            ray.data.from_pandas(df), "text", "doc_id", num_partitions=4
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    expect = df.groupby("text")["doc_id"].transform("min")
+    assert len(out) == 300
+    assert (out["keep_doc_id"].to_numpy() == expect.to_numpy()).all()
