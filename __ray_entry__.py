@@ -1290,6 +1290,21 @@ def _q_pivot_events(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _q_curate_docs(sf_dir: str):
+    """The composed curation flagship: exact dedup -> keeper restriction
+    -> repetition-quality cut -> train/val/test split -> per-split
+    subsampling, all streaming (pipelines/curate.py)."""
+    from raylink.pipelines.curate import curate_corpus
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "text"]
+    )
+    out = curate_corpus(docs, num_partitions=8)
+    return out.select_columns(
+        ["doc_id", "lang", "n_words", "dup_ratio_e4", "split"]
+    )
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1400,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs": _q_stratified_docs,
         "redact_docs": _q_redact_docs,
         "repetition_docs": _q_repetition_docs,
+        "curate_docs": _q_curate_docs,
         "zscore_events": _q_zscore_events,
         "docs_above_median": _q_docs_above_median,
         "split_docs": _q_split_docs,
@@ -1888,6 +1904,53 @@ def oracle_sql() -> dict[str, str]:
                            OVER (PARTITION BY lang) AS med
                 FROM documents
             ) WHERE n_chars > med
+        """,
+        "curate_docs": f"""
+            WITH keepers AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ),
+            kept AS (
+                SELECT d.doc_id, d.lang, d.text
+                FROM documents d JOIN keepers USING (doc_id)
+            ),
+            words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS w
+                FROM kept WHERE length(trim(text)) > 0
+            ),
+            per AS (
+                SELECT doc_id, w, count(*)::BIGINT AS c
+                FROM words GROUP BY doc_id, w
+            ),
+            agg AS (
+                SELECT doc_id, sum(c)::BIGINT AS n_words,
+                       count(*)::BIGINT AS n_distinct
+                FROM per GROUP BY doc_id
+            ),
+            sig AS (
+                SELECT k.doc_id, k.lang,
+                       coalesce(a.n_words, 0)::BIGINT AS n_words,
+                       floor((coalesce(a.n_words, 0)
+                              - coalesce(a.n_distinct, 0))
+                             / greatest(coalesce(a.n_words, 0), 1)::DOUBLE
+                             * 10000 + 0.5)::BIGINT AS dup_ratio_e4
+                FROM kept k LEFT JOIN agg a USING (doc_id)
+            ),
+            tagged AS (
+                SELECT doc_id, lang, n_words, dup_ratio_e4,
+                       CASE WHEN {_minstd_sql("doc_id", 5)} < 1932735282
+                            THEN 'train'
+                            WHEN {_minstd_sql("doc_id", 5)} < 2040109464
+                            THEN 'val'
+                            ELSE 'test' END AS split
+                FROM sig
+                WHERE dup_ratio_e4 <= 3000 AND n_words >= 5
+            )
+            SELECT doc_id, lang, n_words, dup_ratio_e4, split
+            FROM tagged
+            WHERE {_minstd_sql("doc_id", 11)} <
+                CASE split WHEN 'train' THEN 1073741823
+                           ELSE 2147483647 END
         """,
         "split_docs": f"""
             SELECT doc_id,

@@ -177,6 +177,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "docs_above_median",
         "split_docs",
         "pivot_events",
+        "curate_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -332,6 +332,7 @@ def repetition_scores(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: bool = False,
 ) -> ray.data.Dataset:
     """Gopher-style repetition signals: per document, the whitespace-token
     count, distinct-token count, modal-token count, and the duplicate-token
@@ -370,14 +371,17 @@ def repetition_scores(
         dup_e4 = np.floor(
             (n_words - n_distinct) / np.maximum(n_words, 1) * 10000 + 0.5
         ).astype(np.int64)
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_words": pa.array(n_words),
-                "n_distinct_words": pa.array(n_distinct),
-                "top_word_count": pa.array(top_count),
-                "dup_ratio_e4": pa.array(dup_e4),
-            }
-        )
+        sig = {
+            "n_words": pa.array(n_words),
+            "n_distinct_words": pa.array(n_distinct),
+            "top_word_count": pa.array(top_count),
+            "dup_ratio_e4": pa.array(dup_e4),
+        }
+        if passthrough:
+            out = batch
+            for name, arr in sig.items():
+                out = out.append_column(name, arr)
+            return out
+        return pa.table({id_col: batch.column(id_col), **sig})
 
     return ds.map_batches(fn, batch_format="pyarrow")

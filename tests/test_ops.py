@@ -1109,3 +1109,39 @@ def test_exact_dedup_edges_matches_transform_min():
     expect = df.groupby("text")["doc_id"].transform("min")
     assert len(out) == 300
     assert (out["keep_doc_id"].to_numpy() == expect.to_numpy()).all()
+
+
+def test_curate_corpus_composition():
+    from raylink.pipelines.curate import curate_corpus
+
+    texts = (
+        ["dup text one two three four five six"] * 3   # dup group: 1 keeper
+        + ["w w w w w w w w"]                          # repetitive: cut
+        + ["too short"]                                # < 5 words: cut
+        + [f"clean document number {i} alpha beta gamma delta" for i in range(40)]
+    )
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    out = curate_corpus(
+        ray.data.from_pandas(df),
+        split_fractions={"train": 1.0, "val": 1.0, "test": 1.0},
+        num_partitions=4,
+    ).to_pandas()
+    # dup group keeps only min id; repetitive + short docs are gone
+    assert 0 in set(out["doc_id"])
+    assert {1, 2, 3, 4} & set(out["doc_id"]) == set()
+    assert len(out) == 41  # keeper + 40 clean docs
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert (out["n_words"] >= 5).all()
+    assert (out["dup_ratio_e4"] <= 3000).all()
+    # deterministic: rerun identical
+    again = curate_corpus(
+        ray.data.from_pandas(df),
+        split_fractions={"train": 1.0, "val": 1.0, "test": 1.0},
+        num_partitions=4,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id", ignore_index=True),
+        again.sort_values("doc_id", ignore_index=True),
+    )
