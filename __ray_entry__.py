@@ -1305,6 +1305,27 @@ def _q_curate_docs(sf_dir: str):
     )
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid sums (fixed-point e6, long format) —
+    the IVF/class-prototype primitive, integer-exact at any parallelism."""
+    from raylink.ops.vecagg import group_vector_sums
+
+    emb = _read(sf_dir, "embeddings").select_columns(["label", "embedding"])
+    out = group_vector_sums(emb, "label", "embedding")
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": t.column("label").cast(pa.int64()),
+                "dim": t.column("dim"),
+                "s": t.column("s"),
+                "n": t.column("n"),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1420,6 +1441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_median": _q_docs_above_median,
         "split_docs": _q_split_docs,
         "pivot_events": _q_pivot_events,
+        "label_centroids": _q_label_centroids,
     }
 
 
@@ -1951,6 +1973,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_minstd_sql("doc_id", 11)} <
                 CASE split WHEN 'train' THEN 1073741823
                            ELSE 2147483647 END
+        """,
+        "label_centroids": """
+            SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+                   sum(vc)::BIGINT AS s, count(*)::BIGINT AS n
+            FROM (
+                SELECT label,
+                       unnest(range(len(embedding))) AS dim,
+                       floor(unnest(embedding)::DOUBLE * 1000000 + 0.5)
+                           ::BIGINT AS vc
+                FROM embeddings
+            ) GROUP BY label, dim
         """,
         "split_docs": f"""
             SELECT doc_id,

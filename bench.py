@@ -178,6 +178,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "split_docs",
         "pivot_events",
         "curate_docs",
+        "label_centroids",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

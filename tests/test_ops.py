@@ -1145,3 +1145,24 @@ def test_curate_corpus_composition():
         out.sort_values("doc_id", ignore_index=True),
         again.sort_values("doc_id", ignore_index=True),
     )
+
+
+def test_group_vector_sums_exact():
+    from raylink.ops.vecagg import group_vector_sums
+
+    rng = np.random.default_rng(41)
+    n, d = 200, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 4, size=n)
+    df = pd.DataFrame({"label": labels.astype(np.int64)})
+    df["embedding"] = [v for v in vecs]
+    out = group_vector_sums(
+        ray.data.from_pandas(df), "label", "embedding"
+    ).to_pandas()
+    vc = np.floor(vecs.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    for lbl in np.unique(labels):
+        sub = vc[labels == lbl]
+        got = out[out["label"] == lbl].sort_values("dim")
+        assert (got["s"].to_numpy() == sub.sum(axis=0)).all()
+        assert (got["n"].to_numpy() == len(sub)).all()
+    assert len(out) == 4 * d
