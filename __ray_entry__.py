@@ -1326,6 +1326,33 @@ def _q_label_centroids(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (rows-only:
+    iterative fixpoint is not SQL-expressible; planted-cluster purity is
+    graded in bench.py `kmeans_synth_purity`).  Returns cluster sizes."""
+    from raylink.ops.kmeans import assign_clusters, kmeans_fit
+    from raylink.stages.sortedrun import count_by_key
+
+    emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    centroids, _hist = kmeans_fit(
+        emb, "embedding", "vec_id", k=10, n_iters=8, seed=3
+    )
+    labeled = assign_clusters(emb, "embedding", centroids).select_columns(
+        ["cluster"]
+    )
+    out = count_by_key(labeled, "cluster", num_partitions=4)
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster": t.column("cluster").cast(pa.int64()),
+                "n": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1442,6 +1469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": _q_split_docs,
         "pivot_events": _q_pivot_events,
         "label_centroids": _q_label_centroids,
+        "kmeans_embeddings": _q_kmeans_embeddings,
     }
 
 

@@ -373,6 +373,38 @@ def run_quality_grades(sf_dir: str) -> dict:
             recalls.append(len(e & a) / max(len(e), 1))
         out[name] = round(float(np.mean(recalls)), 4)
 
+    # --- k-means planted-cluster recovery control ------------------------
+    # same clustered synthetic: fit k=64 full-corpus Lloyd's and score
+    # assignment purity against the planted labels (weighted majority
+    # share) — the iterative-op correctness grade
+    from raylink.ops.kmeans import assign_clusters, kmeans_fit
+
+    km_ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(8000, dtype=np.int64),
+                "embedding": list(vecs),
+                "planted": assign.astype(np.int64),
+            }
+        )
+    )
+    cents, hist = kmeans_fit(km_ds, "embedding", "vec_id", k=64, n_iters=8, seed=3)
+    lab = (
+        assign_clusters(km_ds, "embedding", cents)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    purity = (
+        lab.groupby("cluster")["planted"]
+        .agg(lambda s: (s == s.mode().iloc[0]).sum())
+        .sum()
+        / len(lab)
+    )
+    out["kmeans_synth_purity"] = round(float(purity), 4)
+    out["kmeans_inertia_monotone"] = float(
+        all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+    )
+
     # --- HLL approx distinct vs exact ------------------------------------
     hll = entrymod.queries()["approx_distinct_users"](sf_dir)
     if hasattr(hll, "to_pandas"):

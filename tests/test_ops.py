@@ -1166,3 +1166,39 @@ def test_group_vector_sums_exact():
         assert (got["s"].to_numpy() == sub.sum(axis=0)).all()
         assert (got["n"].to_numpy() == len(sub)).all()
     assert len(out) == 4 * d
+
+
+def test_kmeans_recovers_planted_clusters():
+    from raylink.ops.kmeans import assign_clusters, kmeans_fit
+
+    rng = np.random.default_rng(7)
+    true_centers = np.array(
+        [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0],
+         [-10.0, -10.0, 0.0]]
+    )
+    n_per = 300
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, size=(n_per, 3)) for c in true_centers]
+    )
+    df = pd.DataFrame({"vec_id": np.arange(len(pts), dtype=np.int64)})
+    df["embedding"] = [p for p in pts.astype(np.float32)]
+    ds = ray.data.from_pandas(df)
+    centroids, hist = kmeans_fit(
+        ds, "embedding", "vec_id", k=4, n_iters=15, seed=3
+    )
+    # inertia is monotone non-increasing
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+    # every true center is recovered to within the noise scale
+    d = np.linalg.norm(
+        centroids[:, None, :] - true_centers[None, :, :], axis=2
+    )
+    assert d.min(axis=0).max() < 0.5
+    # assignment purity: points from one planted cluster land together
+    out = assign_clusters(ds, "embedding", centroids).to_pandas()
+    lab = out.sort_values("vec_id")["cluster"].to_numpy()
+    for g in range(4):
+        grp = lab[g * n_per : (g + 1) * n_per]
+        assert (grp == np.bincount(grp).argmax()).mean() > 0.99
+    # determinism: same seed -> identical centroids
+    c2, _ = kmeans_fit(ds, "embedding", "vec_id", k=4, n_iters=15, seed=3)
+    assert np.allclose(centroids, c2)
