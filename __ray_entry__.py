@@ -1353,6 +1353,24 @@ def _q_kmeans_embeddings(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _q_pca_embeddings(sf_dir: str):
+    """Distributed PCA spectrum of the embeddings table (rows-only:
+    eigendecomposition is not SQL-expressible; exactness vs numpy SVD is
+    pytest-verified).  Returns the top-8 explained-variance shares."""
+    from raylink.ops.pca import pca_fit
+
+    emb = _read(sf_dir, "embeddings").select_columns(["embedding"])
+    model = pca_fit(emb, "embedding", n_components=8)
+    ev = model["explained_variance"]
+    tot = model["total_variance"] or 1.0
+    return pd.DataFrame(
+        {
+            "component": np.arange(len(ev), dtype=np.int64),
+            "evr_e6": np.floor(ev / tot * 1_000_000 + 0.5).astype(np.int64),
+        }
+    )
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1470,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _q_pivot_events,
         "label_centroids": _q_label_centroids,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "pca_embeddings": _q_pca_embeddings,
     }
 
 

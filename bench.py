@@ -179,6 +179,8 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "pivot_events",
         "curate_docs",
         "label_centroids",
+        "kmeans_embeddings",
+        "pca_embeddings",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -1202,3 +1202,35 @@ def test_kmeans_recovers_planted_clusters():
     # determinism: same seed -> identical centroids
     c2, _ = kmeans_fit(ds, "embedding", "vec_id", k=4, n_iters=15, seed=3)
     assert np.allclose(centroids, c2)
+
+
+def test_pca_matches_numpy_svd():
+    from raylink.ops.pca import pca_fit, pca_project
+
+    rng = np.random.default_rng(11)
+    n, d, r = 2000, 16, 3
+    basis = np.linalg.qr(rng.normal(size=(d, r)))[0]
+    latent = rng.normal(size=(n, r)) * np.array([10.0, 5.0, 2.0])
+    x = latent @ basis.T + 0.01 * rng.normal(size=(n, d)) + 7.0
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64)})
+    df["embedding"] = [v for v in x.astype(np.float64)]
+    ds = ray.data.from_pandas(df)
+    model = pca_fit(ds, "embedding", n_components=r)
+    # subspace equality vs exact numpy PCA (representation-independent:
+    # compare projection operators P = W W^T)
+    xc = x - x.mean(axis=0)
+    _, _, vt = np.linalg.svd(xc, full_matrices=False)
+    w_np = vt[:r].T
+    p_ray = model["components"] @ model["components"].T
+    p_np = w_np @ w_np.T
+    assert np.abs(p_ray - p_np).max() < 1e-6
+    # explained variance captures nearly everything for low-rank data
+    assert model["explained_variance"].sum() / model["total_variance"] > 0.999
+    # projection: map-only, matches direct computation
+    out = pca_project(ds, "embedding", model).to_pandas().sort_values("vec_id")
+    proj = np.stack(out["pca"].to_numpy())
+    expect = (x - model["mean"]) @ model["components"]
+    assert np.abs(proj - expect).max() < 1e-9
+    # determinism incl. eigenvector sign pinning
+    m2 = pca_fit(ds, "embedding", n_components=r)
+    assert np.allclose(model["components"], m2["components"])
