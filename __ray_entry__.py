@@ -226,7 +226,13 @@ def _q_band_join_events(sf_dir: str):
     from raylink.ops.bandjoin import band_join_self
 
     ev = _read(sf_dir, "events").select_columns(["event_id", "user_id", "value"])
-    out = band_join_self(ev, "value", "event_id", cut=0.5, group_cols=["user_id"])
+    # partitions sized from the base-table count (same rationale as
+    # asof_events: tiny sorts across 64 partitions are pure task overhead)
+    n_parts = int(max(8, min(256, ev.count() // 25_000)))
+    out = band_join_self(
+        ev, "value", "event_id", cut=0.5, group_cols=["user_id"],
+        num_partitions=n_parts,
+    )
     return out.map_batches(
         lambda t: pa.table(
             {

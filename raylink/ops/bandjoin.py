@@ -83,6 +83,7 @@ def band_join_self(
     cut: float,
     group_cols: list[str] | None = None,
     bucket_cap: int = 10_000,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """All pairs (id_a < id_b) with ``|v_a - v_b| <= cut`` (optionally also
     equal on ``group_cols``).  Returns (id_a, id_b, diff, truncated);
@@ -150,7 +151,9 @@ def band_join_self(
     from ..stages.sortedrun import sorted_group_scan
 
     scan_key = "_scan_key" if group_cols else "_bucket"
-    n_part = max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    n_part = num_partitions or max(
+        32, 2 * int(ray.cluster_resources().get("CPU", 8))
+    )
     return sorted_group_scan(
         bucketed,
         scan_key,
