@@ -1234,3 +1234,31 @@ def test_pca_matches_numpy_svd():
     # determinism incl. eigenvector sign pinning
     m2 = pca_fit(ds, "embedding", n_components=r)
     assert np.allclose(model["components"], m2["components"])
+
+
+def test_minstd_hash_duckdb_parity_and_injectivity():
+    """The sampling hash must equal its SQL twin bit-for-bit (the whole
+    oracle story rests on it) and stay injective on realistic id ranges
+    (it is a bijection on [0, p))."""
+    import duckdb
+
+    from raylink.ops.sample import MINSTD_MOD, minstd_hash
+
+    ids = np.concatenate(
+        [
+            np.arange(100_000, dtype=np.int64),
+            np.random.default_rng(3).integers(0, 2**62, 50_000),
+        ]
+    )
+    for seed in (0, 7, 123456):
+        h_np = minstd_hash(ids, seed)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"id": ids}))
+        expr = f"(id % {MINSTD_MOD} + {seed}) % {MINSTD_MOD}"
+        for _ in range(3):
+            expr = f"({expr}) * 48271 % {MINSTD_MOD}"
+        h_sql = con.execute(f"SELECT {expr} FROM t").df().iloc[:, 0].to_numpy()
+        assert (h_np == h_sql).all()
+    # injective on distinct ids below p
+    small = np.arange(200_000, dtype=np.int64)
+    assert len(np.unique(minstd_hash(small, 42))) == len(small)
