@@ -45,9 +45,21 @@ def curate_corpus(
     split_seed: int = 5,
     sample_seed: int = 11,
     num_partitions: int = 64,
+    checkpoint_dir: str | None = None,
+    input_fingerprint: str = "",
 ) -> ray.data.Dataset:
     """Returns the curated corpus: kept rows of ``docs`` plus
-    ``n_words``, ``dup_ratio_e4`` and ``split`` columns."""
+    ``n_words``, ``dup_ratio_e4`` and ``split`` columns.
+
+    With ``checkpoint_dir`` the two stage boundaries persist as
+    partitioned Parquet + manifests (``state/checkpoint.py``): the
+    expensive text pass (dedup scan + keeper join + repetition scoring +
+    quality cut) commits as ``curate_filtered`` and the final
+    split/sample map as ``curate_final`` — a rerun with the same dir and
+    fingerprint resumes past whatever completed, and because every
+    decision is hash-deterministic the resumed output is byte-identical
+    to a fresh run.
+    """
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     split_fractions = split_fractions or {
         "train": 0.5,
@@ -55,32 +67,48 @@ def curate_corpus(
         "test": 1.0,
     }
 
-    edges = exact_dedup_edges(
-        docs, text_col, id_col, num_partitions=num_partitions
-    )
+    def build_filtered() -> ray.data.Dataset:
+        edges = exact_dedup_edges(
+            docs, text_col, id_col, num_partitions=num_partitions
+        )
 
-    def keepers(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        ids = np.asarray(batch[id_col])
-        keep = ids == np.asarray(batch[f"keep_{id_col}"])
-        return {id_col: ids[keep]}
+        def keepers(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            ids = np.asarray(batch[id_col])
+            keep = ids == np.asarray(batch[f"keep_{id_col}"])
+            return {id_col: ids[keep]}
 
-    keeper_ids = edges.map_batches(keepers, batch_format="numpy")
-    kept = semi_anti_join(
-        docs, keeper_ids, id_col, num_partitions=num_partitions
-    )
+        keeper_ids = edges.map_batches(keepers, batch_format="numpy")
+        kept = semi_anti_join(
+            docs, keeper_ids, id_col, num_partitions=num_partitions
+        )
 
-    scored = repetition_scores(
-        kept, text_col=text_col, id_col=id_col, passthrough=True
-    )
+        scored = repetition_scores(
+            kept, text_col=text_col, id_col=id_col, passthrough=True
+        )
 
-    def quality(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        keep = (
-            np.asarray(batch["dup_ratio_e4"]) <= max_dup_ratio_e4
-        ) & (np.asarray(batch["n_words"]) >= min_words)
-        return {k: np.asarray(v)[keep] for k, v in batch.items()}
+        def quality(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            keep = (
+                np.asarray(batch["dup_ratio_e4"]) <= max_dup_ratio_e4
+            ) & (np.asarray(batch["n_words"]) >= min_words)
+            return {k: np.asarray(v)[keep] for k, v in batch.items()}
 
-    filtered = scored.map_batches(quality, batch_format="numpy")
-    tagged = assign_splits(filtered, id_col, splits, seed=split_seed)
-    return mixture_sample(
-        tagged, "split", id_col, split_fractions, seed=sample_seed
-    )
+        return scored.map_batches(quality, batch_format="numpy")
+
+    def build_final(filtered: ray.data.Dataset) -> ray.data.Dataset:
+        tagged = assign_splits(filtered, id_col, splits, seed=split_seed)
+        return mixture_sample(
+            tagged, "split", id_col, split_fractions, seed=sample_seed
+        )
+
+    if checkpoint_dir is None:
+        return build_final(build_filtered())
+
+    from ..state.checkpoint import PipelineRunner
+
+    runner = PipelineRunner(checkpoint_dir)
+    filtered = runner.stage(
+        "curate_filtered", build_filtered, input_fingerprint
+    ).dataset
+    return runner.stage(
+        "curate_final", lambda: build_final(filtered), input_fingerprint
+    ).dataset

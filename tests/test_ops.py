@@ -1262,3 +1262,36 @@ def test_minstd_hash_duckdb_parity_and_injectivity():
     # injective on distinct ids below p
     small = np.arange(200_000, dtype=np.int64)
     assert len(np.unique(minstd_hash(small, 42))) == len(small)
+
+
+def test_curate_corpus_checkpoint_resume(tmp_path):
+    from raylink.pipelines.curate import curate_corpus
+
+    texts = [f"doc {i} alpha beta gamma delta epsilon" for i in range(60)]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(60, dtype=np.int64), "text": texts}
+    )
+    ck = str(tmp_path / "ck")
+    out1 = curate_corpus(
+        ray.data.from_pandas(df), checkpoint_dir=ck,
+        input_fingerprint="t1", num_partitions=4,
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    import os
+
+    assert os.path.exists(os.path.join(ck, "curate_filtered", "_COMPLETE"))
+    assert os.path.exists(os.path.join(ck, "curate_final", "_COMPLETE"))
+    # resume: same dir + fingerprint gives byte-identical output without
+    # recomputation (poison the input to prove stages don't re-run)
+    poisoned = df.copy()
+    poisoned["text"] = "x"
+    out2 = curate_corpus(
+        ray.data.from_pandas(poisoned), checkpoint_dir=ck,
+        input_fingerprint="t1", num_partitions=4,
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(out1, out2)
+    # changed fingerprint invalidates and re-runs
+    out3 = curate_corpus(
+        ray.data.from_pandas(poisoned), checkpoint_dir=ck,
+        input_fingerprint="t2", num_partitions=4,
+    ).to_pandas()
+    assert len(out3) == 0  # "x" docs fail the min_words cut
