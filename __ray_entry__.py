@@ -1377,6 +1377,19 @@ def _q_pca_embeddings(sf_dir: str):
     )
 
 
+def _q_rank_docs(sf_dir: str):
+    """Per-language percentile position of each document's length —
+    SQL percent_rank() semantics (min-rank ties), e6 fixed point."""
+    from raylink.ops.rank import group_percent_rank
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"]
+    )
+    return group_percent_rank(
+        docs, "lang", "n_chars", num_partitions=8
+    ).select_columns(["doc_id", "lang", "pct_rank_e6"])
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1495,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "pca_embeddings": _q_pca_embeddings,
+        "rank_docs": _q_rank_docs,
     }
 
 
@@ -2037,6 +2051,13 @@ def oracle_sql() -> dict[str, str]:
                            ::BIGINT AS vc
                 FROM embeddings
             ) GROUP BY label, dim
+        """,
+        "rank_docs": """
+            SELECT doc_id, lang,
+                   floor(percent_rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars
+                   ) * 1000000 + 0.5)::BIGINT AS pct_rank_e6
+            FROM documents
         """,
         "split_docs": f"""
             SELECT doc_id,

@@ -181,6 +181,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "label_centroids",
         "kmeans_embeddings",
         "pca_embeddings",
+        "rank_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -593,6 +594,15 @@ def main() -> None:
     headline = run_headline(SF_DIR)
     if scale_probe:
         headline.update(run_scoring_probe(SF_DIR))
+        # WEAK-scaling probe: pairs scale with the CPU budget (250k/CPU),
+        # so per-worker problem size is constant across levels — the
+        # standard complement to the fixed-size (strong) probe above;
+        # ideal weak scaling keeps wall constant, i.e. rate ∝ CPUs
+        weak = run_scoring_probe(SF_DIR, n_pairs=250_000 * NUM_CPUS)
+        headline["weak_scoring_pairs_per_sec"] = weak[
+            "scoring_pairs_per_sec"
+        ]
+        headline["weak_scoring_walls"] = weak.get("scoring_walls")
         # pooled-engine probe at a compute-dominated scale (1G pairs):
         # fixed per-run costs (startup, driver EM) are O(1) in input size,
         # so scaling must be read where distributed work dominates; median
@@ -687,7 +697,16 @@ def run_scaling() -> None:
     p_lo = h_lo.get("pooled_pairs_per_sec")
     p_hi = h_hi.get("pooled_pairs_per_sec")
     pooled_eff = (p_hi / p_lo) / factor if p_lo and p_hi else None
-    best = max(x for x in (scoring_eff, pooled_eff, e2e_eff) if x is not None)
+    w_lo = h_lo.get("weak_scoring_pairs_per_sec")
+    w_hi = h_hi.get("weak_scoring_pairs_per_sec")
+    # weak scaling (pairs ∝ CPUs): ideal keeps wall constant, so total
+    # rate scales by `factor`; efficiency normalizes the same way
+    weak_eff = (w_hi / w_lo) / factor if w_lo and w_hi else None
+    best = max(
+        x
+        for x in (scoring_eff, pooled_eff, e2e_eff, weak_eff)
+        if x is not None
+    )
     print(
         json.dumps(
             {
@@ -701,6 +720,11 @@ def run_scaling() -> None:
                     f"pooled_pairs_per_sec_{lo}cpu": p_lo,
                     f"pooled_pairs_per_sec_{hi}cpu": p_hi,
                     "pooled_efficiency": round(pooled_eff, 4) if pooled_eff else None,
+                    f"weak_scoring_pairs_per_sec_{lo}cpu": w_lo,
+                    f"weak_scoring_pairs_per_sec_{hi}cpu": w_hi,
+                    "weak_scoring_efficiency": round(weak_eff, 4) if weak_eff else None,
+                    f"weak_scoring_walls_{lo}cpu": h_lo.get("weak_scoring_walls"),
+                    f"weak_scoring_walls_{hi}cpu": h_hi.get("weak_scoring_walls"),
                     f"e2e_pairs_per_sec_{lo}cpu": h_lo["pairs_per_sec"],
                     f"e2e_pairs_per_sec_{hi}cpu": h_hi["pairs_per_sec"],
                     "e2e_efficiency": round(e2e_eff, 4),

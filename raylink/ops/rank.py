@@ -1,0 +1,64 @@
+"""Per-group percent rank: each row's quantile position within its group
+— the percentile-labeling step of quality-score normalization ("this doc
+is in its language's top decile").
+
+One ``sort(group)`` range-partition exchange, then a vectorized per-run
+scan (``sorted_group_scan``): within a group the ranks come from one
+argsort + tie-collapse (``np.unique``), no per-row Python.  Semantics
+match SQL ``percent_rank()`` exactly — ties share the MIN rank, the
+result is ``(rank - 1) / (n - 1)`` (0 for singleton groups) — emitted as
+half-up e6 fixed point so the DuckDB oracle matches bit-for-bit (the
+single float division rounds identically in both engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray.data
+
+from ..stages.sortedrun import sorted_group_scan
+
+__all__ = ["group_percent_rank"]
+
+
+def group_percent_rank(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    out_col: str = "pct_rank_e6",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Append ``out_col`` = ``floor(percent_rank * 1e6 + 0.5)`` (int64)
+    of ``val_col`` within each ``group_col`` group."""
+    cols = list(ds.schema().names)
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        v = np.asarray(batch[val_col])
+        n = len(v)
+        out = {c: np.asarray(batch[c]) for c in cols}
+        if n == 1:
+            out[out_col] = np.zeros(1, dtype=np.int64)
+            return out
+        # min-rank with ties: sort, find run starts, scatter back
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        starts = np.concatenate(([0], np.flatnonzero(sv[1:] != sv[:-1]) + 1))
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        min_rank_of_run = starts + 1  # 1-based
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = min_rank_of_run[run_id]
+        pct = (rank - 1) / (n - 1)
+        out[out_col] = np.floor(pct * 1_000_000 + 0.5).astype(np.int64)
+        return out
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        out = {c: np.asarray(batch[c])[:0] for c in cols}
+        out[out_col] = np.empty(0, dtype=np.int64)
+        return out
+
+    return sorted_group_scan(
+        ds, group_col, group_fn, empty_fn, num_partitions
+    )

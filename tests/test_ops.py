@@ -1295,3 +1295,34 @@ def test_curate_corpus_checkpoint_resume(tmp_path):
         input_fingerprint="t2", num_partitions=4,
     ).to_pandas()
     assert len(out3) == 0  # "x" docs fail the min_words cut
+
+
+def test_group_percent_rank_matches_pandas():
+    from raylink.ops.rank import group_percent_rank
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame(
+        {
+            "row_id": np.arange(1000, dtype=np.int64),
+            "g": rng.choice(["a", "b", "c"], size=1000),
+            "v": rng.integers(0, 50, size=1000).astype(np.float64),  # ties!
+        }
+    )
+    # singleton group edge case
+    df.loc[df.index[0], "g"] = "solo"
+    out = (
+        group_percent_rank(
+            ray.data.from_pandas(df), "g", "v", num_partitions=8
+        )
+        .to_pandas()
+        .sort_values("row_id", ignore_index=True)
+    )
+    expect = (
+        df.groupby("g")["v"]
+        .rank(method="min")
+        .sub(1)
+        .div(df.groupby("g")["v"].transform("size").sub(1).clip(lower=1))
+    )
+    expect_e6 = np.floor(expect.to_numpy() * 1_000_000 + 0.5).astype(np.int64)
+    assert (out["pct_rank_e6"].to_numpy() == expect_e6).all()
+    assert out.loc[out["g"] == "solo", "pct_rank_e6"].iloc[0] == 0
