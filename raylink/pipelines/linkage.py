@@ -142,20 +142,21 @@ def fit_patterns(
                     if isinstance(x, VarConfig) and x.tf_adjust
                 ]
                 if node_tf:
-                    # tf-var child collapse: the reference's tf skeleton
-                    # (term_frequency_adjustment.jl:28-45, called from
-                    # patterns.jl:222-229) thresholds
-                    # sigmoid(log(p_m/p_u) + weights + per-pair tf); we
-                    # include the log(p_m/p_u) prior exactly but approximate
-                    # at PATTERN level (the per-pair tf term is omitted) —
-                    # warn so the divergence is never silent.
+                    # tf-var child collapse at PATTERN level: this
+                    # histogram-only function cannot see per-pair tf
+                    # values.  run_linkage routes nested-tf configs to
+                    # pipelines/nested_tf.py (the faithful per-pair
+                    # patterns_to_DiBit semantics); this branch only runs
+                    # for direct fit_patterns callers, so warn.
                     import warnings
 
                     warnings.warn(
                         f"comparison node {node.name!r} nests tf_adjust "
-                        f"variables {node_tf}: child collapse includes the "
-                        "log(p_m/p_u) prior but omits the reference's "
-                        "per-pair tf adjustment (pattern-level approximation)",
+                        f"variables {node_tf}: fit_patterns collapses at "
+                        "pattern level (the log(p_m/p_u) prior included, "
+                        "the per-pair tf term omitted) — use run_linkage "
+                        "for the faithful per-pair path "
+                        "(raylink/pipelines/nested_tf.py)",
                         UserWarning,
                         stacklevel=2,
                     )
@@ -205,7 +206,9 @@ def _run_common(
     seed: int,
     sample_a: pd.DataFrame | None = None,
     sample_b: pd.DataFrame | None = None,
-) -> tuple[EMResult, dict[str, EMResult], pd.DataFrame, ray.data.Dataset]:
+) -> tuple[
+    EMResult, dict[str, EMResult], pd.DataFrame, ray.data.Dataset, dict
+]:
     hist = pattern_histogram(scored)
     counters["scored_pairs"] = int(hist["cnt"].sum())
     counters["unique_leaf_patterns"] = len(hist)
@@ -220,15 +223,62 @@ def _run_common(
             residual,
             seed=seed + 1,
         )
-        hist = merge_histograms(hist, res_hist)
         counters["residual_mode"] = "sampled"
-    else:
-        hist = add_residual_pattern(hist, total_comparisons)
+    elif residual > 0:
+        res_hist = pd.DataFrame(
+            {"pattern_key": [0], "cnt": [float(residual)]}
+        )
         counters["residual_mode"] = "all_nonmatch"
+    else:
+        if residual < 0:
+            raise ValueError(
+                f"scored pairs exceed total comparisons "
+                f"({total_comparisons}); duplicate candidate pairs upstream?"
+            )
+        res_hist = None
+        counters["residual_mode"] = "none"
     counters["residual_pairs"] = residual
+
+    from .nested_tf import fit_patterns_per_pair, has_nested_tf
+
+    if has_nested_tf(config):
+        # faithful per-pair child collapse (the reference's
+        # patterns_to_DiBit semantics): tf-adjusted child decisions are
+        # per pair, so parent patterns — and the root EM — are built
+        # from per-pair virtual gammas, not from the leaf histogram
+        counters["nested_tf_mode"] = "per_pair"
+        root_em, child_ems, root_patterns, scored_rk = fit_patterns_per_pair(
+            scored, res_hist, config, total_comparisons, seed=seed
+        )
+        matches = get_matches(
+            scored_rk, _leaf_em_for_matches(root_em, root_patterns)
+        )
+        root = config.comparisons
+        tf_plan = {
+            "all_vars": list(root.variables),
+            "tf_vars": [
+                v
+                for v in root.variables
+                if not isinstance(v, ComparisonConfig) and v.tf_adjust
+            ],
+            "patterns": root_patterns,
+        }
+        return root_em, child_ems, root_patterns, matches, tf_plan
+
+    if res_hist is not None:
+        hist = (
+            merge_histograms(hist, res_hist)
+            if counters["residual_mode"] == "sampled"
+            else add_residual_pattern(hist, total_comparisons)
+        )
     root_em, child_ems, leaf = fit_patterns(hist, config, seed=seed)
     matches = get_matches(scored, _leaf_em_for_matches(root_em, leaf))
-    return root_em, child_ems, leaf, matches
+    tf_plan = {
+        "all_vars": config.leaf_vars(),
+        "tf_vars": [v for v in config.leaf_vars() if v.tf_adjust],
+        "patterns": leaf,
+    }
+    return root_em, child_ems, leaf, matches, tf_plan
 
 
 def dedupe_records(
@@ -310,15 +360,16 @@ def dedupe_records(
     # small deterministic record sample for residual u-estimation
     frac = min(1.0, 2000 / max(n, 1))
     sample = records.random_sample(frac, seed=seed).to_pandas()
-    root_em, child_ems, leaf, matches = _run_common(
+    root_em, child_ems, leaf, matches, tf_plan = _run_common(
         scored, config, total_comparisons, counters, seed, sample_a=sample
     )
     matches = matches.materialize()
     counters["matched_pairs"] = matches.count()
     tf_matches = None
-    if tf_vars:
+    if tf_plan["tf_vars"]:
         tf_matches = apply_tf_adjustment(
-            matches, root_em, leaf, leaf_vars, tf_vars
+            matches, root_em, tf_plan["patterns"],
+            tf_plan["all_vars"], tf_plan["tf_vars"],
         )
 
     clusters = None
@@ -463,16 +514,17 @@ def link_records(
     frac_b = min(1.0, 1000 / max(n_b, 1))
     sample_a = da.random_sample(frac_a, seed=seed).to_pandas()
     sample_b = db.random_sample(frac_b, seed=seed + 1).to_pandas()
-    root_em, child_ems, leaf, matches = _run_common(
+    root_em, child_ems, leaf, matches, tf_plan = _run_common(
         scored, config, total_comparisons, counters, seed,
         sample_a=sample_a, sample_b=sample_b,
     )
     matches = matches.materialize()
     counters["matched_pairs"] = matches.count()
     tf_matches = None
-    if tf_vars:
+    if tf_plan["tf_vars"]:
         tf_matches = apply_tf_adjustment(
-            matches, root_em, leaf, leaf_vars, tf_vars
+            matches, root_em, tf_plan["patterns"],
+            tf_plan["all_vars"], tf_plan["tf_vars"],
         )
 
     return LinkResult(

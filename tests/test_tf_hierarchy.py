@@ -108,3 +108,133 @@ def test_hierarchical_comparison():
     mf = res_flat.matches.to_pandas()
     pred_flat = set(zip(mf["id_a"].tolist(), mf["id_b"].tolist()))
     assert len(pred & pred_flat) >= 0.8 * len(truth_set)
+
+
+def test_nested_tf_per_pair_collapse_faithful():
+    """Nested tf_adjust triggers the reference's per-PAIR child collapse
+    (patterns.jl:165-186 + term_frequency_adjustment.jl:77-103): two
+    pairs with the SAME child pattern diverge by their lastname term
+    frequency, and the root EM/matches are built from the per-pair
+    virtual gammas.  The expected match set is recomputed by hand from
+    the pipeline's own EM outputs using the reference formulas."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from raylink.config import parse_config
+    from raylink.constants import MATCH1, MATCH2
+    from raylink.pipelines.linkage import run_linkage
+    from raylink.stages.patterns import pack_gammas, unpack_patterns
+
+    rng = np.random.default_rng(5)
+
+    def rand_name():
+        return "".join(rng.choice(list("ABCDEFGHIJ"), 7))
+
+    rows = []
+    # 50 distinct-firstname records sharing the COMMON lastname: their
+    # pairs agree ONLY on lastname (the tf-sensitive child pattern)
+    for i in range(50):
+        rows.append((f"c{i:03d}", rand_name(), "COMMON", 1980))
+    # 20 twin pairs: distinct firstnames, shared RARE lastname each —
+    # same child pattern, but the rare-surname tf boost flips them
+    for t in range(20):
+        for j in range(2):
+            rows.append((f"r{t:03d}_{j}", rand_name(), f"RARE{t:02d}", 1980))
+    # 15 true-duplicate twins give EM a match class
+    for t in range(15):
+        for j in range(2):
+            rows.append((f"m{t:03d}_{j}", f"TWIN{t:02d}", f"DUP{t:02d}", 1980))
+    for i in range(60):
+        rows.append(
+            (f"b{i:03d}", rand_name(),
+             "".join(rng.choice(list("KLMNOPQR"), 8)),
+             int(1900 + rng.integers(0, 99)))
+        )
+    df = pd.DataFrame(rows, columns=["id", "firstname", "lastname", "birthyear"])
+    df["city"] = "X"
+
+    config = parse_config(
+        {
+            "link_type": "dedupe_only",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {
+                        "comparisons": {
+                            "name": "name",
+                            "threshold_match": 0.85,
+                            "variables": [
+                                {"varname": "firstname", "method": "jarowinkler"},
+                                {"varname": "lastname", "method": "exact",
+                                 "tf_adjust": True,
+                                 "tf_adjustment_weight": 20.0},
+                            ],
+                        }
+                    },
+                    {"varname": "birthyear", "method": "numeric",
+                     "cut_a": 1, "cut_b": 3},
+                ],
+            },
+            "blocking": {"keys": ["city"], "cap": 100000},
+        }
+    )
+    res = run_linkage(config, ray.data.from_pandas(df), cluster=False)
+    assert res.counters.get("nested_tf_mode") == "per_pair"
+
+    # --- hand recompute of the per-pair child decision -----------------
+    sp = res.scored_pairs.to_pandas()
+    child = res.child_ems["name"]
+    pw = child.patterns_w
+    keys = pw["pattern_key"].to_numpy(np.int64)
+    o = np.argsort(keys)
+    keys_s = keys[o]
+    w_s = pw["weights"].to_numpy(np.float64)[o]
+    cnts = pw["counts"].to_numpy(np.float64)[o]
+    prior = np.log(child.p_m / child.p_u)
+    n_comp = res.em.number_of_comparisons
+    gam_tbl = unpack_patterns(keys_s, 2)
+    uv = {v: float(cnts[gam_tbl[:, 1] == v].sum()) / n_comp for v in (1, 2)}
+    nk = pack_gammas(
+        [sp["gamma_firstname"].to_numpy(), sp["gamma_lastname"].to_numpy()]
+    )
+    w = prior + w_s[np.searchsorted(keys_s, nk)]
+    g_ln = sp["gamma_lastname"].to_numpy()
+    agree = (g_ln == MATCH1) | (g_ln == MATCH2)
+    denom = (
+        sp["tf_lastname_a"].to_numpy(np.float64)
+        + sp["tf_lastname_b"].to_numpy(np.float64)
+    ) / 2
+    uvv = np.where(g_ln == MATCH2, uv[2], uv[1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        adj = np.where(agree, np.log(uvv / denom) * 20.0, 0.0)
+    zeta = 1 / (1 + np.exp(-(w + adj)))
+    vg = np.where(zeta >= 0.85, 2, 0).astype(np.uint8)
+
+    # the planted divergence: among lastname-only-agree pairs, EXACTLY the
+    # 20 rare-lastname twins flip to match while the 1200+ common-lastname
+    # pairs with the SAME child pattern stay nonmatch
+    ln_only = (sp["gamma_firstname"].to_numpy() == 0) & (g_ln == 2)
+    assert int((vg[ln_only] == 2).sum()) == 20
+    assert int((vg[ln_only] == 0).sum()) > 1000
+
+    # expected matches from per-pair root keys + the pipeline's root EM
+    rk = pack_gammas([vg, sp["gamma_birthyear"].to_numpy()])
+    rpw = res.leaf_patterns  # root-keyed in nested mode
+    ro = np.argsort(rpw["pattern_key"].to_numpy(np.int64))
+    rk_s = rpw["pattern_key"].to_numpy(np.int64)[ro]
+    zeta_root = rpw["zeta_j"].to_numpy(np.float64)[ro]
+    wraw_root = rpw["weights_raw"].to_numpy(np.float64)[ro]
+    rpos = np.searchsorted(rk_s, rk)
+    ok = (zeta_root[rpos] >= 0.85) & (wraw_root[rpos] <= 1e10)
+    expect = set(map(tuple, sp.loc[ok, ["id_a", "id_b"]].to_numpy()))
+    m = res.matches.to_pandas()
+    got = set(map(tuple, m[["id_a", "id_b"]].to_numpy()))
+    assert expect == got
+    # rare-lastname twins are matched; matches carry the ROOT pattern key
+    for t in range(20):
+        assert (f"r{t:03d}_0", f"r{t:03d}_1") in got
+    mk = dict(zip(zip(sp["id_a"], sp["id_b"]), rk))
+    assert all(mk[(r.id_a, r.id_b)] == r.pattern_key for r in m.itertuples())
