@@ -66,6 +66,12 @@ class VarConfig:
     tf_adjust: bool = False
     tf_adjustment_weight: float = 1.0
     tf_minimum_u_value: float = 0.001
+    # reproduce gammaCKfuzzy.jl's 16-codeunit truncation (the reference's
+    # bit-parallel JW compares only the first 16 codeunits of each string,
+    # gammaCKfuzzy.jl:29,215).  Off by default — truncation changes scores
+    # on long fields; turn on for bit-exact parity with the fuzzy kernel.
+    # ASCII assumption as in the reference (codeunits == characters).
+    fuzzy_truncate: bool = False
 
     # resolved canonical kernel: exact | numeric | string | token_lv
     kernel: str = field(init=False, default="")
@@ -209,6 +215,7 @@ _VAR_KEYS = {
     "tf_adjust",
     "tf_adjustment_weight",
     "tf_minimum_u_value",
+    "fuzzy_truncate",
 }
 
 

@@ -220,6 +220,12 @@ def _build_gamma_luts(
         if v.upper:
             vals_a = np.array([s.upper() for s in vals_a], dtype=object)
             vals_b = np.array([s.upper() for s in vals_b], dtype=object)
+        if getattr(v, "fuzzy_truncate", False):
+            # gammaCKfuzzy.jl's 16-codeunit window, applied once per pool
+            # value (the unique-value economy makes this O(pool), not
+            # O(pairs))
+            vals_a = np.array([s[:16] for s in vals_a], dtype=object)
+            vals_b = np.array([s[:16] for s in vals_b], dtype=object)
         if v.distmethod == "jw":
             # encode each pool ONCE; every task reuses the code matrices
             # and char bitmasks (bound-pruned grid kernel) — zero per-pair

@@ -84,6 +84,12 @@ class PairScorer:
 
             a = pd.Series(a, dtype="object").str.upper().to_numpy()
             b = pd.Series(b, dtype="object").str.upper().to_numpy()
+        if v.kernel == "string" and v.fuzzy_truncate:
+            # gammaCKfuzzy.jl's 16-codeunit window (gammaCKfuzzy.jl:29,215)
+            import pandas as pd
+
+            a = pd.Series(a, dtype="object").str.slice(stop=16).to_numpy()
+            b = pd.Series(b, dtype="object").str.slice(stop=16).to_numpy()
         if v.kernel == "exact":
             return gamma_exact(a, b)
         if v.kernel == "numeric":

@@ -154,3 +154,59 @@ def test_jw_grid_matches_scalar():
             # above the prune cut the value is EXACT, not a bound
             if t >= 0.8795:
                 assert sims[i, j] == pytest.approx(t, abs=1e-12)
+
+
+def test_pooled_fuzzy_truncate_matches_row_engine():
+    """The fuzzy_truncate flag (gammaCKfuzzy.jl 16-codeunit window) takes
+    the same effect in both engines: long names differing only past
+    position 16 become exact agreements, and the two engines' histograms
+    stay identical."""
+    a, b = make_ref_benchmark_tables(300, 200, seed=17)
+    # plant long strings whose difference is beyond 16 codeunits
+    a = a.copy()
+    b = b.copy()
+    a.loc[a.index[:30], "STREET_NAME"] = "VERYLONGSTREETNAME_ALPHA"
+    b.loc[b.index[:20], "STREET_NAME"] = "VERYLONGSTREETNAME_OMEGA"
+    cfg = parse_config(
+        {
+            "link_type": "link_only",
+            "idvar": ["TV_ID", "TS_ID"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.88,
+                "variables": [
+                    {"varname": "FIRST_NAME", "method": "jarowinkler"},
+                    {"varname": "MIDDLE_NAME", "method": "exact"},
+                    {"varname": "STREET_NAME", "method": "jarowinkler",
+                     "fuzzy_truncate": True},
+                ],
+            },
+            "blocking": {"cap": 256},
+        }
+    )
+    da, db = ray.data.from_pandas(a), ray.data.from_pandas(b)
+    res_row = link_records(da, db, cfg, block_keys=["MIDDLE_NAME"])
+    res_pool = link_records_pooled(da, db, cfg, block_keys=["MIDDLE_NAME"])
+    assert _hist_of(res_row).round(6).equals(_hist_of(res_pool).round(6))
+    # and truncation is actually in effect: the same data without the
+    # flag produces a different histogram (the planted long pairs no
+    # longer reach exact agreement)
+    hist_trunc = _hist_of(res_row)
+    cfg_off = parse_config(
+        {
+            "link_type": "link_only",
+            "idvar": ["TV_ID", "TS_ID"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.88,
+                "variables": [
+                    {"varname": "FIRST_NAME", "method": "jarowinkler"},
+                    {"varname": "MIDDLE_NAME", "method": "exact"},
+                    {"varname": "STREET_NAME", "method": "jarowinkler"},
+                ],
+            },
+            "blocking": {"cap": 256},
+        }
+    )
+    res_off = link_records(da, db, cfg_off, block_keys=["MIDDLE_NAME"])
+    assert not _hist_of(res_off).round(6).equals(hist_trunc)

@@ -104,3 +104,46 @@ def test_similarity_pairs_lv_batch_matches_scalar():
     # cache round-trip: second call served from cache, same values
     out2 = sd.similarity_pairs(a, b, method="lv", cache=cache)
     assert np.allclose(out[:201], out2[:201])
+
+
+def test_fuzzy_truncate_16_codeunits():
+    """The gammaCKfuzzy.jl 16-codeunit truncation flag: long strings that
+    differ only beyond position 16 score as exact matches when the flag is
+    on, and keep their true (lower) similarity when off (the default)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raylink.config import VarConfig
+    from raylink.stages.scoring import PairScorer
+
+    a_val = "ABCDEFGHIJKLMNOP" + "XXXXXXXX"   # identical first 16
+    b_val = "ABCDEFGHIJKLMNOP" + "YYYYYYYY"   # divergent tail
+    batch = pa.table(
+        {
+            "id_a": pa.array([1], type=pa.int64()),
+            "id_b": pa.array([2], type=pa.int64()),
+            "s_a": pa.array([a_val]),
+            "s_b": pa.array([b_val]),
+        }
+    )
+    v_off = VarConfig(name="s", method="jarowinkler")
+    v_on = VarConfig(name="s", method="jarowinkler", fuzzy_truncate=True)
+    g_off = PairScorer(variables=[v_off])(batch)
+    g_on = PairScorer(variables=[v_on])(batch)
+    # truncated: first-16 equality -> exact agreement (gamma 2)
+    assert g_on.column("gamma_s").to_pylist() == [2]
+    # untruncated: the divergent tails keep JW below cut_a
+    assert g_off.column("gamma_s").to_pylist()[0] < 2
+    # short strings are unaffected by the flag
+    short = pa.table(
+        {
+            "id_a": pa.array([1], type=pa.int64()),
+            "id_b": pa.array([2], type=pa.int64()),
+            "s_a": pa.array(["MARTHA"]),
+            "s_b": pa.array(["MARHTA"]),
+        }
+    )
+    assert (
+        PairScorer(variables=[v_on])(short).column("gamma_s").to_pylist()
+        == PairScorer(variables=[v_off])(short).column("gamma_s").to_pylist()
+    )
