@@ -1390,6 +1390,15 @@ def _q_rank_docs(sf_dir: str):
     ).select_columns(["doc_id", "lang", "pct_rank_e6"])
 
 
+def _q_sample_docs_k(sf_dir: str):
+    """Exact-k global uniform sample (deterministic reservoir-sampling
+    equivalent): the 50 docs with the smallest hash rank."""
+    from raylink.ops.sample import global_sample_k
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    return global_sample_k(docs, "doc_id", k=50, seed=9)
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1509,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "pca_embeddings": _q_pca_embeddings,
         "rank_docs": _q_rank_docs,
+        "sample_docs_k": _q_sample_docs_k,
     }
 
 
@@ -2058,6 +2068,11 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY lang ORDER BY n_chars
                    ) * 1000000 + 0.5)::BIGINT AS pct_rank_e6
             FROM documents
+        """,
+        "sample_docs_k": f"""
+            SELECT doc_id, source FROM documents
+            ORDER BY {_minstd_sql("doc_id", 9)}, doc_id
+            LIMIT 50
         """,
         "split_docs": f"""
             SELECT doc_id,

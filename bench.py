@@ -182,6 +182,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "kmeans_embeddings",
         "pca_embeddings",
         "rank_docs",
+        "sample_docs_k",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

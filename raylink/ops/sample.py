@@ -41,6 +41,7 @@ __all__ = [
     "mixture_sample",
     "stratified_sample",
     "assign_splits",
+    "global_sample_k",
     "MINSTD_MOD",
 ]
 
@@ -208,3 +209,37 @@ def assign_splits(
         return out
 
     return ds.map_batches(tag, batch_format="numpy")
+
+
+def global_sample_k(
+    ds: ray.data.Dataset,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Exactly ``min(k, N)`` rows drawn uniformly from the whole dataset:
+    the ones with the smallest ``(minstd_hash(id), id)`` — the
+    deterministic equivalent of reservoir sampling (the hash is a fixed
+    pseudorandom permutation, so the k smallest hash ranks are a uniform
+    draw), with none of reservoir sampling's sequential state.
+
+    Combiner-first: every block prunes itself to its own k smallest
+    rows (one lexsort), so at most ``blocks x k`` rows reach the final
+    single-partition merge.  Equivalent SQL:
+    ``ORDER BY hash, id LIMIT k``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = list(ds.schema().names)
+
+    def prune(batch: dict[str, np.ndarray]) -> dict:
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        order = np.lexsort((ids, minstd_hash(ids, seed)))[:k]
+        return {c: np.asarray(batch[c])[order] for c in cols}
+
+    partials = ds.map_batches(prune, batch_format="numpy", batch_size=None)
+    # final merge: one task over <= blocks x k pruned rows
+    merged = partials.repartition(1).map_batches(
+        prune, batch_format="numpy", batch_size=None
+    )
+    return merged

@@ -1326,3 +1326,26 @@ def test_group_percent_rank_matches_pandas():
     expect_e6 = np.floor(expect.to_numpy() * 1_000_000 + 0.5).astype(np.int64)
     assert (out["pct_rank_e6"].to_numpy() == expect_e6).all()
     assert out.loc[out["g"] == "solo", "pct_rank_e6"].iloc[0] == 0
+
+
+def test_global_sample_k_matches_order_by_hash():
+    from raylink.ops.sample import MINSTD_MOD, global_sample_k
+
+    df = pd.DataFrame({"doc_id": np.arange(10000, dtype=np.int64)})
+    df["payload"] = df["doc_id"] * 3
+    out = (
+        global_sample_k(ray.data.from_pandas(df), "doc_id", k=100, seed=9)
+        .to_pandas()
+    )
+    assert len(out) == 100
+    h = (df["doc_id"] % MINSTD_MOD + 9) % MINSTD_MOD
+    for _ in range(3):
+        h = (h * 48271) % MINSTD_MOD
+    expect = set(
+        df.assign(h=h).sort_values(["h", "doc_id"]).head(100)["doc_id"]
+    )
+    assert set(out["doc_id"]) == expect
+    assert (out["payload"].to_numpy() == out["doc_id"].to_numpy() * 3).all()
+    # k > N returns everything
+    small = ray.data.from_pandas(df.head(7))
+    assert len(global_sample_k(small, "doc_id", k=100).to_pandas()) == 7
