@@ -1399,6 +1399,35 @@ def _q_sample_docs_k(sf_dir: str):
     return global_sample_k(docs, "doc_id", k=50, seed=9)
 
 
+def _q_lag_events(sf_dir: str):
+    """Inter-event gap per user — SQL LAG() OVER (PARTITION BY user_id
+    ORDER BY ts, event_id), epoch-microsecond int64, NULL on each user's
+    first event."""
+    from raylink.ops.lag import group_lag
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "ts", "user_id"])
+    out = group_lag(
+        ev, "user_id", ["ts", "event_id"], "ts",
+        out_prev="prev_us", out_delta="delta_us", num_partitions=16,
+    )
+    return out.select_columns(["event_id", "user_id", "prev_us", "delta_us"])
+
+
+def _q_running_sum_events(sf_dir: str):
+    """Per-user running spend — SQL SUM() OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), half-up e4 fixed
+    point so the cumulative sum is bit-identical cross-engine."""
+    from raylink.ops.lag import group_running_sum
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    )
+    out = group_running_sum(
+        ev, "user_id", ["ts", "event_id"], "value", num_partitions=16
+    )
+    return out.select_columns(["event_id", "user_id", "run_sum_e4"])
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1519,6 +1548,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca_embeddings,
         "rank_docs": _q_rank_docs,
         "sample_docs_k": _q_sample_docs_k,
+        "lag_events": _q_lag_events,
+        "running_sum_events": _q_running_sum_events,
     }
 
 
@@ -2082,6 +2113,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "lag_events": """
+            SELECT event_id, user_id,
+                   epoch_us(LAG(ts) OVER w)::BIGINT AS prev_us,
+                   (epoch_us(ts) - epoch_us(LAG(ts) OVER w))::BIGINT
+                       AS delta_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "running_sum_events": """
+            SELECT event_id, user_id,
+                   sum(floor(value * 10000 + 0.5)::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS run_sum_e4
+            FROM events
         """,
         "pivot_events": """
             SELECT user_id,

@@ -1,0 +1,153 @@
+"""Per-group ordered window functions: LAG / inter-event delta and
+running (cumulative) sum.
+
+The classic feature-engineering windows over an event stream — "time
+since this user's previous event", "user's running spend" — which the
+reference lacks entirely (it has no event operators, SURVEY.md §2.11)
+but any training-data/session pipeline needs.
+
+Scale design: one ``sort(group)`` range-partition exchange via
+``sorted_group_scan`` (raylink.stages.sortedrun), then a vectorized
+per-run scan — inside each group the window is one ``np.lexsort`` by the
+order columns plus a shifted view / ``np.cumsum``; no per-row Python, no
+``groupby().map_groups`` over interior groups (boundary groups that
+straddle block edges are repaired by the scan's tiny second pass).  The
+rows of a group never need to fit anywhere but one block — the same
+assumption every SQL window PARTITION BY makes.
+
+Ordering inside a group is re-established *inside* the group function
+(groups are small; block-level sort stability is never relied on), so
+the result is deterministic at any parallelism as long as
+``order_cols`` is a total order per group (pass a unique tiebreaker
+like the event id).
+
+Numeric exactness: LAG/delta are emitted through float64 (NaN = SQL
+NULL for each group's first row) and pinned back to int64 when the
+input is integral — exact below 2^53, plenty for epoch-microsecond
+timestamps.  The running sum uses half-up e4 fixed-point int64
+(``floor(v * 10^4 + 0.5)`` — the same expression a SQL oracle can
+state), so the cumulative sum is exactly associative and bit-identical
+cross-engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.sortedrun import sorted_group_scan
+
+__all__ = ["group_lag", "group_running_sum"]
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """Best-effort Arrow schema for a Dataset (pandas-backed inputs in
+    tests report numpy dtypes — map them)."""
+    s = ds.schema()
+    fields = []
+    for name, t in zip(s.names, s.types):
+        if not isinstance(t, pa.DataType):
+            t = pa.from_numpy_dtype(np.dtype(t))
+        fields.append(pa.field(name, t))
+    return pa.schema(fields)
+
+
+def _as_numeric(v: np.ndarray) -> tuple[np.ndarray, bool]:
+    """datetime64 -> epoch-us int64; returns (array, is_integral)."""
+    if np.issubdtype(v.dtype, np.datetime64):
+        return v.astype("datetime64[us]").astype(np.int64), True
+    if np.issubdtype(v.dtype, np.integer):
+        return v, True
+    return v, False
+
+
+def group_lag(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_prev: str = "prev",
+    out_delta: str = "delta",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Append SQL ``LAG(val) OVER (PARTITION BY group ORDER BY order_cols)``
+    (as ``out_prev``) and ``val - LAG(val)`` (as ``out_delta``); NULL on
+    each group's first row.  ``val_col`` may be int, float, or timestamp
+    (timestamps become epoch-microsecond int64)."""
+    cols = list(ds.schema().names)
+    base = _arrow_schema(ds)
+    vt = base.field(val_col).type
+    probe_integral = pa.types.is_integer(vt) or pa.types.is_timestamp(vt)
+    out_t = pa.int64() if probe_integral else pa.float64()
+    out_schema = pa.schema(
+        list(base) + [pa.field(out_prev, out_t), pa.field(out_delta, out_t)]
+    )
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        idx = np.lexsort(
+            tuple(np.asarray(batch[c]) for c in reversed(order_cols))
+        )
+        out = {c: np.asarray(batch[c])[idx] for c in cols}
+        v, _ = _as_numeric(out[val_col])
+        vf = v.astype(np.float64)
+        prev = np.empty(len(vf), dtype=np.float64)
+        prev[0] = np.nan
+        prev[1:] = vf[:-1]
+        out[out_prev] = prev
+        out[out_delta] = vf - prev  # NaN propagates to the first row
+        return out
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        out = {c: np.asarray(batch[c])[:0] for c in cols}
+        out[out_prev] = np.empty(0, dtype=np.float64)
+        out[out_delta] = np.empty(0, dtype=np.float64)
+        return out
+
+    return sorted_group_scan(
+        ds, group_col, group_fn, empty_fn, num_partitions,
+        out_schema=out_schema,
+    )
+
+
+def group_running_sum(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "run_sum_e4",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Append the per-group running sum of ``val_col`` ordered by
+    ``order_cols`` as half-up e4 fixed-point int64 — SQL
+    ``SUM(floor(v*10000+0.5)::BIGINT) OVER (PARTITION BY group ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)``, bit-identical at any
+    parallelism because every engine sums the same integers."""
+    cols = list(ds.schema().names)
+    base = _arrow_schema(ds)
+    out_schema = pa.schema(list(base) + [pa.field(out_col, pa.int64())])
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        idx = np.lexsort(
+            tuple(np.asarray(batch[c]) for c in reversed(order_cols))
+        )
+        out = {c: np.asarray(batch[c])[idx] for c in cols}
+        v, integral = _as_numeric(out[val_col])
+        fixed = (
+            v.astype(np.int64) * 10_000
+            if integral
+            else np.floor(v.astype(np.float64) * 10_000 + 0.5).astype(np.int64)
+        )
+        out[out_col] = np.cumsum(fixed)
+        return out
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        out = {c: np.asarray(batch[c])[:0] for c in cols}
+        out[out_col] = np.empty(0, dtype=np.int64)
+        return out
+
+    return sorted_group_scan(
+        ds, group_col, group_fn, empty_fn, num_partitions,
+        out_schema=out_schema,
+    )

@@ -1349,3 +1349,83 @@ def test_global_sample_k_matches_order_by_hash():
     # k > N returns everything
     small = ray.data.from_pandas(df.head(7))
     assert len(global_sample_k(small, "doc_id", k=100).to_pandas()) == 7
+
+
+def test_group_lag_matches_pandas_shift():
+    from raylink.ops.lag import group_lag
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 500, n),
+            "ts": rng.integers(0, 10**9, n).astype("datetime64[us]"),
+            "eid": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = (
+        group_lag(
+            ray.data.from_pandas(df).repartition(8),
+            "uid", ["ts", "eid"], "ts",
+            out_prev="prev_us", out_delta="delta_us", num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["uid", "ts", "eid"]).copy()
+    exp["prev_us"] = exp.groupby("uid")["ts"].shift(1).astype("datetime64[us]")
+    exp = exp.sort_values("eid").reset_index(drop=True)
+    exp_prev = exp["prev_us"].astype("int64").where(exp["prev_us"].notna())
+    got_prev = out["prev_us"].astype("Int64").astype("float64")
+    assert np.allclose(got_prev.fillna(-1), exp_prev.fillna(-1))
+    got_delta = out["delta_us"].astype("float64")
+    exp_delta = exp["ts"].astype("int64") - exp_prev
+    assert np.allclose(got_delta.fillna(-1), exp_delta.fillna(-1))
+    # exactly one null per group
+    assert out["prev_us"].isna().sum() == df["uid"].nunique()
+
+
+def test_group_running_sum_matches_pandas_cumsum():
+    from raylink.ops.lag import group_running_sum
+
+    rng = np.random.default_rng(4)
+    n = 15000
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 300, n),
+            "ord": rng.permutation(n).astype(np.int64),
+            "val": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+    out = (
+        group_running_sum(
+            ray.data.from_pandas(df).repartition(6),
+            "uid", ["ord"], "val", num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["uid", "ord"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["uid", "ord"]).reset_index(drop=True)
+    fixed = np.floor(exp["val"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+    exp["run_sum_e4"] = pd.Series(fixed).groupby(exp["uid"]).cumsum()
+    assert (out["run_sum_e4"].to_numpy() == exp["run_sum_e4"].to_numpy()).all()
+    # integral val path: sums scale by 1e4 exactly
+    df2 = df.assign(val=np.arange(n, dtype=np.int64))
+    out2 = (
+        group_running_sum(
+            ray.data.from_pandas(df2), "uid", ["ord"], "val", num_partitions=4
+        )
+        .to_pandas()
+        .sort_values(["uid", "ord"])["run_sum_e4"]
+        .to_numpy()
+    )
+    exp2 = (
+        df2.sort_values(["uid", "ord"])
+        .groupby("uid")["val"]
+        .cumsum()
+        .to_numpy()
+        * 10_000
+    )
+    assert (out2 == exp2).all()
