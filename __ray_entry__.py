@@ -1428,6 +1428,62 @@ def _q_running_sum_events(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "run_sum_e4"])
 
 
+def _q_rolling_sum_events(sf_dir: str):
+    """Per-user 5-event sliding spend — SQL SUM() OVER (... ROWS BETWEEN
+    4 PRECEDING AND CURRENT ROW), half-up e4 fixed point."""
+    from raylink.ops.lag import group_rolling_sum
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    )
+    out = group_rolling_sum(
+        ev, "user_id", ["ts", "event_id"], "value", window=5,
+        num_partitions=16,
+    )
+    return out.select_columns(["event_id", "user_id", "roll_sum_e4"])
+
+
+def _q_suppliers_by_region(sf_dir: str):
+    """Two chained broadcast joins (supplier ⋈ nation ⋈ region — both dim
+    tables ray.put once, zero shuffle on the fact side) + aggregate."""
+    from ray.data.aggregate import Count, Sum
+    from raylink.ops.joins import broadcast_join
+
+    sup = _read(sf_dir, "supplier").select_columns(
+        ["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+    nat = _read(sf_dir, "nation").select_columns(["n_nationkey", "n_regionkey"])
+    reg = _read(sf_dir, "region").select_columns(["r_regionkey", "r_name"])
+    j = broadcast_join(sup, nat, on="s_nationkey", right_on="n_nationkey")
+    j = broadcast_join(j, reg, on="n_regionkey", right_on="r_regionkey")
+
+    def fixed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": batch["r_name"],
+                "acct_c": np.floor(
+                    batch["s_acctbal"].to_numpy(np.float64) * 100 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    agg = (
+        j.map_batches(fixed, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("acct_c", alias_name="acctbal_c2"),
+        )
+    )
+
+    def pin(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_suppliers"] = batch["n_suppliers"].astype(np.int64)
+        batch["acctbal_c2"] = batch["acctbal_c2"].astype(np.int64)
+        return batch
+
+    return agg.map_batches(pin, batch_format="pandas")
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1550,6 +1606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_k": _q_sample_docs_k,
         "lag_events": _q_lag_events,
         "running_sum_events": _q_running_sum_events,
+        "rolling_sum_events": _q_rolling_sum_events,
+        "suppliers_by_region": _q_suppliers_by_region,
     }
 
 
@@ -2129,6 +2187,23 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING
                    )::BIGINT AS run_sum_e4
             FROM events
+        """,
+        "rolling_sum_events": """
+            SELECT event_id, user_id,
+                   sum(floor(value * 10000 + 0.5)::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   )::BIGINT AS roll_sum_e4
+            FROM events
+        """,
+        "suppliers_by_region": """
+            SELECT r_name, count(*)::BIGINT AS n_suppliers,
+                   sum(floor(s_acctbal * 100 + 0.5)::BIGINT)::BIGINT
+                       AS acctbal_c2
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "pivot_events": """
             SELECT user_id,

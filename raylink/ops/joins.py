@@ -1,0 +1,96 @@
+"""Broadcast equi-join: map-only dimension-table enrichment.
+
+Ray Data's native ``Dataset.join`` is a hash-shuffle join — both sides
+are repartitioned by key, an all-to-all exchange of every row.  That is
+the right plan for big⋈big, but the overwhelmingly common analytic join
+is big-fact ⋈ small-dimension (orders⋈customer-segment, docs⋈source
+metadata, events⋈user attributes).  There the classic distributed plan
+is a **broadcast join**: materialize the small side once, ``ray.put`` it
+into the object store, and merge each fact batch against it inside
+``map_batches`` — zero shuffle, the fact table streams straight through,
+and every worker on every node reads the one shared copy (Ray's object
+store replicates it per node, not per task).
+
+Semantics are SQL ``INNER`` / ``LEFT OUTER JOIN`` on one equi-key:
+
+- duplicate right keys multiply left rows (true join, not a lookup);
+- NULL keys never match (right null-key rows are dropped up front, so a
+  null left key gets no partner — dropped under inner, null-padded
+  under left — exactly SQL's behaviour, unlike raw ``pd.merge`` which
+  treats NaN == NaN);
+- overlapping non-key column names on the right get ``suffix``.
+
+The small side must actually be small: ``broadcast_limit`` guards the
+driver materialization and the error message points at Ray's native
+shuffle join for the big⋈big case.  At 100 TB the fact side never
+materializes anywhere — each block is merged and released by the
+streaming executor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+__all__ = ["broadcast_join"]
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset | pd.DataFrame,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Join ``left`` (streaming, any size) with a small ``right`` side
+    broadcast once via ``ray.put``.  ``how`` is ``"inner"`` or
+    ``"left"``; the join key keeps ``left``'s column name."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    rkey = right_on or on
+
+    if isinstance(right, ray.data.Dataset):
+        n_right = right.count()
+        if n_right > broadcast_limit:
+            raise ValueError(
+                f"right side has {n_right} rows > broadcast_limit="
+                f"{broadcast_limit}; use Dataset.join (hash-shuffle) for "
+                "big-big joins"
+            )
+        rdf = right.to_pandas()
+    else:
+        rdf = right
+        if len(rdf) > broadcast_limit:
+            raise ValueError(
+                f"right side has {len(rdf)} rows > broadcast_limit="
+                f"{broadcast_limit}"
+            )
+    # SQL join-key semantics: null right keys can never match
+    rdf = rdf[rdf[rkey].notna()].copy()
+    if rkey != on:
+        # keep the LEFT key name; drop the right key after the merge
+        rdf = rdf.rename(columns={rkey: on})
+    if how == "left":
+        # unmatched rows null-pad right columns; plain int64 would decay
+        # to float64 on miss-bearing batches only, giving blocks
+        # inconsistent schemas — pin nullable Int64 once, for every block
+        for c in rdf.columns:
+            if c != on and pd.api.types.is_integer_dtype(rdf[c]):
+                rdf[c] = rdf[c].astype("Int64")
+    right_ref = ray.put(rdf)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(right_ref)
+        out = batch.merge(r, on=on, how=how, suffixes=("", suffix))
+        if how == "inner":
+            # pd.merge matches NaN == NaN; right nulls are already gone,
+            # but a null LEFT key must not survive an inner join either
+            out = out[out[on].notna()]
+        return out.reset_index(drop=True)
+
+    return left.map_batches(merge, batch_format="pandas")

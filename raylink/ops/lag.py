@@ -39,7 +39,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["group_lag", "group_running_sum"]
+__all__ = ["group_lag", "group_running_sum", "group_rolling_sum"]
 
 
 def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
@@ -140,6 +140,56 @@ def group_running_sum(
             else np.floor(v.astype(np.float64) * 10_000 + 0.5).astype(np.int64)
         )
         out[out_col] = np.cumsum(fixed)
+        return out
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        out = {c: np.asarray(batch[c])[:0] for c in cols}
+        out[out_col] = np.empty(0, dtype=np.int64)
+        return out
+
+    return sorted_group_scan(
+        ds, group_col, group_fn, empty_fn, num_partitions,
+        out_schema=out_schema,
+    )
+
+
+def group_rolling_sum(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    val_col: str,
+    window: int,
+    out_col: str = "roll_sum_e4",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Append the per-group sliding-window sum of the last ``window``
+    rows (current row inclusive) ordered by ``order_cols`` — SQL
+    ``SUM(floor(v*10000+0.5)::BIGINT) OVER (PARTITION BY group ORDER BY
+    order_cols ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` —
+    half-up e4 fixed-point int64, so exact at any parallelism.  The
+    window is a cumsum difference per group run: O(n), no per-row
+    Python, no re-summation per position."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    cols = list(ds.schema().names)
+    base = _arrow_schema(ds)
+    out_schema = pa.schema(list(base) + [pa.field(out_col, pa.int64())])
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        idx = np.lexsort(
+            tuple(np.asarray(batch[c]) for c in reversed(order_cols))
+        )
+        out = {c: np.asarray(batch[c])[idx] for c in cols}
+        v, integral = _as_numeric(out[val_col])
+        fixed = (
+            v.astype(np.int64) * 10_000
+            if integral
+            else np.floor(v.astype(np.float64) * 10_000 + 0.5).astype(np.int64)
+        )
+        c = np.cumsum(fixed)
+        roll = c.copy()
+        roll[window:] -= c[:-window]
+        out[out_col] = roll
         return out
 
     def empty_fn(batch: dict[str, np.ndarray]) -> dict:

@@ -1429,3 +1429,106 @@ def test_group_running_sum_matches_pandas_cumsum():
         * 10_000
     )
     assert (out2 == exp2).all()
+
+
+def test_group_rolling_sum_matches_pandas_rolling():
+    from raylink.ops.lag import group_rolling_sum
+
+    rng = np.random.default_rng(5)
+    n = 12000
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 250, n),
+            "ord": rng.permutation(n).astype(np.int64),
+            "val": np.round(rng.uniform(-50, 50, n), 2),
+        }
+    )
+    out = (
+        group_rolling_sum(
+            ray.data.from_pandas(df).repartition(6),
+            "uid", ["ord"], "val", window=5, num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["uid", "ord"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["uid", "ord"]).reset_index(drop=True)
+    fixed = np.floor(exp["val"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+    exp_roll = (
+        pd.Series(fixed)
+        .groupby(exp["uid"])
+        .rolling(5, min_periods=1)
+        .sum()
+        .reset_index(drop=True)
+        .astype(np.int64)
+        .to_numpy()
+    )
+    assert (out["roll_sum_e4"].to_numpy() == exp_roll).all()
+    # window=1 degenerates to the value itself
+    out1 = (
+        group_rolling_sum(
+            ray.data.from_pandas(df), "uid", ["ord"], "val", window=1
+        )
+        .to_pandas()
+        .sort_values(["uid", "ord"])["roll_sum_e4"]
+        .to_numpy()
+    )
+    assert (out1 == fixed).all()
+
+
+def test_broadcast_join_inner_and_left_semantics():
+    from raylink.ops.joins import broadcast_join
+
+    left = pd.DataFrame(
+        {
+            "k": pd.array([1, 2, 2, 3, None, 5], dtype="Int64"),
+            "lv": np.arange(6, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": pd.array([2, 2, 3, None, 7], dtype="Int64"),
+            "rv": np.array([20, 21, 30, -1, 70], dtype=np.int64),
+        }
+    )
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right)
+
+    inner = (
+        broadcast_join(lds, rds, on="k", right_on="rk", how="inner")
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # duplicate right keys multiply left rows (2x2 -> 4), nulls never match
+    assert inner["lv"].tolist() == [1, 1, 2, 2, 3]
+    assert inner["rv"].tolist() == [20, 21, 20, 21, 30]
+
+    lj = (
+        broadcast_join(lds, rds, on="k", right_on="rk", how="left")
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # every left row survives; unmatched (k=1, null, 5) null-padded
+    assert len(lj) == 8
+    assert lj["rv"].isna().sum() == 3
+    assert set(lj.loc[lj["rv"].isna(), "lv"]) == {0, 4, 5}
+
+    # oracle cross-check vs DuckDB on the same frames
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute(
+        "SELECT l.k, l.lv, r.rv FROM l JOIN r ON l.k = r.rk "
+        "ORDER BY lv, rv"
+    ).df()
+    assert inner["rv"].tolist() == exp["rv"].astype(int).tolist()
+
+    # broadcast_limit guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        broadcast_join(lds, rds, on="k", right_on="rk", broadcast_limit=2)
