@@ -1484,6 +1484,20 @@ def _q_suppliers_by_region(sf_dir: str):
     return agg.map_batches(pin, batch_format="pandas")
 
 
+def _q_pack_docs(sf_dir: str):
+    """Concat-and-chunk sequence packing of documents into 2048-token
+    training sequences — distributed prefix sum + vectorized overlap
+    expansion; the layout is a pure function of (doc order, counts)."""
+    from raylink.ops.pack import pack_sequences
+    from raylink.ops.text import with_token_counts
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    counted = with_token_counts(docs).select_columns(["doc_id", "n_tokens"])
+    return pack_sequences(
+        counted, "doc_id", "n_tokens", budget=2048, num_partitions=16
+    )
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1608,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_events": _q_running_sum_events,
         "rolling_sum_events": _q_rolling_sum_events,
         "suppliers_by_region": _q_suppliers_by_region,
+        "pack_docs": _q_pack_docs,
     }
 
 
@@ -2204,6 +2219,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "pack_docs": r"""
+            WITH d AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(
+                                regexp_split_to_array(trim(text), '\s+'))
+                       END::BIGINT AS n
+                FROM documents
+            ), o AS (
+                SELECT doc_id, n,
+                       (sum(n) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n)::BIGINT AS tok_off
+                FROM d WHERE n > 0
+            ), e AS (
+                SELECT doc_id, n, tok_off,
+                       unnest(generate_series(
+                           tok_off // 2048, (tok_off + n - 1) // 2048
+                       )) AS seq_id
+                FROM o
+            )
+            SELECT doc_id, seq_id::BIGINT AS seq_id,
+                   (greatest(tok_off, seq_id * 2048)
+                        - seq_id * 2048)::BIGINT AS seq_start,
+                   (least((seq_id + 1) * 2048, tok_off + n)
+                        - greatest(tok_off, seq_id * 2048))::BIGINT AS n_tok
+            FROM e
         """,
         "pivot_events": """
             SELECT user_id,

@@ -1532,3 +1532,59 @@ def test_broadcast_join_inner_and_left_semantics():
 
     with _pytest.raises(ValueError):
         broadcast_join(lds, rds, on="k", right_on="rk", broadcast_limit=2)
+
+
+def test_pack_sequences_layout_invariants():
+    from raylink.ops.pack import pack_sequences
+
+    rng = np.random.default_rng(6)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_tokens": rng.integers(0, 900, n).astype(np.int64),
+        }
+    )
+    B = 512
+    out = (
+        pack_sequences(
+            ray.data.from_pandas(df).repartition(7),
+            "doc_id", "n_tokens", budget=B, num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+    live = df[df["n_tokens"] > 0].reset_index(drop=True)
+    # every live doc's slices sum to its token count, contiguous seq span
+    per_doc = out.groupby("doc_id")["n_tok"].sum()
+    assert (per_doc.loc[live["doc_id"]].to_numpy()
+            == live["n_tokens"].to_numpy()).all()
+    assert set(out["doc_id"]) == set(live["doc_id"])
+    # every sequence except the last is exactly full
+    fill = out.groupby("seq_id")["n_tok"].sum().sort_index()
+    assert (fill.iloc[:-1] == B).all()
+    total = int(live["n_tokens"].sum())
+    assert fill.sum() == total
+    assert fill.index.max() == (total - 1) // B
+    # slices tile each sequence without overlap: starts follow cumsum
+    for sid, g in out.sort_values(["seq_id", "seq_start"]).groupby("seq_id"):
+        ss = g["seq_start"].to_numpy()
+        nt = g["n_tok"].to_numpy()
+        assert ss[0] == 0 and (ss[1:] == np.cumsum(nt)[:-1]).all()
+    # pure-python greedy reference on a small prefix
+    small = live.head(50)
+    off = 0
+    ref = []
+    for d, t in zip(small["doc_id"], small["n_tokens"]):
+        o = off
+        while o < off + t:
+            s = (o // B)
+            hi = min((s + 1) * B, off + t)
+            ref.append((d, s, o - s * B, hi - o))
+            o = hi
+        off += t
+    got = out[out["doc_id"].isin(small["doc_id"])].sort_values(
+        ["doc_id", "seq_id"]
+    )
+    assert list(map(tuple, got.to_numpy())) == ref
