@@ -1498,6 +1498,38 @@ def _q_pack_docs(sf_dir: str):
     )
 
 
+def _q_heavy_tokens(sf_dir: str):
+    """Exact top-20 tokens via the two-pass Misra-Gries heavy-hitter
+    plan — per-block MG summaries + broadcast exact recount, certified
+    (refuses rather than guesses); no distinct-value shuffle, unlike
+    vocab_top100's wordcount plan which it must agree with."""
+    from raylink.ops.sketch import frequent_items
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+    out = frequent_items(docs, "text", k=20, capacity=8192,
+                         explode_tokens=True)
+    return out.rename(columns={"item": "token"})
+
+
+def _q_decontaminate_ngrams(sf_dir: str):
+    """Token 5-gram decontamination (GPT-3/Pile convention, stricter
+    than substring probes): probe n-grams from the 3 lowest-doc_id
+    documents, broadcast once; map-only window-equality scan."""
+    from raylink.ops.text import mark_contaminated_ngrams, ngram_set
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    probe_texts = (
+        docs.filter(lambda r: bool(str(r["text"] or "").strip()))
+        .sort("doc_id")
+        .limit(3)
+        .to_pandas()["text"]
+        .tolist()
+    )
+    probes = ngram_set(probe_texts, n=5)
+    out = mark_contaminated_ngrams(docs, probes, n=5)
+    return out.select_columns(["doc_id", "contaminated"])
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1623,6 +1655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum_events": _q_rolling_sum_events,
         "suppliers_by_region": _q_suppliers_by_region,
         "pack_docs": _q_pack_docs,
+        "heavy_tokens": _q_heavy_tokens,
+        "decontaminate_ngrams": _q_decontaminate_ngrams,
     }
 
 
@@ -2219,6 +2253,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "decontaminate_ngrams": r"""
+            WITH probes AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents WHERE trim(text) <> ''
+                ORDER BY doc_id LIMIT 3
+            ), pt AS (
+                SELECT doc_id, unnest(arr) AS w,
+                       unnest(generate_series(1, array_length(arr))) AS pos
+                FROM probes
+            ), ng AS (
+                SELECT DISTINCT w || ' ' || lead(w,1) OVER win || ' ' ||
+                       lead(w,2) OVER win || ' ' || lead(w,3) OVER win ||
+                       ' ' || lead(w,4) OVER win AS g
+                FROM pt WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+                QUALIFY lead(w,4) OVER win IS NOT NULL
+            ), d AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                       ' ' || array_to_string(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           ' ') || ' ' AS norm
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   EXISTS(SELECT 1 FROM ng
+                          WHERE contains(d.norm, ' ' || ng.g || ' '))
+                       AS contaminated
+            FROM d
+        """,
+        "heavy_tokens": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS token
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token, count(*)::BIGINT AS cnt FROM toks
+            GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
         """,
         "pack_docs": r"""
             WITH d AS (

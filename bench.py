@@ -183,6 +183,13 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "pca_embeddings",
         "rank_docs",
         "sample_docs_k",
+        "lag_events",
+        "running_sum_events",
+        "rolling_sum_events",
+        "suppliers_by_region",
+        "pack_docs",
+        "heavy_tokens",
+        "decontaminate_ngrams",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -26,7 +26,7 @@ import ray.data
 from ..functions.hashing import hash64_array
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["approx_distinct", "grouped_approx_distinct"]
+__all__ = ["approx_distinct", "grouped_approx_distinct", "frequent_items"]
 
 
 def _registers(values: np.ndarray, p: int) -> np.ndarray:
@@ -150,3 +150,129 @@ def grouped_approx_distinct(
         }
 
     return sorted_group_scan(parts, key_col, merge, empty, num_partitions)
+
+
+def _mg_reduce(items: np.ndarray, counts: np.ndarray, capacity: int):
+    """Misra-Gries reduction: shrink an (item, count) summary to at most
+    ``capacity`` entries by subtracting the (capacity+1)-th largest count
+    from every entry and dropping the non-positive ones (Agarwal et al.
+    2013's mergeable-summaries formulation).  Returns the reduced pair
+    plus the amount subtracted per surviving entry (the per-entry
+    undercount this step introduced)."""
+    if len(items) <= capacity:
+        return items, counts, 0
+    kth = np.partition(counts, len(counts) - capacity - 1)[
+        len(counts) - capacity - 1
+    ]
+    keep = counts > kth
+    return items[keep], counts[keep] - kth, int(kth)
+
+
+def frequent_items(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int,
+    capacity: int = 8192,
+    explode_tokens: bool = False,
+) -> pd.DataFrame:
+    """Exact global top-``k`` most frequent values of ``col`` WITHOUT a
+    distinct-value shuffle: the two-pass heavy-hitters plan.
+
+    Pass 1 — per-block Misra-Gries summaries of ``capacity`` entries
+    (per-block ``np.unique`` then MG reduction), merged on the driver
+    (block summaries are tiny: ≤ capacity rows each).  The merged
+    summary provably contains every item with true count > N/(capacity+1).
+    Pass 2 — the merged candidate set (≤ capacity items) is broadcast and
+    recounted EXACTLY in one map-only scan; partial counts per block sum
+    on the driver.
+
+    The result is certified: if the k-th exact candidate count does not
+    exceed the MG undercount ceiling (so an unseen item could in theory
+    beat it), a ValueError tells the caller to raise ``capacity`` —
+    never a silently-wrong answer.  ``explode_tokens=True`` treats
+    ``col`` as whitespace-tokenizable text and counts tokens.
+
+    At 100 TB: pass 1 moves capacity x n_blocks summary rows to the
+    driver (a few MB), pass 2 is map-only against a broadcast array —
+    the full (value -> count) table never exists anywhere, unlike a
+    groupby wordcount whose shuffle carries every distinct value.
+    """
+    import ray as _ray
+
+    def to_values(batch: dict[str, np.ndarray]) -> np.ndarray:
+        v = pd.Series(np.asarray(batch[col]), dtype="object").fillna("")
+        if explode_tokens:
+            toks = v.str.split().explode()
+            return toks[toks.notna()].to_numpy()
+        return v.to_numpy()
+
+    def summarize(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        vals = to_values(batch)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        items, counts, _ = _mg_reduce(uniq, cnt.astype(np.int64), capacity)
+        return {"item": items.astype(object), "cnt": counts}
+
+    # driver merge of block summaries (each <= capacity rows)
+    parts = (
+        ds.select_columns([col])
+        .map_batches(summarize, batch_format="numpy")
+        .to_pandas()
+    )
+    if parts.empty:
+        # every block's summary collapsed: no value is frequent enough to
+        # survive MG at this capacity — refuse rather than guess
+        raise ValueError(
+            f"0 candidates for top-{k}: no value exceeds the per-block MG "
+            f"floor; raise capacity (= {capacity})"
+        )
+    merged = parts.groupby("item", sort=False)["cnt"].sum()
+    items = merged.index.to_numpy(dtype=object)
+    counts = merged.to_numpy(dtype=np.int64)
+    items, counts, _ = _mg_reduce(items, counts, capacity)
+
+    # pass 2: exact recount of the candidate set (map-only, broadcast)
+    cand_ref = _ray.put(pd.Index(items))
+
+    def recount(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        vals = to_values(batch)
+        n = np.int64(len(vals))
+        cand = _ray.get(cand_ref)
+        mask = pd.Series(vals).isin(cand).to_numpy()
+        uniq, cnt = np.unique(vals[mask], return_counts=True)
+        return {
+            "item": np.concatenate((uniq.astype(object), [None])),
+            "cnt": np.concatenate((cnt.astype(np.int64), [0])),
+            "block_n": np.concatenate(
+                (np.zeros(len(uniq), dtype=np.int64), [n])
+            ),
+        }
+
+    ex = (
+        ds.select_columns([col])
+        .map_batches(recount, batch_format="numpy")
+        .to_pandas()
+    )
+    n_total = int(ex["block_n"].sum())
+    exact = (
+        ex[ex["item"].notna()].groupby("item")["cnt"].sum().sort_values(
+            ascending=False
+        )
+    )
+    if len(exact) < k:
+        raise ValueError(
+            f"only {len(exact)} candidates for top-{k}; raise capacity"
+        )
+    # certification: any non-candidate's true count <= floor(N/(cap+1))
+    ceiling = n_total // (capacity + 1)
+    out = exact.reset_index()
+    out.columns = ["item", "cnt"]
+    out = out.sort_values(
+        ["cnt", "item"], ascending=[False, True]
+    ).reset_index(drop=True)
+    kth = int(out.loc[k - 1, "cnt"])
+    if kth <= ceiling:
+        raise ValueError(
+            f"top-{k} not certified exact: k-th count {kth} <= MG ceiling "
+            f"{ceiling}; raise capacity (= {capacity})"
+        )
+    return out.head(k)

@@ -16,6 +16,8 @@ __all__ = [
     "with_fingerprints",
     "chunk_documents",
     "mark_contaminated",
+    "mark_contaminated_ngrams",
+    "ngram_set",
     "token_frequency_scores",
     "redact_text",
     "repetition_scores",
@@ -385,3 +387,64 @@ def repetition_scores(
         return pa.table({id_col: batch.column(id_col), **sig})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_set(texts, n: int) -> set[str]:
+    """All word ``n``-grams (single-space-joined) of the given texts —
+    whitespace tokenization, same normalization as
+    :func:`mark_contaminated_ngrams`'s document side.  Driver-side:
+    probe sets are eval benchmarks, small by definition."""
+    out: set[str] = set()
+    for t in texts:
+        toks = str(t or "").split()
+        for i in range(len(toks) - n + 1):
+            out.add(" ".join(toks[i : i + n]))
+    return out
+
+
+def mark_contaminated_ngrams(
+    ds: ray.data.Dataset,
+    probe_ngrams: set[str],
+    n: int,
+    text_col: str = "text",
+    out_col: str = "contaminated",
+) -> ray.data.Dataset:
+    """Benchmark decontamination by token n-gram overlap (the GPT-3 /
+    Pile convention, stricter than substring probes): a document is
+    contaminated iff ANY window of ``n`` consecutive whitespace tokens
+    equals a probe n-gram.
+
+    Scale design: the probe n-gram set is broadcast once (``ray.put``);
+    each batch tokenizes via one vectorized explode, builds every
+    in-document window with ``n-1`` shifted object-array concatenations
+    (no per-row Python), and flags via one ``isin`` — map-only, no
+    shuffle, the corpus streams through.  Windows never cross document
+    boundaries.
+    """
+    import pandas as pd
+    import ray as _ray
+
+    probe_ref = _ray.put(pd.Index(sorted(probe_ngrams)))
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("").astype(str).reset_index(drop=True)
+        e = s.str.split().explode()
+        e = e[e.notna()]
+        flat = e.to_numpy(dtype=object)
+        doc_pos = e.index.to_numpy()  # positional row of each token
+        m = len(flat)
+        flagged = np.zeros(len(batch), dtype=bool)
+        if m >= n:
+            k = m - n + 1
+            ng = flat[:k].copy()
+            for j in range(1, n):
+                ng = ng + " "
+                ng = ng + flat[j : k + j]
+            valid = doc_pos[:k] == doc_pos[n - 1 :]
+            hits = pd.Series(ng[valid]).isin(_ray.get(probe_ref)).to_numpy()
+            flagged[np.unique(doc_pos[:k][valid][hits])] = True
+        out = batch.reset_index(drop=True)
+        out[out_col] = flagged
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

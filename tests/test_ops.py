@@ -1588,3 +1588,83 @@ def test_pack_sequences_layout_invariants():
         ["doc_id", "seq_id"]
     )
     assert list(map(tuple, got.to_numpy())) == ref
+
+
+def test_frequent_items_exact_topk_certified():
+    from raylink.ops.sketch import frequent_items
+
+    rng = np.random.default_rng(7)
+    # Zipf-ish token stream: heavy head, long tail
+    vocab = np.array([f"w{i:05d}" for i in range(4000)], dtype=object)
+    probs = 1.0 / np.arange(1, 4001) ** 1.3
+    probs /= probs.sum()
+    toks = rng.choice(vocab, size=60000, p=probs)
+    # pack into "documents" of 20 tokens
+    docs = pd.DataFrame(
+        {"text": [" ".join(toks[i : i + 20]) for i in range(0, 60000, 20)]}
+    )
+    ds = ray.data.from_pandas(docs).repartition(6)
+    got = frequent_items(ds, "text", k=25, capacity=1024, explode_tokens=True)
+    exp = (
+        pd.Series(toks)
+        .value_counts()
+        .rename_axis("item")
+        .reset_index(name="cnt")
+        .sort_values(["cnt", "item"], ascending=[False, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    assert got["item"].tolist() == exp["item"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+
+    # near-uniform data with tiny capacity must refuse, not lie
+    uni = pd.DataFrame({"text": vocab})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="certified|candidates"):
+        frequent_items(
+            ray.data.from_pandas(uni), "text", k=5, capacity=16,
+            explode_tokens=True,
+        )
+
+
+def test_mark_contaminated_ngrams_window_semantics():
+    from raylink.ops.text import mark_contaminated_ngrams, ngram_set
+
+    probes = ngram_set(["the quick brown fox jumps over it"], n=5)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "xx the quick brown fox jumps yy",      # full 5-gram inside
+                "the quick brown fox nope",              # only 4 shared
+                "quick brown fox jumps over",            # another 5-gram
+                "",                                       # empty
+                "the quick",                              # too short
+                "a b the quick brown fox jumps over it", # multiple hits
+            ],
+        }
+    )
+    out = (
+        mark_contaminated_ngrams(
+            ray.data.from_pandas(docs).repartition(3), probes, n=5
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [
+        True, False, True, False, False, True,
+    ]
+    # windows never cross document boundaries: concatenating two docs
+    # whose junction spells a probe 5-gram must NOT flag either
+    half = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["z the quick brown", "fox jumps z"],
+        }
+    )
+    out2 = mark_contaminated_ngrams(
+        ray.data.from_pandas(half), probes, n=5
+    ).to_pandas()
+    assert not out2["contaminated"].any()
