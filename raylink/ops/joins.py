@@ -55,21 +55,16 @@ def broadcast_join(
     rkey = right_on or on
 
     if isinstance(right, ray.data.Dataset):
-        n_right = right.count()
-        if n_right > broadcast_limit:
-            raise ValueError(
-                f"right side has {n_right} rows > broadcast_limit="
-                f"{broadcast_limit}; use Dataset.join (hash-shuffle) for "
-                "big-big joins"
-            )
-        rdf = right.to_pandas()
+        # one execution: pull at most limit+1 rows — enough to prove the
+        # side is too big without counting (or materializing) the rest
+        rdf = right.limit(broadcast_limit + 1).to_pandas()
     else:
         rdf = right
-        if len(rdf) > broadcast_limit:
-            raise ValueError(
-                f"right side has {len(rdf)} rows > broadcast_limit="
-                f"{broadcast_limit}"
-            )
+    if len(rdf) > broadcast_limit:
+        raise ValueError(
+            f"right side exceeds broadcast_limit={broadcast_limit} rows; "
+            "use Dataset.join (hash-shuffle) for big-big joins"
+        )
     # SQL join-key semantics: null right keys can never match
     rdf = rdf[rdf[rkey].notna()].copy()
     if rkey != on:
