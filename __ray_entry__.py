@@ -1530,6 +1530,20 @@ def _q_decontaminate_ngrams(sf_dir: str):
     return out.select_columns(["doc_id", "contaminated"])
 
 
+def _q_event_transitions(sf_dir: str):
+    """Per-user Markov transition matrix of event types — session-flow
+    analysis; per-group vectorized shift + per-block partial counts,
+    driver merge bounded by |states|^2 x blocks."""
+    from raylink.ops.transitions import transition_counts
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id", "event_type"]
+    )
+    return transition_counts(
+        ev, "user_id", ["ts", "event_id"], "event_type", num_partitions=16
+    )
+
+
 def _minstd_sql(id_expr: str, seed: int) -> str:
     """The SQL twin of raylink.ops.sample.minstd_hash (3 MINSTD rounds)."""
     h = f"(({id_expr}) % 2147483647 + {seed}) % 2147483647"
@@ -1657,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": _q_pack_docs,
         "heavy_tokens": _q_heavy_tokens,
         "decontaminate_ngrams": _q_decontaminate_ngrams,
+        "event_transitions": _q_event_transitions,
     }
 
 
@@ -2253,6 +2268,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "event_transitions": """
+            WITH t AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            )
+            SELECT prev AS from_state, event_type AS to_state,
+                   count(*)::BIGINT AS n
+            FROM t WHERE prev IS NOT NULL
+            GROUP BY 1, 2
         """,
         "decontaminate_ngrams": r"""
             WITH probes AS (

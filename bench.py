@@ -190,6 +190,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "pack_docs",
         "heavy_tokens",
         "decontaminate_ngrams",
+        "event_transitions",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -1668,3 +1668,37 @@ def test_mark_contaminated_ngrams_window_semantics():
         ray.data.from_pandas(half), probes, n=5
     ).to_pandas()
     assert not out2["contaminated"].any()
+
+
+def test_transition_counts_matches_pandas_lag():
+    from raylink.ops.transitions import transition_counts
+
+    rng = np.random.default_rng(8)
+    n = 9000
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 400, n),
+            "ord": rng.permutation(n).astype(np.int64),
+            "state": rng.choice(np.array(["a", "b", "c", "d"], dtype=object), n),
+        }
+    )
+    got = transition_counts(
+        ray.data.from_pandas(df).repartition(6),
+        "uid", ["ord"], "state", num_partitions=8,
+    )
+    s = df.sort_values(["uid", "ord"])
+    prev = s.groupby("uid")["state"].shift(1)
+    exp = (
+        pd.DataFrame({"from_state": prev, "to_state": s["state"]})
+        .dropna()
+        .groupby(["from_state", "to_state"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["from_state", "to_state"])
+        .reset_index(drop=True)
+    )
+    assert got["from_state"].tolist() == exp["from_state"].tolist()
+    assert got["to_state"].tolist() == exp["to_state"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    # totals: every non-first event contributes exactly one pair
+    assert got["n"].sum() == n - df["uid"].nunique()
