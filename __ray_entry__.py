@@ -1530,6 +1530,19 @@ def _q_decontaminate_ngrams(sf_dir: str):
     return out.select_columns(["doc_id", "contaminated"])
 
 
+def _q_hopping_window_events(sf_dir: str):
+    """Per-user hopping-window (6h window, 2h hop) count/sum — each
+    event combined into its 3 windows inside the per-batch combiner, so
+    the shuffle moves per-(user, window) partials, never events."""
+    from raylink.ops.window import hopping_window_agg
+
+    ev = _read(sf_dir, "events")
+    return hopping_window_agg(
+        ev, "ts", "value", "user_id",
+        window_seconds=21600, hop_seconds=7200, num_partitions=16,
+    )
+
+
 def _q_event_transitions(sf_dir: str):
     """Per-user Markov transition matrix of event types — session-flow
     analysis; per-group vectorized shift + per-block partial counts,
@@ -1672,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens": _q_heavy_tokens,
         "decontaminate_ngrams": _q_decontaminate_ngrams,
         "event_transitions": _q_event_transitions,
+        "hopping_window_events": _q_hopping_window_events,
     }
 
 
@@ -2268,6 +2282,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "hopping_window_events": """
+            WITH e AS (
+                SELECT user_id::BIGINT AS user_id,
+                       floor(epoch(ts))::BIGINT AS s,
+                       floor(value * 10000 + 0.5)::BIGINT AS v4
+                FROM events
+            ), x AS (
+                SELECT user_id, v4,
+                       unnest(generate_series(
+                           ((s - 21600) // 7200 + 1) * 7200,
+                           (s // 7200) * 7200, 7200)) AS window_start
+                FROM e
+            )
+            SELECT user_id, window_start::BIGINT AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   sum(v4)::BIGINT AS sum_value_e4
+            FROM x GROUP BY 1, 2
         """,
         "event_transitions": """
             WITH t AS (

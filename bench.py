@@ -191,6 +191,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "heavy_tokens",
         "decontaminate_ngrams",
         "event_transitions",
+        "hopping_window_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

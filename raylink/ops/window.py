@@ -26,7 +26,7 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["tumbling_window_agg"]
+__all__ = ["tumbling_window_agg", "hopping_window_agg"]
 
 
 def _epoch_seconds(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -81,6 +81,77 @@ def tumbling_window_agg(
     partials = ds.select_columns([ts_col, value_col, group_col]).map_batches(
         partial, batch_format="pyarrow"
     )
+    return _merge_window_partials(partials, group_col, num_partitions)
+
+
+def hopping_window_agg(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    window_seconds: int,
+    hop_seconds: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-(group, window) count/sum over HOPPING (sliding) windows of
+    ``window_seconds`` advancing every ``hop_seconds`` — each event lands
+    in every window ``w ≡ 0 (mod hop)`` with ``w <= t < w + window``
+    (``window / hop`` of them).  Same fixed-point output schema as
+    :func:`tumbling_window_agg`; ``hop == window`` degenerates to it.
+
+    The window-replication factor is applied INSIDE the per-batch
+    combiner (one np.repeat before the partial groupby), so the shuffle
+    still moves per-(group, window) partials, never events x windows.
+    """
+    w = int(window_seconds)
+    h = int(hop_seconds)
+    if not (0 < h <= w):
+        raise ValueError(f"need 0 < hop <= window, got hop={h} window={w}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        secs = _epoch_seconds(batch.column(ts_col))
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        v4 = np.floor(
+            np.asarray(v, dtype=np.float64) * 10_000 + 0.5
+        ).astype(np.int64)
+        # windows containing t: starts h*k for k in (  (t-w)/h , t/h ]
+        k_min = (secs - w) // h + 1
+        k_max = secs // h
+        reps = (k_max - k_min + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(secs), dtype=np.int64), reps)
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        step = np.arange(reps.sum(), dtype=np.int64) - np.repeat(starts, reps)
+        win = (k_min[idx] + step) * h
+        df = pd.DataFrame({"g": g[idx], "w": win, "s": v4[idx]})
+        p = (
+            df.groupby(["g", "w"], sort=False, observed=True)
+            .agg(n=("s", "size"), s=("s", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                group_col: pa.array(p["g"].to_numpy(), type=pa.int64()),
+                "window_start": pa.array(p["w"].to_numpy(), type=pa.int64()),
+                "n_events": pa.array(p["n"].to_numpy(np.int64), type=pa.int64()),
+                "sum_value_e4": pa.array(p["s"].to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([ts_col, value_col, group_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return _merge_window_partials(partials, group_col, num_partitions)
+
+
+def _merge_window_partials(
+    partials: ray.data.Dataset,
+    group_col: str,
+    num_partitions: int | None,
+) -> ray.data.Dataset:
+    """Shared partial-merge: one composite-key sort, np.add.reduceat
+    interior runs, map_groups repair of the ≤2 boundary key-tuples per
+    block (see module docstring)."""
     if num_partitions is None:
         num_partitions = max(
             16, int(ray.cluster_resources().get("CPU", 8))

@@ -1702,3 +1702,73 @@ def test_transition_counts_matches_pandas_lag():
     assert got["n"].tolist() == exp["n"].tolist()
     # totals: every non-first event contributes exactly one pair
     assert got["n"].sum() == n - df["uid"].nunique()
+
+
+def test_hopping_window_agg_matches_pandas():
+    from raylink.ops.window import hopping_window_agg
+
+    rng = np.random.default_rng(9)
+    n = 8000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 200, n).astype(np.int64),
+            "ts": rng.integers(0, 100000, n).astype("datetime64[s]"),
+            "value": np.round(rng.uniform(0, 10, n), 2),
+        }
+    )
+    W, H = 600, 200
+    out = (
+        hopping_window_agg(
+            ray.data.from_pandas(df).repartition(5),
+            "ts", "value", "user_id", window_seconds=W, hop_seconds=H,
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # reference: explicit expansion
+    s = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+    rows = []
+    v4 = np.floor(df["value"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+    for uid, t, v in zip(df["user_id"], s, v4):
+        k = (t - W) // H + 1
+        while k * H <= t:
+            rows.append((uid, k * H, v))
+            k += 1
+    exp = (
+        pd.DataFrame(rows, columns=["user_id", "window_start", "v4"])
+        .groupby(["user_id", "window_start"])
+        .agg(n_events=("v4", "size"), sum_value_e4=("v4", "sum"))
+        .reset_index()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert (out["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (
+        out["sum_value_e4"].to_numpy() == exp["sum_value_e4"].to_numpy()
+    ).all()
+    # every event lands in exactly W/H windows
+    assert out["n_events"].sum() == n * (W // H)
+    # hop == window degenerates to tumbling
+    from raylink.ops.window import tumbling_window_agg
+
+    a = (
+        hopping_window_agg(
+            ray.data.from_pandas(df), "ts", "value", "user_id",
+            window_seconds=W, hop_seconds=W, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tumbling_window_agg(
+            ray.data.from_pandas(df), "ts", "value", "user_id",
+            window_seconds=W, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
