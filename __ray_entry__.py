@@ -1530,6 +1530,19 @@ def _q_decontaminate_ngrams(sf_dir: str):
     return out.select_columns(["doc_id", "contaminated"])
 
 
+def _q_supplier_simjoin(sf_dir: str):
+    """One-call fuzzy self-join: supplier-name pairs with JW >= 0.88
+    within nation blocks, emitted in e4 fixed point."""
+    from raylink.ops.simjoin import similarity_self_join
+
+    sup = _read(sf_dir, "supplier").select_columns(
+        ["s_suppkey", "s_nationkey", "s_name"]
+    )
+    return similarity_self_join(
+        sup, "s_suppkey", "s_name", ["s_nationkey"], threshold=0.88
+    )
+
+
 def _q_hopping_window_events(sf_dir: str):
     """Per-user hopping-window (6h window, 2h hop) count/sum — each
     event combined into its 3 windows inside the per-batch combiner, so
@@ -1686,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngrams": _q_decontaminate_ngrams,
         "event_transitions": _q_event_transitions,
         "hopping_window_events": _q_hopping_window_events,
+        "supplier_simjoin": _q_supplier_simjoin,
     }
 
 
@@ -2282,6 +2296,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "supplier_simjoin": """
+            SELECT a.s_suppkey::BIGINT AS id_a, b.s_suppkey::BIGINT AS id_b,
+                   floor(jaro_winkler_similarity(a.s_name, b.s_name)
+                         * 10000 + 0.5)::BIGINT AS sim_e4
+            FROM supplier a JOIN supplier b
+              ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+            WHERE a.s_name IS NOT NULL AND b.s_name IS NOT NULL
+              AND floor(jaro_winkler_similarity(a.s_name, b.s_name)
+                        * 10000 + 0.5) >= 8800
         """,
         "hopping_window_events": """
             WITH e AS (

@@ -192,6 +192,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "decontaminate_ngrams",
         "event_transitions",
         "hopping_window_events",
+        "supplier_simjoin",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

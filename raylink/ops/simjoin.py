@@ -1,0 +1,82 @@
+"""Similarity self-join: fuzzy matching as a one-call public op.
+
+"Which records have a near-identical name?" is the entry-point question
+of every dedup/linkage workflow; this op packages the repo's blocked
+pair machinery (`raylink.stages.blocking` salt planning +
+`stages.pairs` within-block pair expansion) and the pooled
+unique-pair string kernels (`functions.strdist.similarity_pairs`) into
+a single call: block → pair → score → threshold.
+
+Output is integer fixed point (``sim_e4 = floor(sim * 10^4 + 0.5)``), so
+the emitted similarity — and therefore the join result — is exactly
+comparable against a SQL engine's ``jaro_winkler_similarity`` at the
+same fixed point.
+
+Scale design: identical to the linkage pipeline's pair stage — hot
+blocks are salted into triangle cells by the same plan (`cap` bounds
+any single task's pair count), pairs never materialize outside the
+streaming scorer, and each unique string pair is scored once per batch
+(pool economy, gammaCKpar.jl:99-106's trick).  Use ``block_cols`` that
+bound block sizes; an unblocked call is a cross join and is refused by
+the salt planner's cap accounting rather than silently attempted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..config import BlockingConfig
+from ..functions.strdist import similarity_pairs
+from ..stages import blocking as bs
+from ..stages.pairs import generate_pairs_dedupe
+
+__all__ = ["similarity_self_join"]
+
+
+def similarity_self_join(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float,
+    method: str = "jw",
+    w: float = 0.1,
+    cap: int = 100_000,
+) -> ray.data.Dataset:
+    """All within-block pairs (``id_a < id_b``) whose ``method``
+    similarity on ``text_col`` reaches ``threshold``; emits
+    ``(id_a, id_b, sim_e4)`` with the threshold applied in integer
+    fixed point (``sim_e4 >= floor(threshold * 10^4 + 0.5)``)."""
+    thr_e4 = int(np.floor(threshold * 10_000 + 0.5))
+    keyed = bs.derive_block_keys(
+        ds.select_columns([id_col, *block_cols, text_col]), block_cols
+    )
+    plan, _counters = bs.plan_salts(keyed, BlockingConfig(cap=cap))
+    exp = bs.expand_pair_groups(keyed, plan, id_col, side=None)
+    pairs = generate_pairs_dedupe(exp, [text_col], id_col=id_col)
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch.column(f"{text_col}_a").to_numpy(zero_copy_only=False)
+        b = batch.column(f"{text_col}_b").to_numpy(zero_copy_only=False)
+        sims = similarity_pairs(a, b, method=method, w=w)
+        with np.errstate(invalid="ignore"):
+            e4 = np.floor(sims * 10_000 + 0.5)
+        keep = ~np.isnan(sims) & (e4 >= thr_e4)
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)).cast(
+                    pa.int64()
+                ),
+                "id_b": batch.column("id_b").filter(pa.array(keep)).cast(
+                    pa.int64()
+                ),
+                "sim_e4": pa.array(
+                    e4[keep].astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")

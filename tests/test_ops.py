@@ -1772,3 +1772,53 @@ def test_hopping_window_agg_matches_pandas():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_similarity_self_join_matches_duckdb():
+    from raylink.ops.simjoin import similarity_self_join
+
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(8, dtype=np.int64),
+            "grp": np.array([0, 0, 0, 0, 1, 1, 1, 1], dtype=np.int64),
+            "name": [
+                "martha", "marhta", "jellyfish", "smellyfish",
+                "dwayne", "duane", "completely", "different",
+            ],
+        }
+    )
+    out = (
+        similarity_self_join(
+            ray.data.from_pandas(df).repartition(3),
+            "rid", "name", ["grp"], threshold=0.80,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """
+        SELECT a.rid AS id_a, b.rid AS id_b,
+               floor(jaro_winkler_similarity(a.name, b.name) * 10000
+                     + 0.5)::BIGINT AS sim_e4
+        FROM t a JOIN t b ON a.grp = b.grp AND a.rid < b.rid
+        WHERE floor(jaro_winkler_similarity(a.name, b.name) * 10000
+                    + 0.5) >= 8000
+        ORDER BY id_a, id_b
+        """
+    ).df()
+    assert out["id_a"].tolist() == exp["id_a"].astype(int).tolist()
+    assert out["id_b"].tolist() == exp["id_b"].astype(int).tolist()
+    assert out["sim_e4"].tolist() == exp["sim_e4"].astype(int).tolist()
+    # cross-group pairs never appear even when names match exactly
+    df2 = pd.DataFrame(
+        {"rid": [0, 1], "grp": [0, 1], "name": ["same", "same"]}
+    )
+    out2 = similarity_self_join(
+        ray.data.from_pandas(df2), "rid", "name", ["grp"], threshold=0.5
+    ).to_pandas()
+    assert len(out2) == 0
