@@ -1543,6 +1543,31 @@ def _q_supplier_simjoin(sf_dir: str):
     )
 
 
+def _q_cust_supp_simjoin(sf_dir: str):
+    """Two-table fuzzy link (fastLink's dfA×dfB shape as one call):
+    customer vs supplier names with JW >= 0.80 within nation blocks."""
+    from raylink.ops.simjoin import similarity_link_join
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey", "c_name"]
+    )
+    sup = _read(sf_dir, "supplier").select_columns(
+        ["s_suppkey", "s_nationkey", "s_name"]
+    )
+
+    def rename_cust(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["c_custkey", "nkey", "name"])
+
+    def rename_sup(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["s_suppkey", "nkey", "name"])
+
+    return similarity_link_join(
+        cust.map_batches(rename_cust, batch_format="pyarrow"),
+        sup.map_batches(rename_sup, batch_format="pyarrow"),
+        "c_custkey", "s_suppkey", "name", ["nkey"], threshold=0.80,
+    )
+
+
 def _q_hopping_window_events(sf_dir: str):
     """Per-user hopping-window (6h window, 2h hop) count/sum — each
     event combined into its 3 windows inside the per-batch combiner, so
@@ -1700,6 +1725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "hopping_window_events": _q_hopping_window_events,
         "supplier_simjoin": _q_supplier_simjoin,
+        "cust_supp_simjoin": _q_cust_supp_simjoin,
     }
 
 
@@ -2306,6 +2332,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.s_name IS NOT NULL AND b.s_name IS NOT NULL
               AND floor(jaro_winkler_similarity(a.s_name, b.s_name)
                         * 10000 + 0.5) >= 8800
+        """,
+        "cust_supp_simjoin": """
+            SELECT a.c_custkey::BIGINT AS id_a, b.s_suppkey::BIGINT AS id_b,
+                   floor(jaro_winkler_similarity(a.c_name, b.s_name)
+                         * 10000 + 0.5)::BIGINT AS sim_e4
+            FROM customer a JOIN supplier b
+              ON a.c_nationkey = b.s_nationkey
+            WHERE a.c_name IS NOT NULL AND b.s_name IS NOT NULL
+              AND floor(jaro_winkler_similarity(a.c_name, b.s_name)
+                        * 10000 + 0.5) >= 8000
         """,
         "hopping_window_events": """
             WITH e AS (

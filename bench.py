@@ -193,6 +193,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "event_transitions",
         "hopping_window_events",
         "supplier_simjoin",
+        "cust_supp_simjoin",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -31,9 +31,9 @@ import ray.data
 from ..config import BlockingConfig
 from ..functions.strdist import similarity_pairs
 from ..stages import blocking as bs
-from ..stages.pairs import generate_pairs_dedupe
+from ..stages.pairs import generate_pairs_dedupe, generate_pairs_link
 
-__all__ = ["similarity_self_join"]
+__all__ = ["similarity_self_join", "similarity_link_join"]
 
 
 def similarity_self_join(
@@ -58,6 +58,12 @@ def similarity_self_join(
     exp = bs.expand_pair_groups(keyed, plan, id_col, side=None)
     pairs = generate_pairs_dedupe(exp, [text_col], id_col=id_col)
 
+    return pairs.map_batches(
+        _make_scorer(text_col, thr_e4, method, w), batch_format="pyarrow"
+    )
+
+
+def _make_scorer(text_col: str, thr_e4: int, method: str, w: float):
     def score(batch: pa.Table) -> pa.Table:
         a = batch.column(f"{text_col}_a").to_numpy(zero_copy_only=False)
         b = batch.column(f"{text_col}_b").to_numpy(zero_copy_only=False)
@@ -79,4 +85,62 @@ def similarity_self_join(
             }
         )
 
-    return pairs.map_batches(score, batch_format="pyarrow")
+    return score
+
+
+def similarity_link_join(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    id_col_a: str,
+    id_col_b: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float,
+    method: str = "jw",
+    w: float = 0.1,
+    cap: int = 100_000,
+) -> ray.data.Dataset:
+    """Two-table (A×B) variant: all within-block cross pairs whose
+    similarity on ``text_col`` reaches ``threshold`` — the reference's
+    core linking shape (fastLink dfA×dfB) as one call.  Both tables
+    must carry ``block_cols`` and ``text_col``; the salt plan sees the
+    COMBINED block populations so a block hot on either side is split.
+    Emits ``(id_a, id_b, sim_e4)`` (A-side id first)."""
+    thr_e4 = int(np.floor(threshold * 10_000 + 0.5))
+    ka = bs.derive_block_keys(
+        ds_a.select_columns([id_col_a, *block_cols, text_col]), block_cols
+    )
+    kb = bs.derive_block_keys(
+        ds_b.select_columns([id_col_b, *block_cols, text_col]), block_cols
+    )
+    both = ka.select_columns(["block_key"]).union(
+        kb.select_columns(["block_key"])
+    )
+    plan, _counters = bs.plan_salts(both, BlockingConfig(cap=cap))
+
+    def tag(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("_side", pa.array([side] * len(b)))
+
+        return fn
+
+    def rename_to(old: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [("_pair_id" if c == old else c) for c in b.column_names]
+            )
+
+        return fn
+
+    ea = bs.expand_pair_groups(
+        ka.map_batches(tag("a"), batch_format="pyarrow"),
+        plan, id_col_a, side="a",
+    ).map_batches(rename_to(id_col_a), batch_format="pyarrow")
+    eb = bs.expand_pair_groups(
+        kb.map_batches(tag("b"), batch_format="pyarrow"),
+        plan, id_col_b, side="b",
+    ).map_batches(rename_to(id_col_b), batch_format="pyarrow")
+    pairs = generate_pairs_link(ea.union(eb), [text_col], id_col="_pair_id")
+    return pairs.map_batches(
+        _make_scorer(text_col, thr_e4, method, w), batch_format="pyarrow"
+    )

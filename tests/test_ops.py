@@ -1822,3 +1822,51 @@ def test_similarity_self_join_matches_duckdb():
         ray.data.from_pandas(df2), "rid", "name", ["grp"], threshold=0.5
     ).to_pandas()
     assert len(out2) == 0
+
+
+def test_similarity_link_join_matches_duckdb():
+    from raylink.ops.simjoin import similarity_link_join
+
+    a = pd.DataFrame(
+        {
+            "aid": np.arange(5, dtype=np.int64),
+            "grp": np.array([0, 0, 1, 1, 1], dtype=np.int64),
+            "name": ["martha", "dwayne", "jones", "unrelated", "jellyfish"],
+        }
+    )
+    b = pd.DataFrame(
+        {
+            "bid": np.arange(100, 104, dtype=np.int64),
+            "grp": np.array([0, 0, 1, 1], dtype=np.int64),
+            "name": ["marhta", "duane", "joness", "smellyfish"],
+        }
+    )
+    out = (
+        similarity_link_join(
+            ray.data.from_pandas(a).repartition(2),
+            ray.data.from_pandas(b),
+            "aid", "bid", "name", ["grp"], threshold=0.80,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    exp = con.execute(
+        """
+        SELECT a.aid AS id_a, b.bid AS id_b,
+               floor(jaro_winkler_similarity(a.name, b.name) * 10000
+                     + 0.5)::BIGINT AS sim_e4
+        FROM a JOIN b ON a.grp = b.grp
+        WHERE floor(jaro_winkler_similarity(a.name, b.name) * 10000
+                    + 0.5) >= 8000
+        ORDER BY id_a, id_b
+        """
+    ).df()
+    assert out["id_a"].tolist() == exp["id_a"].astype(int).tolist()
+    assert out["id_b"].tolist() == exp["id_b"].astype(int).tolist()
+    assert out["sim_e4"].tolist() == exp["sim_e4"].astype(int).tolist()
