@@ -1870,3 +1870,76 @@ def test_similarity_link_join_matches_duckdb():
     assert out["id_a"].tolist() == exp["id_a"].astype(int).tolist()
     assert out["id_b"].tolist() == exp["id_b"].astype(int).tolist()
     assert out["sim_e4"].tolist() == exp["sim_e4"].astype(int).tolist()
+
+
+@pytest.mark.parametrize("budget", [1, 7, 64, 1000])
+def test_pack_sequences_property_sweep(budget):
+    from raylink.ops.pack import pack_sequences
+
+    rng = np.random.default_rng(100 + budget)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_tokens": rng.integers(0, 3 * budget + 2, n).astype(np.int64),
+        }
+    )
+    out = (
+        pack_sequences(
+            ray.data.from_pandas(df).repartition(4),
+            "doc_id", "n_tokens", budget=budget, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["seq_id", "seq_start"])
+        .reset_index(drop=True)
+    )
+    total = int(df.loc[df["n_tokens"] > 0, "n_tokens"].sum())
+    fill = out.groupby("seq_id")["n_tok"].sum().sort_index()
+    if total:
+        assert (fill.iloc[:-1] == budget).all()
+        assert fill.sum() == total
+        # sequential layout: global offsets reconstruct exactly
+        out["g0"] = out["seq_id"] * budget + out["seq_start"]
+        per_doc = out.sort_values(["doc_id", "seq_id"]).groupby("doc_id")
+        starts = per_doc["g0"].first()
+        lens = per_doc["n_tok"].sum()
+        live = df[df["n_tokens"] > 0].set_index("doc_id")
+        exp_start = live["n_tokens"].cumsum() - live["n_tokens"]
+        assert (starts.loc[live.index] == exp_start).all()
+        assert (lens.loc[live.index] == live["n_tokens"]).all()
+
+
+@pytest.mark.parametrize("window", [1, 2, 9, 50])
+def test_group_rolling_sum_property_sweep(window):
+    from raylink.ops.lag import group_rolling_sum
+
+    rng = np.random.default_rng(200 + window)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 60, n),
+            "ord": rng.permutation(n).astype(np.int64),
+            "val": np.round(rng.uniform(-5, 5, n), 3),
+        }
+    )
+    out = (
+        group_rolling_sum(
+            ray.data.from_pandas(df).repartition(3),
+            "uid", ["ord"], "val", window=window, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["uid", "ord"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["uid", "ord"]).reset_index(drop=True)
+    fixed = np.floor(exp["val"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+    ref = (
+        pd.Series(fixed)
+        .groupby(exp["uid"])
+        .rolling(window, min_periods=1)
+        .sum()
+        .reset_index(drop=True)
+        .astype(np.int64)
+        .to_numpy()
+    )
+    assert (out["roll_sum_e4"].to_numpy() == ref).all()
