@@ -1568,6 +1568,20 @@ def _q_cust_supp_simjoin(sf_dir: str):
     )
 
 
+def _q_new_vs_corpus_neardup(sf_dir: str):
+    """Cross-corpus near-dedup (incremental-ingest shape): docs with
+    doc_id >= 250 checked against the 'existing corpus' doc_id < 250.
+    Approximate by construction (rows-only; sibling minhash_dedup
+    carries the est-Jaccard MAE grade)."""
+    from raylink.ops.dedup import minhash_lsh_dedup_cross
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    new = docs.filter(expr="doc_id >= 250")
+    corpus = docs.filter(expr="doc_id < 250")
+    return minhash_lsh_dedup_cross(new, corpus, "text", "doc_id",
+                                   threshold=0.6)
+
+
 def _q_hopping_window_events(sf_dir: str):
     """Per-user hopping-window (6h window, 2h hop) count/sum — each
     event combined into its 3 windows inside the per-batch combiner, so
@@ -1726,6 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": _q_hopping_window_events,
         "supplier_simjoin": _q_supplier_simjoin,
         "cust_supp_simjoin": _q_cust_supp_simjoin,
+        "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
     }
 
 

@@ -194,6 +194,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "hopping_window_events",
         "supplier_simjoin",
         "cust_supp_simjoin",
+        "new_vs_corpus_neardup",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -39,6 +39,7 @@ __all__ = [
     "exact_dedup_edges",
     "minhash_signatures",
     "minhash_lsh_dedup",
+    "minhash_lsh_dedup_cross",
     "simhash_signatures",
     "simhash_dedup",
     "ngram_jaccard_dedup",
@@ -396,6 +397,137 @@ def minhash_lsh_dedup(
 
     return sorted_group_scan(
         banded.select_columns([id_col, "band", "minhash", "bucket_key"]),
+        "bucket_key",
+        gen,
+        _empty,
+        num_partitions=_default_partitions(),
+    )
+
+
+def minhash_lsh_dedup_cross(
+    new_ds: ray.data.Dataset,
+    corpus_ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    seed: int = 4242,
+    bucket_cap: int = 2000,
+) -> ray.data.Dataset:
+    """Cross-corpus near-dedup: which NEW documents near-duplicate an
+    EXISTING corpus — the incremental-ingest shape (don't re-admit
+    content the training set already has).  Same banded LSH plan as
+    :func:`minhash_lsh_dedup`, but the two sides are tagged and only
+    new×corpus pairs are generated inside each bucket (within-side
+    pairs are the self-dedup's job).  Returns
+    ``(id_new, id_corpus, est_jaccard)`` with first-band-wins cross-band
+    dedup, so no distinct-pairs shuffle afterwards.
+
+    Scale: the corpus side contributes signature rows only — it is
+    never re-shingled per new batch, and neither side materializes
+    beyond its (id, band, signature) rows entering the one sorted scan.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+
+    def banded_side(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
+        sigs = minhash_signatures(
+            ds, text_col, id_col,
+            num_perm=num_perm, shingle_k=shingle_k, seed=seed,
+        )
+
+        def band_rows(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            blobs = batch.column("minhash").to_pylist()
+            out_id, out_band, out_hash, out_blob = [], [], [], []
+            for i, blob in enumerate(blobs):
+                sig = np.frombuffer(blob, dtype=np.uint64)
+                for b in range(bands):
+                    band = sig[b * rows : (b + 1) * rows]
+                    h = zlib.crc32(band.tobytes(), b) & 0x7FFFFFFF
+                    out_id.append(i)
+                    out_band.append(b)
+                    out_hash.append(h)
+                    out_blob.append(blob)
+            n_out = len(out_id)
+            return pa.table(
+                {
+                    id_col: ids.take(pa.array(out_id, type=pa.int64())),
+                    "band": pa.array(out_band, type=pa.int32()),
+                    "bucket_key": pa.array(
+                        [
+                            (np.int64(b) << 32) | h
+                            for b, h in zip(out_band, out_hash)
+                        ],
+                        type=pa.int64(),
+                    ),
+                    "minhash": pa.array(out_blob, type=pa.binary()),
+                    "side": pa.array(
+                        np.full(n_out, side, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        return sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    banded = banded_side(new_ds, 0).union(banded_side(corpus_ds, 1))
+
+    def _empty(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ids = np.asarray(group[id_col])
+        return {
+            "id_new": ids[:0],
+            "id_corpus": ids[:0],
+            "est_jaccard": np.zeros(0, dtype=np.float64),
+        }
+
+    def gen(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ids = np.asarray(group[id_col])
+        side = np.asarray(group["side"])
+        band = int(np.asarray(group["band"])[0])
+        # deterministic truncation: keep the bucket_cap smallest ids,
+        # preserving both sides' relative makeup under any block layout
+        order = np.argsort(ids, kind="stable")
+        if len(order) > bucket_cap:
+            order = order[:bucket_cap]
+        ids_o = ids[order]
+        side_o = side[order]
+        new_rows = np.flatnonzero(side_o == 0)
+        cor_rows = np.flatnonzero(side_o == 1)
+        if len(new_rows) == 0 or len(cor_rows) == 0:
+            return _empty(group)
+        blobs = np.asarray(group["minhash"], dtype=object)[order]
+        M = np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(
+            len(ids_o), num_perm
+        )
+        ia = np.repeat(new_rows, len(cor_rows))
+        ib = np.tile(cor_rows, len(new_rows))
+        out_a, out_b, out_est = [], [], []
+        for c0 in range(0, len(ia), 262144):
+            ca, cb = ia[c0 : c0 + 262144], ib[c0 : c0 + 262144]
+            eq = M[ca] == M[cb]
+            keep = np.ones(len(ca), dtype=bool)
+            for b2 in range(band):  # first-band-wins
+                keep &= ~eq[:, b2 * rows : (b2 + 1) * rows].all(axis=1)
+            est = eq.mean(axis=1)
+            keep &= est >= threshold
+            idx = np.flatnonzero(keep)
+            out_a.append(ids_o[ca[idx]])
+            out_b.append(ids_o[cb[idx]])
+            out_est.append(est[idx])
+        return {
+            "id_new": np.concatenate(out_a),
+            "id_corpus": np.concatenate(out_b),
+            "est_jaccard": np.concatenate(out_est),
+        }
+
+    from ..stages.sortedrun import sorted_group_scan
+
+    return sorted_group_scan(
+        banded.select_columns(
+            [id_col, "band", "minhash", "bucket_key", "side"]
+        ),
         "bucket_key",
         gen,
         _empty,

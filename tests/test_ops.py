@@ -1943,3 +1943,50 @@ def test_group_rolling_sum_property_sweep(window):
         .to_numpy()
     )
     assert (out["roll_sum_e4"].to_numpy() == ref).all()
+
+
+def test_minhash_cross_corpus_neardup():
+    from raylink.ops.dedup import minhash_lsh_dedup_cross
+
+    rng = np.random.default_rng(11)
+    words = np.array([f"tok{i}" for i in range(300)], dtype=object)
+
+    def doc(seed_words):
+        return " ".join(seed_words)
+
+    base = [doc(rng.choice(words, 40)) for _ in range(30)]
+    # corpus = originals; new = 10 perturbed near-dups + 20 fresh docs
+    corpus = pd.DataFrame(
+        {"doc_id": np.arange(1000, 1030, dtype=np.int64), "text": base}
+    )
+    near = [
+        b + " extraone" for b in base[:10]  # tiny perturbation
+    ]
+    fresh = [doc(rng.choice(words, 40)) for _ in range(20)]
+    new = pd.DataFrame(
+        {
+            "doc_id": np.arange(0, 30, dtype=np.int64),
+            "text": near + fresh,
+        }
+    )
+    out = (
+        minhash_lsh_dedup_cross(
+            ray.data.from_pandas(new).repartition(3),
+            ray.data.from_pandas(corpus).repartition(2),
+            "text", "doc_id", threshold=0.6,
+        )
+        .to_pandas()
+        .sort_values(["id_new", "id_corpus"])
+        .reset_index(drop=True)
+    )
+    # every planted near-dup is found against its corpus original
+    planted = set(zip(range(10), range(1000, 1010)))
+    got = set(zip(out["id_new"], out["id_corpus"]))
+    assert planted <= got
+    # no pair is emitted twice (first-band-wins)
+    assert len(out) == len(got)
+    # new-side ids only on the left, corpus-side only on the right
+    assert out["id_new"].max() < 1000 and out["id_corpus"].min() >= 1000
+    # estimates are high for planted pairs
+    planted_est = out[out["id_corpus"] - 1000 == out["id_new"]]["est_jaccard"]
+    assert (planted_est >= 0.6).all()
