@@ -58,6 +58,13 @@ def global_prefix_sum(
     # consumed twice (partials pass + final scan): materialize so the
     # upstream lineage doesn't execute twice
     bucketed = ds.map_batches(with_bucket, batch_format="numpy").materialize()
+    if bucketed.count() == 0:
+        # an empty materialized dataset loses its column schema, so the
+        # select/scan below would KeyError — emit the empty result now
+        return ds.map_batches(
+            lambda t: dict(t, **{out_col: np.zeros(0, dtype=np.int64)}),
+            batch_format="numpy",
+        )
 
     def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         b = batch[_BUCKET]

@@ -92,6 +92,15 @@ def transition_counts(
     parts = partials.map_batches(
         block_partial, batch_format="numpy"
     ).to_pandas()
+    if parts.empty:
+        # an all-empty dataset's to_pandas has no columns at all
+        return pd.DataFrame(
+            {
+                "from_state": pd.array([], dtype="object"),
+                "to_state": pd.array([], dtype="object"),
+                "n": pd.array([], dtype="int64"),
+            }
+        )
     merged = (
         parts.groupby(["from_state", "to_state"], sort=True)["n"]
         .sum()

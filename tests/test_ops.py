@@ -1990,3 +1990,43 @@ def test_minhash_cross_corpus_neardup():
     # estimates are high for planted pairs
     planted_est = out[out["id_corpus"] - 1000 == out["id_new"]]["est_jaccard"]
     assert (planted_est >= 0.6).all()
+
+
+def test_new_ops_empty_input():
+    """Every new op must survive a zero-row input (the all-filtered
+    partition shape at scale) with a schema-stable empty result."""
+    from raylink.ops.lag import group_lag, group_rolling_sum, group_running_sum
+    from raylink.ops.joins import broadcast_join
+    from raylink.ops.pack import pack_sequences
+    from raylink.ops.transitions import transition_counts
+
+    empty = pd.DataFrame(
+        {
+            "uid": pd.array([], dtype="int64"),
+            "ord": pd.array([], dtype="int64"),
+            "val": pd.array([], dtype="float64"),
+        }
+    )
+    ds = ray.data.from_pandas(empty)
+    assert len(group_lag(ds, "uid", ["ord"], "val", num_partitions=2).to_pandas()) == 0
+    assert len(group_running_sum(ds, "uid", ["ord"], "val", num_partitions=2).to_pandas()) == 0
+    assert len(group_rolling_sum(ds, "uid", ["ord"], "val", window=3, num_partitions=2).to_pandas()) == 0
+    edocs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "n_tokens": pd.array([], dtype="int64"),
+            }
+        )
+    )
+    assert len(pack_sequences(edocs, "doc_id", "n_tokens", budget=8, num_partitions=2).to_pandas()) == 0
+    # all-zero token counts reduce to empty after the >0 filter too
+    zdocs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                      "n_tokens": np.zeros(3, dtype=np.int64)})
+    )
+    assert len(pack_sequences(zdocs, "doc_id", "n_tokens", budget=8, num_partitions=2).to_pandas()) == 0
+    t = transition_counts(ds, "uid", ["ord"], "val", num_partitions=2)
+    assert list(t.columns) == ["from_state", "to_state", "n"] and len(t) == 0
+    bj = broadcast_join(ds, pd.DataFrame({"uid": [1], "x": [2]}), on="uid")
+    assert len(bj.to_pandas()) == 0
