@@ -2030,3 +2030,43 @@ def test_new_ops_empty_input():
     assert list(t.columns) == ["from_state", "to_state", "n"] and len(t) == 0
     bj = broadcast_join(ds, pd.DataFrame({"uid": [1], "x": [2]}), on="uid")
     assert len(bj.to_pandas()) == 0
+
+
+def test_similarity_self_join_levenshtein_method():
+    from raylink.ops.simjoin import similarity_self_join
+
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(6, dtype=np.int64),
+            "grp": np.zeros(6, dtype=np.int64),
+            "name": ["kitten", "sitting", "mitten", "banana", "bananas", "x"],
+        }
+    )
+    out = (
+        similarity_self_join(
+            ray.data.from_pandas(df), "rid", "name", ["grp"],
+            threshold=0.70, method="lv",
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """
+        SELECT a.rid AS id_a, b.rid AS id_b,
+               floor((1.0 - levenshtein(a.name, b.name)::DOUBLE
+                      / greatest(length(a.name), length(b.name), 1))
+                     * 10000 + 0.5)::BIGINT AS sim_e4
+        FROM t a JOIN t b ON a.grp = b.grp AND a.rid < b.rid
+        WHERE floor((1.0 - levenshtein(a.name, b.name)::DOUBLE
+                     / greatest(length(a.name), length(b.name), 1))
+                    * 10000 + 0.5) >= 7000
+        ORDER BY id_a, id_b
+        """
+    ).df()
+    assert out["id_a"].tolist() == exp["id_a"].astype(int).tolist()
+    assert out["sim_e4"].tolist() == exp["sim_e4"].astype(int).tolist()
