@@ -37,3 +37,28 @@ from .stages.matches import get_matches  # noqa: F401
 from .stages.pairs import generate_pairs_dedupe, generate_pairs_link  # noqa: F401
 from .stages.patterns import pack_gammas, pattern_histogram, unpack_patterns  # noqa: F401
 from .stages.scoring import PairScorer, score_pairs  # noqa: F401
+
+# training-data ops layer (each standalone on Datasets; see SURVEY.md §2
+# round-2 rows and README for the full catalogue)
+from .ops.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_lsh_dedup_cross,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from .ops.joins import broadcast_join  # noqa: F401
+from .ops.lag import group_lag, group_rolling_sum, group_running_sum  # noqa: F401
+from .ops.pack import pack_sequences  # noqa: F401
+from .ops.sample import (  # noqa: F401
+    assign_splits,
+    global_sample_k,
+    hash_sample,
+    mixture_sample,
+    stratified_sample,
+)
+from .ops.semijoin import semi_anti_join  # noqa: F401
+from .ops.simjoin import similarity_link_join, similarity_self_join  # noqa: F401
+from .ops.sketch import approx_distinct, frequent_items  # noqa: F401
+from .ops.transitions import transition_counts  # noqa: F401
+from .ops.window import hopping_window_agg, tumbling_window_agg  # noqa: F401
