@@ -23,7 +23,6 @@ loudly, never silently.
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -209,6 +208,40 @@ def minhash_signatures(
     return ds.map_batches(sig, batch_format="pyarrow")
 
 
+def _band_expand(
+    batch: pa.Table, id_col: str, bands: int, rows: int
+) -> dict[str, pa.Array]:
+    """Vectorized band-bucket expansion of a signature batch: one output
+    row per (doc, band) with a 31-bit band hash packed under the band
+    index into one int64 ``bucket_key``.  Replaces the previous
+    per-doc-per-band ``zlib.crc32`` Python loop with a columnwise
+    xorshift-multiply fold (``_mix64``) over the band's uint64 rows —
+    the hash only gates candidate generation (est-Jaccard filtering is
+    exact downstream), so any avalanche hash is equivalent."""
+    ids = batch.column(id_col)
+    blobs_col = batch.column("minhash")
+    n = len(batch)
+    M = np.frombuffer(
+        b"".join(blobs_col.to_pylist()), dtype=np.uint64
+    ).reshape(n, bands, rows)
+    h = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            h = _mix64(h ^ M[:, :, r])
+        # salt by band index so identical row values in different bands
+        # land in different buckets
+        h = _mix64(h ^ np.arange(bands, dtype=np.uint64)[None, :])
+    bh = (h & np.uint64(0x7FFFFFFF)).astype(np.int64).reshape(-1)
+    band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+    take = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+    return {
+        id_col: ids.take(take),
+        "band": pa.array(band_idx.astype(np.int32), type=pa.int32()),
+        "bucket_key": pa.array((band_idx << 32) | bh, type=pa.int64()),
+        "minhash": blobs_col.take(take),
+    }
+
+
 def _bucket_pairs(
     buckets: ray.data.Dataset,
     id_col: str,
@@ -312,45 +345,17 @@ def minhash_lsh_dedup(
         ds, text_col, id_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed
     )
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col)
-        blobs = batch.column("minhash").to_pylist()
-        out_id, out_band, out_hash, out_blob = [], [], [], []
-        for i, blob in enumerate(blobs):
-            sig = np.frombuffer(blob, dtype=np.uint64)
-            for b in range(bands):
-                band = sig[b * rows : (b + 1) * rows]
-                h = zlib.crc32(band.tobytes(), b) & 0x7FFFFFFF
-                out_id.append(i)
-                out_band.append(b)
-                out_hash.append(h)
-                out_blob.append(blob)
-        return pa.table(
-            {
-                id_col: ids.take(pa.array(out_id, type=pa.int64())),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
-                "minhash": pa.array(out_blob, type=pa.binary()),
-            }
-        )
-
-    # band_hash is 31-bit, so (band, band_hash) packs exactly into one int64
+    # the 31-bit band hash packs under the band index into one int64
     # bucket key; pair generation + estimation + cross-band dedup then run in
     # ONE sorted-run scan with first-band-wins: a pair is emitted only by the
     # lowest band in which its signatures collide, so no distinct-pairs
     # shuffle is needed afterwards.  (If an earlier colliding bucket was
     # truncated at ``bucket_cap``, the pair is dropped like it would have
     # been there — both designs approximate under truncation.)
-    def add_key(batch: pa.Table) -> pa.Table:
-        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
-        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "bucket_key", pa.array((band << 32) | bh, type=pa.int64())
-        )
+    def band_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(_band_expand(batch, id_col, bands, rows))
 
-    banded = sigs.map_batches(band_rows, batch_format="pyarrow").map_batches(
-        add_key, batch_format="pyarrow"
-    )
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def _empty(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         ids = np.asarray(group[id_col])
@@ -439,36 +444,12 @@ def minhash_lsh_dedup_cross(
         )
 
         def band_rows(batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col)
-            blobs = batch.column("minhash").to_pylist()
-            out_id, out_band, out_hash, out_blob = [], [], [], []
-            for i, blob in enumerate(blobs):
-                sig = np.frombuffer(blob, dtype=np.uint64)
-                for b in range(bands):
-                    band = sig[b * rows : (b + 1) * rows]
-                    h = zlib.crc32(band.tobytes(), b) & 0x7FFFFFFF
-                    out_id.append(i)
-                    out_band.append(b)
-                    out_hash.append(h)
-                    out_blob.append(blob)
-            n_out = len(out_id)
-            return pa.table(
-                {
-                    id_col: ids.take(pa.array(out_id, type=pa.int64())),
-                    "band": pa.array(out_band, type=pa.int32()),
-                    "bucket_key": pa.array(
-                        [
-                            (np.int64(b) << 32) | h
-                            for b, h in zip(out_band, out_hash)
-                        ],
-                        type=pa.int64(),
-                    ),
-                    "minhash": pa.array(out_blob, type=pa.binary()),
-                    "side": pa.array(
-                        np.full(n_out, side, dtype=np.int8), type=pa.int8()
-                    ),
-                }
+            cols = _band_expand(batch, id_col, bands, rows)
+            cols["side"] = pa.array(
+                np.full(len(cols["band"]), side, dtype=np.int8),
+                type=pa.int8(),
             )
+            return pa.table(cols)
 
         return sigs.map_batches(band_rows, batch_format="pyarrow")
 
