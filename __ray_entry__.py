@@ -1582,6 +1582,50 @@ def _q_new_vs_corpus_neardup(sf_dir: str):
                                    threshold=0.6)
 
 
+def _q_weighted_sample_docs(sf_dir: str):
+    """Quality-weighted subsampling: each doc kept with probability
+    clamp(n_chars/1000, 0, 1) — longer docs kept more often; map-only,
+    deterministic, exactly SQL-expressible."""
+    from raylink.ops.sample import weighted_sample
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+
+    def add_w(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["w"] = batch["n_chars"].astype(np.float64) / 1000.0
+        return batch
+
+    weighted = docs.map_batches(add_w, batch_format="pandas")
+    out = weighted_sample(weighted, "doc_id", "w", scale=1.0, seed=13)
+    return out.select_columns(["doc_id", "n_chars"])
+
+
+def _q_budget_sample_docs(sf_dir: str):
+    """Budget-constrained corpus selection: ~15k tokens of documents in
+    deterministic hash order (one prefix-sum exchange, map-only rest)."""
+    from raylink.ops.sample import select_to_token_budget
+    from raylink.ops.text import with_token_counts
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    counted = with_token_counts(docs).select_columns(["doc_id", "n_tokens"])
+    return select_to_token_budget(
+        counted, "doc_id", "n_tokens", budget=15_000, seed=17,
+        num_partitions=8,
+    )
+
+
+def _q_new_docs_unseen(sf_dir: str):
+    """Exact sibling of the cross-corpus near-dedup: new docs (doc_id >=
+    250) whose exact text does NOT occur in the existing corpus —
+    anti-join on the text key (broadcast distinct-key path)."""
+    from raylink.ops.semijoin import semi_anti_join
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    new = docs.filter(expr="doc_id >= 250")
+    corpus = docs.filter(expr="doc_id < 250")
+    out = semi_anti_join(new, corpus, "text", anti=True)
+    return out.select_columns(["doc_id"])
+
+
 def _q_hopping_window_events(sf_dir: str):
     """Per-user hopping-window (6h window, 2h hop) count/sum — each
     event combined into its 3 windows inside the per-batch combiner, so
@@ -1741,6 +1785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_simjoin": _q_supplier_simjoin,
         "cust_supp_simjoin": _q_cust_supp_simjoin,
         "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
+        "new_docs_unseen": _q_new_docs_unseen,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "budget_sample_docs": _q_budget_sample_docs,
     }
 
 
@@ -2347,6 +2394,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.s_name IS NOT NULL AND b.s_name IS NOT NULL
               AND floor(jaro_winkler_similarity(a.s_name, b.s_name)
                         * 10000 + 0.5) >= 8800
+        """,
+        "weighted_sample_docs": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE {_minstd_sql("doc_id", 13)} <
+                  floor(least(greatest(n_chars / 1000.0, 0.0), 1.0)
+                        * 2147483647)
+        """,
+        "budget_sample_docs": rf"""
+            WITH d AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(
+                                regexp_split_to_array(trim(text), '\s+'))
+                       END::BIGINT AS n_tokens
+                FROM documents
+            ), o AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (
+                           ORDER BY {_minstd_sql("doc_id", 17)}, doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS run
+                FROM d
+            )
+            SELECT doc_id, n_tokens FROM o WHERE run <= 15000
+        """,
+        "new_docs_unseen": """
+            SELECT doc_id FROM documents
+            WHERE doc_id >= 250
+              AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
         """,
         "cust_supp_simjoin": """
             SELECT a.c_custkey::BIGINT AS id_a, b.s_suppkey::BIGINT AS id_b,

@@ -195,6 +195,9 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "supplier_simjoin",
         "cust_supp_simjoin",
         "new_vs_corpus_neardup",
+        "new_docs_unseen",
+        "weighted_sample_docs",
+        "budget_sample_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -55,7 +55,9 @@ from .ops.sample import (  # noqa: F401
     global_sample_k,
     hash_sample,
     mixture_sample,
+    select_to_token_budget,
     stratified_sample,
+    weighted_sample,
 )
 from .ops.semijoin import semi_anti_join  # noqa: F401
 from .ops.simjoin import similarity_link_join, similarity_self_join  # noqa: F401

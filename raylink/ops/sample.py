@@ -38,6 +38,8 @@ from ..stages.sortedrun import sorted_group_scan
 __all__ = [
     "minstd_hash",
     "hash_sample",
+    "weighted_sample",
+    "select_to_token_budget",
     "mixture_sample",
     "stratified_sample",
     "assign_splits",
@@ -84,6 +86,83 @@ def hash_sample(
         return {k: np.asarray(v)[keep] for k, v in batch.items()}
 
     return ds.map_batches(filt, batch_format="numpy")
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    scale: float = 1.0,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Per-row importance sampling: keep each row with probability
+    ``clamp(weight * scale, 0, 1)`` — the quality-weighted subsampling
+    primitive (keep good documents more often), decided by the shared
+    deterministic hash so the draw is map-only, resume-identical, and
+    exactly SQL-expressible:
+    ``minstd_hash(id) < floor(least(greatest(w * scale, 0), 1) * p)``.
+
+    NULL weights never keep (SQL comparison-with-NULL semantics).
+    """
+
+    def filt(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        w = np.asarray(batch[weight_col], dtype=np.float64)
+        p_keep = np.clip(w * scale, 0.0, 1.0)
+        thr = np.floor(p_keep * MINSTD_MOD)
+        with np.errstate(invalid="ignore"):
+            keep = minstd_hash(batch[id_col], seed) < thr
+        keep &= ~np.isnan(w)
+        return {k: np.asarray(v)[keep] for k, v in batch.items()}
+
+    return ds.map_batches(filt, batch_format="numpy")
+
+
+def select_to_token_budget(
+    ds: ray.data.Dataset,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    seed: int = 0,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Budget-constrained corpus selection: keep documents in the
+    deterministic hash order while the running token total stays within
+    ``budget`` — "give me ~10B tokens of this corpus" as one call.
+
+    The hash is a bijection on ids, so hash order is a fixed
+    pseudorandom permutation (an unbiased prefix = a uniform sample)
+    and is collision-free — a valid unique order for the distributed
+    prefix sum.  A row is kept iff its inclusive running sum
+    ``<= budget`` (SQL: ``SUM(n) OVER (ORDER BY hash, id ROWS
+    UNBOUNDED PRECEDING) <= budget``), so the result is identical at
+    any parallelism and composes with the other samplers via the shared
+    seed.  One range exchange (the prefix sum's); everything else is
+    map-only.
+    """
+    from .offsets import global_prefix_sum
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+
+    def add_hash(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out = dict(batch)
+        out["_tbs_hash"] = minstd_hash(batch[id_col], seed)
+        return out
+
+    cols = list(ds.schema().names)
+    hashed = ds.map_batches(add_hash, batch_format="numpy")
+    with_off = global_prefix_sum(
+        hashed, "_tbs_hash", tokens_col, out_col="_tbs_off",
+        num_partitions=num_partitions,
+    )
+
+    def filt(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        off = np.asarray(batch["_tbs_off"], dtype=np.int64)
+        n = np.asarray(batch[tokens_col], dtype=np.int64)
+        keep = off + n <= budget
+        return {c: np.asarray(batch[c])[keep] for c in cols}
+
+    return with_off.map_batches(filt, batch_format="numpy")
 
 
 def mixture_sample(

@@ -2070,3 +2070,71 @@ def test_similarity_self_join_levenshtein_method():
     ).df()
     assert out["id_a"].tolist() == exp["id_a"].astype(int).tolist()
     assert out["sim_e4"].tolist() == exp["sim_e4"].astype(int).tolist()
+
+
+def test_weighted_sample_probability_and_nesting():
+    from raylink.ops.sample import weighted_sample, minstd_hash, MINSTD_MOD
+
+    rng = np.random.default_rng(12)
+    n = 30000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "w": rng.uniform(-0.2, 1.4, n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = weighted_sample(ds, "doc_id", "w", scale=1.0, seed=13).to_pandas()
+    # exact reference
+    thr = np.floor(np.clip(df["w"].to_numpy() * 1.0, 0, 1) * MINSTD_MOD)
+    exp = df[minstd_hash(df["doc_id"].to_numpy(), 13) < thr]
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    # kept fraction tracks mean clamped weight
+    p_mean = np.clip(df["w"], 0, 1).mean()
+    assert abs(len(out) / n - p_mean) < 0.02
+    # nesting: scale 0.5 kept set is a subset of scale 1.0 kept set
+    half = weighted_sample(ds, "doc_id", "w", scale=0.5, seed=13).to_pandas()
+    assert set(half["doc_id"]) <= set(out["doc_id"])
+    # w <= 0 never kept, w >= 1 always kept
+    always = df[df["w"] >= 1.0]["doc_id"]
+    never = df[df["w"] <= 0.0]["doc_id"]
+    assert set(always) <= set(out["doc_id"])
+    assert not (set(never) & set(out["doc_id"]))
+
+
+def test_select_to_token_budget_prefix_semantics():
+    from raylink.ops.sample import select_to_token_budget, minstd_hash
+
+    rng = np.random.default_rng(14)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_tokens": rng.integers(0, 200, n).astype(np.int64),
+        }
+    )
+    B = 50_000
+    out = (
+        select_to_token_budget(
+            ray.data.from_pandas(df).repartition(4),
+            "doc_id", "n_tokens", budget=B, seed=17, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # reference: inclusive running sum over (hash, id) order
+    h = minstd_hash(df["doc_id"].to_numpy(), 17)
+    o = df.assign(h=h).sort_values(["h", "doc_id"]).reset_index(drop=True)
+    run = o["n_tokens"].cumsum()
+    exp = o[run <= B]["doc_id"].sort_values().to_numpy()
+    assert (out["doc_id"].to_numpy() == exp).all()
+    # kept total is within one max-doc of the budget
+    total = int(out["n_tokens"].sum())
+    assert total <= B and B - total < 200
+    # zero budget keeps only zero-token prefix docs; full budget keeps all
+    full = select_to_token_budget(
+        ray.data.from_pandas(df), "doc_id", "n_tokens",
+        budget=int(df["n_tokens"].sum()), seed=17,
+    ).to_pandas()
+    assert len(full) == n
