@@ -20,7 +20,13 @@ import pyarrow.csv as pacsv
 
 import ray.data
 
-__all__ = ["read_table", "read_csv_linkage", "write_partitioned"]
+__all__ = [
+    "read_table",
+    "read_csv_linkage",
+    "read_text_docs",
+    "read_binary_docs",
+    "write_partitioned",
+]
 
 NULL_SENTINELS = ["", "NA"]
 
@@ -56,6 +62,82 @@ def read_csv_linkage(
     if columns:
         ds = ds.select_columns(columns)
     return ds
+
+
+def read_text_docs(
+    path: str,
+    by: str = "line",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Raw text ingestion into the documents shape.
+
+    ``by="line"`` — one doc per line (the .txt corpus-dump convention);
+    ``by="file"`` — one doc per file (one article per file layouts).
+    Ids are stable content-independent positions: for lines, a per-file
+    line number paired with the file path; for files, the path itself —
+    so a rerun over the same tree assigns identical ids (resume-safe),
+    unlike a global enumerate over a nondeterministic file order.
+    """
+    if by == "line":
+        ds = ray.data.read_binary_files(path, include_paths=True)
+
+        def split_lines(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            paths = batch.column("path").to_pylist()
+            blobs = batch.column("bytes").to_pylist()
+            out_path, out_line, out_text = [], [], []
+            for p, blob in zip(paths, blobs):
+                lines = blob.decode("utf-8", errors="replace").splitlines()
+                out_path.extend([p] * len(lines))
+                out_line.extend(range(len(lines)))
+                out_text.extend(lines)
+            return pa.table(
+                {
+                    "path": pa.array(out_path, type=pa.string()),
+                    id_col: pa.array(
+                        np.asarray(out_line, dtype="int64"), type=pa.int64()
+                    ),
+                    text_col: pa.array(out_text, type=pa.string()),
+                }
+            )
+
+        return ds.map_batches(split_lines, batch_format="pyarrow")
+    if by == "file":
+        ds = ray.data.read_binary_files(path, include_paths=True)
+
+        def decode(batch: pa.Table) -> pa.Table:
+            texts = [
+                b.decode("utf-8", errors="replace")
+                for b in batch.column("bytes").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "path": batch.column("path"),
+                    text_col: pa.array(texts, type=pa.string()),
+                }
+            )
+
+        return ds.map_batches(decode, batch_format="pyarrow")
+    raise ValueError(f"by must be 'line' or 'file', got {by!r}")
+
+
+def read_binary_docs(path: str) -> ray.data.Dataset:
+    """Opaque binary ingestion (images/audio/artifacts) into the
+    multimodal shape: one row per file with ``path`` and ``payload``
+    (binary) — feed to ``raylink.ops.multimodal`` decode stages."""
+    ds = ray.data.read_binary_files(path, include_paths=True)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "path": batch.column("path"),
+                "payload": batch.column("bytes"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
 
 
 def write_partitioned(

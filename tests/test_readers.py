@@ -94,3 +94,44 @@ def test_partitioned_write_and_pruned_read(tmp_path):
     got = back.to_pandas()
     assert len(got) == 20
     assert sorted(got["v"]) == list(range(30, 50))
+
+
+def test_read_text_docs_line_and_file(tmp_path):
+    import ray
+    from raylink.sources.readers import read_binary_docs, read_text_docs
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc\nsecond doc\n\nfourth doc")
+    (d / "b.txt").write_text("only doc in b")
+
+    by_line = (
+        read_text_docs(str(d), by="line")
+        .to_pandas()
+        .sort_values(["path", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(by_line) == 5  # 4 lines in a (incl. empty) + 1 in b
+    a_rows = by_line[by_line["path"].str.endswith("a.txt")]
+    assert a_rows["text"].tolist() == [
+        "first doc", "second doc", "", "fourth doc",
+    ]
+    assert a_rows["doc_id"].tolist() == [0, 1, 2, 3]
+    # rerun assigns identical ids (resume-safe)
+    again = (
+        read_text_docs(str(d), by="line")
+        .to_pandas()
+        .sort_values(["path", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert (again == by_line).all().all()
+
+    by_file = read_text_docs(str(d), by="file").to_pandas()
+    assert len(by_file) == 2
+    assert set(by_file["text"]) == {
+        "first doc\nsecond doc\n\nfourth doc", "only doc in b",
+    }
+
+    blobs = read_binary_docs(str(d)).to_pandas()
+    assert len(blobs) == 2 and set(blobs.columns) == {"path", "payload"}
+    assert b"only doc in b" in set(blobs["payload"])
