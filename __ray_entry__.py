@@ -2420,9 +2420,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens FROM o WHERE run <= 15000
         """,
         "new_docs_unseen": """
-            SELECT doc_id FROM documents
-            WHERE doc_id >= 250
-              AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id >= 250
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents c
+                  WHERE c.doc_id < 250 AND c.text = d.text
+              )
         """,
         "cust_supp_simjoin": """
             SELECT a.c_custkey::BIGINT AS id_a, b.s_suppkey::BIGINT AS id_b,

@@ -467,13 +467,24 @@ def minhash_lsh_dedup_cross(
         ids = np.asarray(group[id_col])
         side = np.asarray(group["side"])
         band = int(np.asarray(group["band"])[0])
-        # deterministic truncation: keep the bucket_cap smallest ids,
-        # preserving both sides' relative makeup under any block layout
+        # deterministic PER-SIDE truncation: a global smallest-ids cut
+        # would silently drop the entire new side whenever corpus ids
+        # sort first (the usual incremental-ingest id convention), so
+        # cap each side at bucket_cap/2 and give unused slack to the
+        # other — both sides always survive a hot bucket
         order = np.argsort(ids, kind="stable")
-        if len(order) > bucket_cap:
-            order = order[:bucket_cap]
-        ids_o = ids[order]
         side_o = side[order]
+        if len(order) > bucket_cap:
+            new_all = order[side_o == 0]
+            cor_all = order[side_o == 1]
+            half = bucket_cap // 2
+            n_new = min(len(new_all), max(half, bucket_cap - len(cor_all)))
+            n_cor = min(len(cor_all), bucket_cap - n_new)
+            order = np.sort(
+                np.concatenate((new_all[:n_new], cor_all[:n_cor]))
+            )
+            side_o = side[order]
+        ids_o = ids[order]
         new_rows = np.flatnonzero(side_o == 0)
         cor_rows = np.flatnonzero(side_o == 1)
         if len(new_rows) == 0 or len(cor_rows) == 0:

@@ -44,14 +44,43 @@ __all__ = ["group_lag", "group_running_sum", "group_rolling_sum"]
 
 def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
     """Best-effort Arrow schema for a Dataset (pandas-backed inputs in
-    tests report numpy dtypes — map them)."""
+    tests report numpy dtypes — map them; object dtype means strings
+    in a pandas block, which pa.from_numpy_dtype cannot express)."""
     s = ds.schema()
     fields = []
     for name, t in zip(s.names, s.types):
         if not isinstance(t, pa.DataType):
-            t = pa.from_numpy_dtype(np.dtype(t))
+            dt = np.dtype(t)
+            if dt == np.dtype(object):
+                t = pa.string()
+            else:
+                t = pa.from_numpy_dtype(dt)
         fields.append(pa.field(name, t))
     return pa.schema(fields)
+
+
+# |v| * 10^4 must stay within int64 for the fixed-point encodings below
+_E4_LIMIT = (1 << 63) // 10_000
+
+
+def _fixed_e4(v: np.ndarray, integral: bool) -> np.ndarray:
+    """Half-up e4 fixed-point int64, refusing silent overflow (numpy
+    int64 wraps without raising — epoch-microsecond magnitudes already
+    exceed int64/10^4)."""
+    if integral:
+        if len(v) and int(np.abs(v).max()) >= _E4_LIMIT:
+            raise ValueError(
+                "values exceed the e4 fixed-point int64 range "
+                f"(|v| >= {_E4_LIMIT}); sum epoch-second or delta values "
+                "instead of raw epoch-microseconds"
+            )
+        return v.astype(np.int64) * 10_000
+    f = np.asarray(v, dtype=np.float64)
+    if len(f) and np.nanmax(np.abs(f)) >= float(_E4_LIMIT):
+        raise ValueError(
+            "values exceed the e4 fixed-point int64 range; rescale first"
+        )
+    return np.floor(f * 10_000 + 0.5).astype(np.int64)
 
 
 def _as_numeric(v: np.ndarray) -> tuple[np.ndarray, bool]:
@@ -123,7 +152,9 @@ def group_running_sum(
     ``order_cols`` as half-up e4 fixed-point int64 — SQL
     ``SUM(floor(v*10000+0.5)::BIGINT) OVER (PARTITION BY group ORDER BY
     order_cols ROWS UNBOUNDED PRECEDING)``, bit-identical at any
-    parallelism because every engine sums the same integers."""
+    parallelism because every engine sums the same integers.  Values at
+    epoch-microsecond magnitude exceed the e4 int64 range and are
+    refused loudly — sum inter-event deltas or epoch seconds instead."""
     cols = list(ds.schema().names)
     base = _arrow_schema(ds)
     out_schema = pa.schema(list(base) + [pa.field(out_col, pa.int64())])
@@ -134,12 +165,7 @@ def group_running_sum(
         )
         out = {c: np.asarray(batch[c])[idx] for c in cols}
         v, integral = _as_numeric(out[val_col])
-        fixed = (
-            v.astype(np.int64) * 10_000
-            if integral
-            else np.floor(v.astype(np.float64) * 10_000 + 0.5).astype(np.int64)
-        )
-        out[out_col] = np.cumsum(fixed)
+        out[out_col] = np.cumsum(_fixed_e4(v, integral))
         return out
 
     def empty_fn(batch: dict[str, np.ndarray]) -> dict:
@@ -181,12 +207,7 @@ def group_rolling_sum(
         )
         out = {c: np.asarray(batch[c])[idx] for c in cols}
         v, integral = _as_numeric(out[val_col])
-        fixed = (
-            v.astype(np.int64) * 10_000
-            if integral
-            else np.floor(v.astype(np.float64) * 10_000 + 0.5).astype(np.int64)
-        )
-        c = np.cumsum(fixed)
+        c = np.cumsum(_fixed_e4(v, integral))
         roll = c.copy()
         roll[window:] -= c[:-window]
         out[out_col] = roll

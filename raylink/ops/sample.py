@@ -129,10 +129,12 @@ def select_to_token_budget(
     deterministic hash order while the running token total stays within
     ``budget`` — "give me ~10B tokens of this corpus" as one call.
 
-    The hash is a bijection on ids, so hash order is a fixed
-    pseudorandom permutation (an unbiased prefix = a uniform sample)
-    and is collision-free — a valid unique order for the distributed
-    prefix sum.  A row is kept iff its inclusive running sum
+    Ids must lie in [0, 2^31-1) (enforced with a loud error): there the
+    hash is a bijection, so hash order is a fixed pseudorandom
+    permutation (an unbiased prefix = a uniform sample) and is
+    collision-free — a valid unique order for the distributed prefix
+    sum.  Wider id spaces must be re-keyed first (ids congruent mod p
+    would tie and make the kept set layout-dependent).  A row is kept iff its inclusive running sum
     ``<= budget`` (SQL: ``SUM(n) OVER (ORDER BY hash, id ROWS
     UNBOUNDED PRECEDING) <= budget``), so the result is identical at
     any parallelism and composes with the other samplers via the shared
@@ -145,8 +147,17 @@ def select_to_token_budget(
         raise ValueError(f"budget must be >= 0, got {budget}")
 
     def add_hash(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        # the hash is only a bijection (collision-free, so a valid unique
+        # prefix-sum order) for ids within [0, p); ids congruent mod p
+        # would tie and make the kept prefix layout-dependent — refuse
+        if len(ids) and (ids.min() < 0 or ids.max() >= MINSTD_MOD):
+            raise ValueError(
+                f"{id_col} must lie in [0, 2^31-1) for a collision-free "
+                "hash order; re-key ids first"
+            )
         out = dict(batch)
-        out["_tbs_hash"] = minstd_hash(batch[id_col], seed)
+        out["_tbs_hash"] = minstd_hash(ids, seed)
         return out
 
     cols = list(ds.schema().names)

@@ -13,12 +13,15 @@ comparable against a SQL engine's ``jaro_winkler_similarity`` at the
 same fixed point.
 
 Scale design: identical to the linkage pipeline's pair stage — hot
-blocks are salted into triangle cells by the same plan (`cap` bounds
-any single task's pair count), pairs never materialize outside the
-streaming scorer, and each unique string pair is scored once per batch
-(pool economy, gammaCKpar.jl:99-106's trick).  Use ``block_cols`` that
-bound block sizes; an unblocked call is a cross join and is refused by
-the salt planner's cap accounting rather than silently attempted.
+blocks are salted into triangle cells by the same plan (``cap`` sizes
+the cells; the planner clamps at its ``max_salts``, so a single block
+vastly larger than ``cap * max_salts`` still yields oversized cells —
+pick ``block_cols`` that bound block sizes, or set
+``BlockingConfig.drop_oversized`` in the pipeline API for hard
+guarantees), pairs never materialize outside the streaming scorer, and
+each unique string pair is scored once per batch (pool economy,
+gammaCKpar.jl:99-106's trick).  An empty ``block_cols`` (a full cross
+join) is refused outright.
 """
 
 from __future__ import annotations
@@ -50,6 +53,11 @@ def similarity_self_join(
     similarity on ``text_col`` reaches ``threshold``; emits
     ``(id_a, id_b, sim_e4)`` with the threshold applied in integer
     fixed point (``sim_e4 >= floor(threshold * 10^4 + 0.5)``)."""
+    if not block_cols:
+        raise ValueError(
+            "block_cols must be non-empty: an unblocked similarity join "
+            "is a full cross join"
+        )
     thr_e4 = int(np.floor(threshold * 10_000 + 0.5))
     keyed = bs.derive_block_keys(
         ds.select_columns([id_col, *block_cols, text_col]), block_cols
@@ -71,14 +79,19 @@ def _make_scorer(text_col: str, thr_e4: int, method: str, w: float):
         with np.errstate(invalid="ignore"):
             e4 = np.floor(sims * 10_000 + 0.5)
         keep = ~np.isnan(sims) & (e4 >= thr_e4)
+        mask = pa.array(keep)
+        # ids keep their source type (string conv_ids are as valid as
+        # integer keys); only normalize small ints up to int64
+        def _id(col: pa.ChunkedArray) -> pa.ChunkedArray:
+            filtered = col.filter(mask)
+            if pa.types.is_integer(filtered.type):
+                return filtered.cast(pa.int64())
+            return filtered
+
         return pa.table(
             {
-                "id_a": batch.column("id_a").filter(pa.array(keep)).cast(
-                    pa.int64()
-                ),
-                "id_b": batch.column("id_b").filter(pa.array(keep)).cast(
-                    pa.int64()
-                ),
+                "id_a": _id(batch.column("id_a")),
+                "id_b": _id(batch.column("id_b")),
                 "sim_e4": pa.array(
                     e4[keep].astype(np.int64), type=pa.int64()
                 ),
@@ -106,6 +119,11 @@ def similarity_link_join(
     must carry ``block_cols`` and ``text_col``; the salt plan sees the
     COMBINED block populations so a block hot on either side is split.
     Emits ``(id_a, id_b, sim_e4)`` (A-side id first)."""
+    if not block_cols:
+        raise ValueError(
+            "block_cols must be non-empty: an unblocked similarity join "
+            "is a full cross join"
+        )
     thr_e4 = int(np.floor(threshold * 10_000 + 0.5))
     ka = bs.derive_block_keys(
         ds_a.select_columns([id_col_a, *block_cols, text_col]), block_cols

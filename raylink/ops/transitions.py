@@ -54,7 +54,7 @@ def transition_counts(
                 "n": np.empty(0, dtype=np.int64),
             }
         df = pd.DataFrame({"from_state": s[:-1], "to_state": s[1:]})
-        g = df.groupby(["from_state", "to_state"], sort=False).size()
+        g = df.groupby(["from_state", "to_state"], sort=False, dropna=False).size()
         out = g.reset_index()
         return {
             "from_state": out["from_state"].to_numpy(dtype=object),
@@ -81,7 +81,7 @@ def transition_counts(
                 "n": np.asarray(b["n"], dtype=np.int64),
             }
         )
-        g = df.groupby(["from_state", "to_state"], sort=False)["n"].sum()
+        g = df.groupby(["from_state", "to_state"], sort=False, dropna=False)["n"].sum()
         out = g.reset_index()
         return {
             "from_state": out["from_state"].to_numpy(dtype=object),
@@ -102,7 +102,7 @@ def transition_counts(
             }
         )
     merged = (
-        parts.groupby(["from_state", "to_state"], sort=True)["n"]
+        parts.groupby(["from_state", "to_state"], sort=True, dropna=False)["n"]
         .sum()
         .reset_index()
     )

@@ -53,17 +53,36 @@ def tumbling_window_agg(
     """
     w = int(window_seconds)
 
+    def windows(secs: np.ndarray):
+        # one window per event: idx is the identity, start = floor align
+        return np.arange(len(secs), dtype=np.int64), (secs // w) * w
+
+    partials = ds.select_columns([ts_col, value_col, group_col]).map_batches(
+        _make_window_partial(ts_col, value_col, group_col, windows),
+        batch_format="pyarrow",
+    )
+    return _merge_window_partials(partials, group_col, num_partitions)
+
+
+def _make_window_partial(ts_col, value_col, group_col, windows):
+    """Shared per-batch combiner: ``windows(secs) -> (event_idx,
+    window_start)`` maps each event to one or more windows; the
+    fixed-point rule, partial groupby, and int64 output schema are
+    stated once for every window shape.
+
+    floor(x*1e4 + 0.5) is explicit half-up — identical in any SQL
+    engine (np.round is half-to-even and would diverge from an oracle).
+    """
+
     def partial(batch: pa.Table) -> pa.Table:
         secs = _epoch_seconds(batch.column(ts_col))
-        win = (secs // w) * w
         g = batch.column(group_col).to_numpy(zero_copy_only=False)
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
-        # floor(x*1e4 + 0.5): explicit half-up, identical in any SQL engine
-        # (np.round is half-to-even and would diverge from a SQL oracle)
         v4 = np.floor(
             np.asarray(v, dtype=np.float64) * 10_000 + 0.5
         ).astype(np.int64)
-        df = pd.DataFrame({"g": g, "w": win, "s": v4})
+        idx, win = windows(secs)
+        df = pd.DataFrame({"g": g[idx], "w": win, "s": v4[idx]})
         p = (
             df.groupby(["g", "w"], sort=False, observed=True)
             .agg(n=("s", "size"), s=("s", "sum"))
@@ -78,10 +97,7 @@ def tumbling_window_agg(
             }
         )
 
-    partials = ds.select_columns([ts_col, value_col, group_col]).map_batches(
-        partial, batch_format="pyarrow"
-    )
-    return _merge_window_partials(partials, group_col, num_partitions)
+    return partial
 
 
 def hopping_window_agg(
@@ -108,13 +124,7 @@ def hopping_window_agg(
     if not (0 < h <= w):
         raise ValueError(f"need 0 < hop <= window, got hop={h} window={w}")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        secs = _epoch_seconds(batch.column(ts_col))
-        g = batch.column(group_col).to_numpy(zero_copy_only=False)
-        v = batch.column(value_col).to_numpy(zero_copy_only=False)
-        v4 = np.floor(
-            np.asarray(v, dtype=np.float64) * 10_000 + 0.5
-        ).astype(np.int64)
+    def windows(secs: np.ndarray):
         # windows containing t: starts h*k for k in (  (t-w)/h , t/h ]
         k_min = (secs - w) // h + 1
         k_max = secs // h
@@ -122,24 +132,11 @@ def hopping_window_agg(
         idx = np.repeat(np.arange(len(secs), dtype=np.int64), reps)
         starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
         step = np.arange(reps.sum(), dtype=np.int64) - np.repeat(starts, reps)
-        win = (k_min[idx] + step) * h
-        df = pd.DataFrame({"g": g[idx], "w": win, "s": v4[idx]})
-        p = (
-            df.groupby(["g", "w"], sort=False, observed=True)
-            .agg(n=("s", "size"), s=("s", "sum"))
-            .reset_index()
-        )
-        return pa.table(
-            {
-                group_col: pa.array(p["g"].to_numpy(), type=pa.int64()),
-                "window_start": pa.array(p["w"].to_numpy(), type=pa.int64()),
-                "n_events": pa.array(p["n"].to_numpy(np.int64), type=pa.int64()),
-                "sum_value_e4": pa.array(p["s"].to_numpy(np.int64), type=pa.int64()),
-            }
-        )
+        return idx, (k_min[idx] + step) * h
 
     partials = ds.select_columns([ts_col, value_col, group_col]).map_batches(
-        partial, batch_format="pyarrow"
+        _make_window_partial(ts_col, value_col, group_col, windows),
+        batch_format="pyarrow",
     )
     return _merge_window_partials(partials, group_col, num_partitions)
 

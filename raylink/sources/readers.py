@@ -74,16 +74,23 @@ def read_text_docs(
 
     ``by="line"`` — one doc per line (the .txt corpus-dump convention);
     ``by="file"`` — one doc per file (one article per file layouts).
-    Ids are stable content-independent positions: for lines, a per-file
-    line number paired with the file path; for files, the path itself —
-    so a rerun over the same tree assigns identical ids (resume-safe),
-    unlike a global enumerate over a nondeterministic file order.
+    Line mode emits a globally-UNIQUE ``id_col``: the stable 63-bit hash
+    of ``path:line_idx`` (content-independent, so a rerun over the same
+    tree assigns identical ids — resume-safe, unlike a global enumerate
+    over a nondeterministic file order), plus the raw ``path`` and
+    ``line_idx`` provenance columns.  Uniqueness matters downstream:
+    the samplers hash the id, packing requires a unique order key, and
+    a per-file line number alone would collide across files (line k of
+    every file sampling together).
     """
     if by == "line":
         ds = ray.data.read_binary_files(path, include_paths=True)
 
         def split_lines(batch: pa.Table) -> pa.Table:
             import numpy as np
+            import pandas as pd
+
+            from ..functions.hashing import hash64_array
 
             paths = batch.column("path").to_pylist()
             blobs = batch.column("bytes").to_pylist()
@@ -93,12 +100,22 @@ def read_text_docs(
                 out_path.extend([p] * len(lines))
                 out_line.extend(range(len(lines)))
                 out_text.extend(lines)
+            keys = (
+                pd.Series(out_path, dtype="object")
+                + ":"
+                + pd.Series(out_line).astype(str)
+            ).to_numpy(dtype=object)
+            ids = (
+                hash64_array(keys).astype(np.uint64)
+                & np.uint64(0x7FFFFFFFFFFFFFFF)
+            ).astype(np.int64)
             return pa.table(
                 {
                     "path": pa.array(out_path, type=pa.string()),
-                    id_col: pa.array(
+                    "line_idx": pa.array(
                         np.asarray(out_line, dtype="int64"), type=pa.int64()
                     ),
+                    id_col: pa.array(ids, type=pa.int64()),
                     text_col: pa.array(out_text, type=pa.string()),
                 }
             )

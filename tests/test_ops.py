@@ -2138,3 +2138,112 @@ def test_select_to_token_budget_prefix_semantics():
         budget=int(df["n_tokens"].sum()), seed=17,
     ).to_pandas()
     assert len(full) == n
+
+
+def test_minhash_cross_hot_bucket_keeps_both_sides():
+    """Regression: a hot bucket where corpus ids sort first must not
+    truncate away the entire new side (review finding)."""
+    from raylink.ops.dedup import minhash_lsh_dedup_cross
+
+    boiler = "the same boilerplate text repeated in every corpus doc here"
+    corpus = pd.DataFrame(
+        {"doc_id": np.arange(60, dtype=np.int64), "text": [boiler] * 60}
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, 1005, dtype=np.int64),
+            "text": [boiler + " extra"] * 5,
+        }
+    )
+    out = minhash_lsh_dedup_cross(
+        ray.data.from_pandas(new),
+        ray.data.from_pandas(corpus),
+        "text", "doc_id", threshold=0.5, bucket_cap=50,
+    ).to_pandas()
+    # every new doc must surface against at least one corpus original
+    assert set(out["id_new"]) == set(range(1000, 1005))
+    assert (out["id_corpus"] < 60).all()
+
+
+def test_review_regressions_lag_simjoin_transitions():
+    """Regressions from the round-2 code review: object columns ride
+    along in lag ops, e4 overflow refuses loudly, null states count,
+    string ids survive the similarity join, unblocked joins refuse."""
+    from raylink.ops.lag import group_lag, group_running_sum
+    from raylink.ops.simjoin import similarity_self_join
+    from raylink.ops.transitions import transition_counts
+
+    df = pd.DataFrame(
+        {
+            "uid": np.array([1, 1, 2], dtype=np.int64),
+            "ord": np.array([0, 1, 0], dtype=np.int64),
+            "val": np.array([1.5, 2.5, 3.0]),
+            "tag": ["a", "b", "c"],  # object column must not crash schema
+        }
+    )
+    out = group_lag(
+        ray.data.from_pandas(df), "uid", ["ord"], "val", num_partitions=2
+    ).to_pandas()
+    assert set(out["tag"]) == {"a", "b", "c"}
+
+    # epoch-microsecond sums overflow e4 int64: loud refusal, not garbage
+    ts = pd.DataFrame(
+        {
+            "uid": np.zeros(3, dtype=np.int64),
+            "ord": np.arange(3, dtype=np.int64),
+            "t": pd.to_datetime(
+                ["2026-01-01", "2026-01-02", "2026-01-03"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    with pytest.raises(Exception, match="fixed-point"):
+        group_running_sum(
+            ray.data.from_pandas(ts), "uid", ["ord"], "t", num_partitions=2
+        ).to_pandas()
+
+    # null to_state is a real transition group (SQL GROUP BY semantics)
+    tdf = pd.DataFrame(
+        {
+            "uid": np.array([1, 1, 1], dtype=np.int64),
+            "ord": np.array([0, 1, 2], dtype=np.int64),
+            "state": np.array(["a", None, "b"], dtype=object),
+        }
+    )
+    t = transition_counts(
+        ray.data.from_pandas(tdf), "uid", ["ord"], "state", num_partitions=2
+    )
+    assert len(t) == 2 and t["n"].sum() == 2
+    assert t["to_state"].isna().sum() == 1  # (a -> NULL) kept
+
+    # string ids survive the similarity join
+    sdf = pd.DataFrame(
+        {
+            "rid": ["conv-a", "conv-b", "conv-c"],
+            "grp": np.zeros(3, dtype=np.int64),
+            "name": ["martha", "marhta", "zzz"],
+        }
+    )
+    sj = similarity_self_join(
+        ray.data.from_pandas(sdf), "rid", "name", ["grp"], threshold=0.9
+    ).to_pandas()
+    assert set(zip(sj["id_a"], sj["id_b"])) == {("conv-a", "conv-b")}
+
+    # unblocked call refused
+    with pytest.raises(ValueError, match="cross join"):
+        similarity_self_join(
+            ray.data.from_pandas(sdf), "rid", "name", [], threshold=0.9
+        )
+
+    # token-budget id-space precondition enforced
+    from raylink.ops.sample import select_to_token_budget
+
+    wide = pd.DataFrame(
+        {
+            "doc_id": np.array([5, 2**31 + 5], dtype=np.int64),
+            "n_tokens": np.array([10, 10], dtype=np.int64),
+        }
+    )
+    with pytest.raises(Exception, match="2\\^31|re-key"):
+        select_to_token_budget(
+            ray.data.from_pandas(wide), "doc_id", "n_tokens", budget=100
+        ).to_pandas()

@@ -108,7 +108,7 @@ def test_read_text_docs_line_and_file(tmp_path):
     by_line = (
         read_text_docs(str(d), by="line")
         .to_pandas()
-        .sort_values(["path", "doc_id"])
+        .sort_values(["path", "line_idx"])
         .reset_index(drop=True)
     )
     assert len(by_line) == 5  # 4 lines in a (incl. empty) + 1 in b
@@ -116,12 +116,15 @@ def test_read_text_docs_line_and_file(tmp_path):
     assert a_rows["text"].tolist() == [
         "first doc", "second doc", "", "fourth doc",
     ]
-    assert a_rows["doc_id"].tolist() == [0, 1, 2, 3]
+    assert a_rows["line_idx"].tolist() == [0, 1, 2, 3]
+    # doc ids are globally unique (hash of path:line), non-negative int64
+    assert by_line["doc_id"].nunique() == len(by_line)
+    assert (by_line["doc_id"] >= 0).all()
     # rerun assigns identical ids (resume-safe)
     again = (
         read_text_docs(str(d), by="line")
         .to_pandas()
-        .sort_values(["path", "doc_id"])
+        .sort_values(["path", "line_idx"])
         .reset_index(drop=True)
     )
     assert (again == by_line).all().all()
