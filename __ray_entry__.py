@@ -1613,6 +1613,19 @@ def _q_budget_sample_docs(sf_dir: str):
     )
 
 
+def _q_event_row_numbers(sf_dir: str):
+    """Per-user event sequence numbers — SQL row_number() OVER
+    (PARTITION BY user_id ORDER BY ts, event_id)."""
+    from raylink.ops.rank import group_row_number
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    out = group_row_number(ev, "user_id", ["ts", "event_id"],
+                           num_partitions=16)
+    return out.select_columns(["event_id", "user_id", "row_num"])
+
+
 def _q_new_docs_unseen(sf_dir: str):
     """Exact sibling of the cross-corpus near-dedup: new docs (doc_id >=
     250) whose exact text does NOT occur in the existing corpus —
@@ -1788,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_docs_unseen": _q_new_docs_unseen,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "budget_sample_docs": _q_budget_sample_docs,
+        "event_row_numbers": _q_event_row_numbers,
     }
 
 
@@ -2400,6 +2414,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_minstd_sql("doc_id", 13)} <
                   floor(least(greatest(n_chars / 1000.0, 0.0), 1.0)
                         * 2147483647)
+        """,
+        "event_row_numbers": """
+            SELECT event_id, user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )::BIGINT AS row_num
+            FROM events
         """,
         "budget_sample_docs": rf"""
             WITH d AS (

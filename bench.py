@@ -198,6 +198,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "new_docs_unseen",
         "weighted_sample_docs",
         "budget_sample_docs",
+        "event_row_numbers",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -19,7 +19,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["group_percent_rank"]
+__all__ = ["group_percent_rank", "group_row_number"]
 
 
 def group_percent_rank(
@@ -52,6 +52,39 @@ def group_percent_rank(
         rank[order] = min_rank_of_run[run_id]
         pct = (rank - 1) / (n - 1)
         out[out_col] = np.floor(pct * 1_000_000 + 0.5).astype(np.int64)
+        return out
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        out = {c: np.asarray(batch[c])[:0] for c in cols}
+        out[out_col] = np.empty(0, dtype=np.int64)
+        return out
+
+    return sorted_group_scan(
+        ds, group_col, group_fn, empty_fn, num_partitions
+    )
+
+
+def group_row_number(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    out_col: str = "row_num",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Append SQL ``row_number() OVER (PARTITION BY group ORDER BY
+    order_cols)`` (1-based int64) — the top-N-per-group materialization
+    primitive.  Pass a unique tiebreaker in ``order_cols`` for a total
+    order (like any deterministic ROW_NUMBER).  Same machinery as the
+    other per-group windows: one sort exchange, one np.lexsort per run,
+    no per-row Python."""
+    cols = list(ds.schema().names)
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        idx = np.lexsort(
+            tuple(np.asarray(batch[c]) for c in reversed(order_cols))
+        )
+        out = {c: np.asarray(batch[c])[idx] for c in cols}
+        out[out_col] = np.arange(1, len(idx) + 1, dtype=np.int64)
         return out
 
     def empty_fn(batch: dict[str, np.ndarray]) -> dict:

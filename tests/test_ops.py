@@ -2247,3 +2247,28 @@ def test_review_regressions_lag_simjoin_transitions():
         select_to_token_budget(
             ray.data.from_pandas(wide), "doc_id", "n_tokens", budget=100
         ).to_pandas()
+
+
+def test_group_row_number_matches_pandas():
+    from raylink.ops.rank import group_row_number
+
+    rng = np.random.default_rng(15)
+    n = 8000
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 300, n),
+            "ord": rng.permutation(n).astype(np.int64),
+        }
+    )
+    out = (
+        group_row_number(
+            ray.data.from_pandas(df).repartition(5),
+            "uid", ["ord"], num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["uid", "ord"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["uid", "ord"]).reset_index(drop=True)
+    exp["row_num"] = exp.groupby("uid").cumcount() + 1
+    assert (out["row_num"].to_numpy() == exp["row_num"].to_numpy()).all()
