@@ -64,3 +64,19 @@ def stable_row_ids(*columns) -> np.ndarray:
     for col in columns[1:]:
         h = combine_hashes(h, hash64_array(col))
     return h
+
+
+def scan_key63(columns) -> np.ndarray:
+    """Non-negative int64 composite key from one or more value arrays —
+    the canonical sorted-scan bucket key (Ray sort keys must be int64;
+    the 63-bit mask keeps them non-negative).  The ONE place the
+    scan-key arithmetic lives: bucketed dedup, char-jaccard, and the
+    band join all key their scans through it, so a future key-scheme
+    change lands everywhere at once."""
+    h = None
+    for col in columns:
+        hk = hash64_array(np.asarray(col))
+        h = hk if h is None else combine_hashes(h, hk)
+    return (
+        np.asarray(h, dtype=np.uint64) & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+    ).astype(np.int64)

@@ -56,6 +56,10 @@ def _as_matrix(vectors) -> np.ndarray:
                         len(arr), int(widths[0])
                     )
         vectors = arr.to_pylist()
+    if len(vectors) == 0:
+        # width is unknowable without a row; callers early-return on
+        # empty batches before doing dimension-dependent math
+        return np.zeros((0, 0), dtype=np.float64)
     return np.stack([np.asarray(v, dtype=np.float64) for v in vectors])
 
 
@@ -79,6 +83,16 @@ def ann_brute_force(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
+        if len(batch) == 0:  # width-dependent math below can't run
+            return pa.table(
+                {
+                    "qi": pa.array([], type=pa.int64()),
+                    id_col: pa.array(
+                        [], type=batch.schema.field(id_col).type
+                    ),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
         emb = _normalize(_as_matrix(batch.column(emb_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sims = emb @ q.T  # (B, Q)
@@ -93,7 +107,9 @@ def ann_brute_force(
         return pa.table(
             {
                 "qi": pa.array(out_q, type=pa.int64()),
-                id_col: pa.array(out_id),
+                id_col: pa.array(
+                    out_id, type=batch.schema.field(id_col).type
+                ),
                 "cosine": pa.array(out_sim, type=pa.float64()),
             }
         )
@@ -156,6 +172,16 @@ def ann_lsh(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         st = ray.get(s_ref)
+        if len(batch) == 0:  # width-dependent math below can't run
+            return pa.table(
+                {
+                    "qi": pa.array([], type=pa.int64()),
+                    id_col: pa.array(
+                        [], type=batch.schema.field(id_col).type
+                    ),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
         emb = _normalize(_as_matrix(batch.column(emb_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         keys = [_bucket_keys(emb, p) for p in st["planes"]]
@@ -177,7 +203,9 @@ def ann_lsh(
         return pa.table(
             {
                 "qi": pa.array(out_q, type=pa.int64()),
-                id_col: pa.array(out_id),
+                id_col: pa.array(
+                    out_id, type=batch.schema.field(id_col).type
+                ),
                 "cosine": pa.array(out_sim, type=pa.float64()),
             }
         )
@@ -268,6 +296,16 @@ def ann_ivf(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         st = ray.get(state_ref)
+        if len(batch) == 0:  # width-dependent math below can't run
+            return pa.table(
+                {
+                    "qi": pa.array([], type=pa.int64()),
+                    id_col: pa.array(
+                        [], type=batch.schema.field(id_col).type
+                    ),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
         emb = _normalize(_as_matrix(batch.column(emb_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         assign = np.argmax(emb @ st["C"].T, axis=1)  # (B,)
@@ -285,7 +323,9 @@ def ann_ivf(
         return pa.table(
             {
                 "qi": pa.array(out_q, type=pa.int64()),
-                id_col: pa.array(out_id),
+                id_col: pa.array(
+                    out_id, type=batch.schema.field(id_col).type
+                ),
                 "cosine": pa.array(out_sim, type=pa.float64()),
             }
         )

@@ -49,8 +49,13 @@ def _sweep(
     order = np.argsort(vals, kind="stable")
     ids_s, vals_s = ids[order], vals[order]
     # sorted sweep, vectorized: for each i, pairs (i, j) for i < j < hi[i]
-    # where hi[i] bounds v_j <= v_i + cut
-    hi = np.searchsorted(vals_s, vals_s + cut, side="right")
+    # where hi[i] bounds v_j <= v_i + cut.  The bound is widened one ulp:
+    # fl(v_i + cut) can round BELOW the real v_i + cut and exclude a v_j
+    # the exact predicate accepts — the sweep must be a superset, the
+    # exact keep-filter below prunes
+    hi = np.searchsorted(
+        vals_s, np.nextafter(vals_s + cut, np.inf), side="right"
+    )
     counts = np.maximum(hi - np.arange(n) - 1, 0)
     total = int(counts.sum())
     if total == 0:
@@ -103,15 +108,15 @@ def band_join_self(
         taken = batch.take(pa.array(idx))
         out = taken.append_column("_bucket", pa.array(buckets, type=pa.int64()))
         if group_cols:
-            from ..functions.hashing import combine_hashes, hash64_array
+            from ..functions.hashing import scan_key63
 
-            h = hash64_array(buckets)
-            for c in group_cols:
-                col = taken.column(c).to_numpy(zero_copy_only=False)
-                h = combine_hashes(h, hash64_array(col))
-            key = (
-                np.asarray(h, dtype=np.uint64) & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
-            ).astype(np.int64)
+            key = scan_key63(
+                [buckets]
+                + [
+                    taken.column(c).to_numpy(zero_copy_only=False)
+                    for c in group_cols
+                ]
+            )
             out = out.append_column("_scan_key", pa.array(key, type=pa.int64()))
         return out
 

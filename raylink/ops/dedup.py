@@ -299,16 +299,14 @@ def _bucket_pairs(
             out[c] = np.full(len(ia), np.asarray(group[c])[0])
         return out
 
-    from ..functions.hashing import combine_hashes, hash64_array
+    from ..functions.hashing import scan_key63
     from ..stages.sortedrun import sorted_group_scan
 
     def add_key(batch: pa.Table) -> pa.Table:
-        h = None
-        for c in bucket_cols:
-            col = batch.column(c).to_numpy(zero_copy_only=False)
-            hk = hash64_array(col)
-            h = hk if h is None else combine_hashes(h, hk)
-        key = (np.asarray(h, dtype=np.uint64) & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        key = scan_key63(
+            batch.column(c).to_numpy(zero_copy_only=False)
+            for c in bucket_cols
+        )
         return batch.append_column("_scan_key", pa.array(key, type=pa.int64()))
 
     keyed = buckets.map_batches(add_key, batch_format="pyarrow")
@@ -781,16 +779,14 @@ def _charset_jaccard_dedup(
         out = out.append_column("_cj_hi", pa.array(hi.view(np.int64), type=pa.int64()))
         return out.append_column("_cj_fb", pa.array(fb, type=pa.string()))
 
-    from ..functions.hashing import combine_hashes, hash64_array
+    from ..functions.hashing import scan_key63
     from ..stages.sortedrun import sorted_group_scan
 
     def add_key(batch: pa.Table) -> pa.Table:
-        h = None
-        for c in group_cols:
-            col = batch.column(c).to_numpy(zero_copy_only=False)
-            hk = hash64_array(col)
-            h = hk if h is None else combine_hashes(h, hk)
-        key = (np.asarray(h, dtype=np.uint64) & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        key = scan_key63(
+            batch.column(c).to_numpy(zero_copy_only=False)
+            for c in group_cols
+        )
         return batch.append_column("_scan_key", pa.array(key, type=pa.int64()))
 
     keyed = ds.map_batches(add_masks, batch_format="pyarrow").map_batches(
@@ -942,6 +938,19 @@ def embedding_cosine_dedup(
     def bucket(batch: pa.Table) -> pa.Table:
         from .ann import _as_matrix
 
+        if len(batch) == 0:
+            # guard BEFORE the lazy plane init: a width-0 empty batch
+            # must not cache wrong-dimension hyperplanes for later ones
+            return pa.table(
+                {
+                    id_col: pa.array(
+                        [], type=batch.schema.field(id_col).type
+                    ),
+                    "_table": pa.array([], type=pa.int8()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "unit": pa.array([], type=pa.binary()),
+                }
+            )
         emb = _as_matrix(batch.column(emb_col))
         if state["planes"] is None:
             r = np.random.default_rng(seed)

@@ -83,7 +83,25 @@ def with_json_field(
                     ext.append(obj.get(field) if isinstance(obj, dict) else None)
                 except (TypeError, ValueError):
                     ext.append(None)
-            arr = pa.array(ext, type=pa_type)
+            try:
+                arr = pa.array(ext, type=pa_type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+                # documented contract: a type-mismatched JSON value is a
+                # null, never a job-killing cast error
+                if pa.types.is_integer(pa_type):
+                    ok = [
+                        v if type(v) is int else None for v in ext
+                    ]
+                elif pa.types.is_floating(pa_type):
+                    ok = [
+                        float(v) if type(v) in (int, float) else None
+                        for v in ext
+                    ]
+                elif pa.types.is_boolean(pa_type):
+                    ok = [v if type(v) is bool else None for v in ext]
+                else:
+                    ok = [v if isinstance(v, str) else None for v in ext]
+                arr = pa.array(ok, type=pa_type)
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -100,6 +100,8 @@ def kmeans_fit(
         def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             c = ray.get(c_ref)
             m = _as_matrix(list(batch[vec_col]))
+            if len(m) == 0:  # empty block: zero contribution, width from c
+                m = np.zeros((0, c.shape[1]), dtype=np.float64)
             # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
             d2 = (
                 (m * m).sum(axis=1)[:, None]
@@ -152,6 +154,8 @@ def assign_clusters(
     def assign(batch: dict[str, np.ndarray]) -> dict:
         c = ray.get(c_ref)
         m = _as_matrix(list(batch[vec_col]))
+        if len(m) == 0:
+            m = np.zeros((0, c.shape[1]), dtype=np.float64)
         d2 = (
             (m * m).sum(axis=1)[:, None]
             - 2.0 * m @ c.T

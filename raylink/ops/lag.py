@@ -76,7 +76,15 @@ def _fixed_e4(v: np.ndarray, integral: bool) -> np.ndarray:
             )
         return v.astype(np.int64) * 10_000
     f = np.asarray(v, dtype=np.float64)
-    if len(f) and np.nanmax(np.abs(f)) >= float(_E4_LIMIT):
+    if np.isnan(f).any():
+        # floor(NaN).astype(int64) silently becomes INT64_MIN and wraps
+        # every later cumulative sum; SQL SUM-skips-NULL semantics are
+        # not reproducible through a cumsum, so refuse loudly
+        raise ValueError(
+            "null values in the summed column are unsupported; filter or "
+            "fill them first"
+        )
+    if len(f) and np.max(np.abs(f)) >= float(_E4_LIMIT):
         raise ValueError(
             "values exceed the e4 fixed-point int64 range; rescale first"
         )
@@ -119,7 +127,14 @@ def group_lag(
             tuple(np.asarray(batch[c]) for c in reversed(order_cols))
         )
         out = {c: np.asarray(batch[c])[idx] for c in cols}
-        v, _ = _as_numeric(out[val_col])
+        v, integral = _as_numeric(out[val_col])
+        if integral and len(v) and int(np.abs(v).max()) >= (1 << 53):
+            # prev/delta ride through float64; beyond 2^53 (epoch-ns,
+            # snowflake ids) adjacent values collapse silently
+            raise ValueError(
+                "integer values exceed float64's exact range (2^53); "
+                "rescale (e.g. epoch-ns -> epoch-us) first"
+            )
         vf = v.astype(np.float64)
         prev = np.empty(len(vf), dtype=np.float64)
         prev[0] = np.nan

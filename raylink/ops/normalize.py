@@ -80,9 +80,17 @@ def group_standardize(
         g = np.asarray(batch[group_col])
         v = np.asarray(batch[val_col], dtype=np.float64)
         uniq, inv = np.unique(g, return_inverse=True)
-        n = np.asarray([lut[k][0] for k in uniq], dtype=np.int64)[inv]
-        s = np.asarray([lut[k][1] for k in uniq], dtype=np.int64)[inv]
-        ss = np.asarray([lut[k][2] for k in uniq], dtype=np.int64)[inv]
+        # a group whose every value is null never reaches pass 1's LUT;
+        # n=0 makes disc=0 so its rows fall through to the null z below
+        n = np.asarray(
+            [lut.get(k, (0, 0, 0))[0] for k in uniq], dtype=np.int64
+        )[inv]
+        s = np.asarray(
+            [lut.get(k, (0, 0, 0))[1] for k in uniq], dtype=np.int64
+        )[inv]
+        ss = np.asarray(
+            [lut.get(k, (0, 0, 0))[2] for k in uniq], dtype=np.int64
+        )[inv]
         vc = np.floor(v * value_scale + 0.5)
         vc_i = np.where(np.isnan(vc), 0, vc).astype(np.int64)
         disc = (n * ss - s * s).astype(np.float64)

@@ -42,6 +42,14 @@ def pca_fit(
 
     def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         m = _as_matrix(list(batch[vec_col]))
+        if len(m) == 0:
+            # zero-ROW partial: contributes nothing to the driver stack
+            # (an empty block can't know d, so it must emit no rows)
+            return {
+                "s": np.zeros((0, 1), dtype=np.float64),
+                "xtx": np.zeros((0, 1, 1), dtype=np.float64),
+                "n": np.zeros((0,), dtype=np.int64),
+            }
         return {
             "s": m.sum(axis=0)[None, :],
             "xtx": (m.T @ m)[None, :, :],
@@ -93,6 +101,8 @@ def pca_project(
     def project(batch: dict[str, np.ndarray]) -> dict:
         mu, w = ray.get(ref)
         m = _as_matrix(list(batch[vec_col]))
+        if len(m) == 0:
+            m = np.zeros((0, len(mu)), dtype=np.float64)
         out = dict(batch)
         out[out_col] = (m - mu) @ w
         return out

@@ -200,11 +200,13 @@ def frequent_items(
     import ray as _ray
 
     def to_values(batch: dict[str, np.ndarray]) -> np.ndarray:
-        v = pd.Series(np.asarray(batch[col]), dtype="object").fillna("")
+        v = pd.Series(np.asarray(batch[col]), dtype="object")
         if explode_tokens:
-            toks = v.str.split().explode()
+            toks = v.fillna("").str.split().explode()
             return toks[toks.notna()].to_numpy()
-        return v.to_numpy()
+        # SQL value-count semantics: NULL is not a value — dropping it
+        # here keeps it out of both the MG pass and the exact recount
+        return v[v.notna()].to_numpy()
 
     def summarize(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         vals = to_values(batch)

@@ -42,6 +42,17 @@ def group_vector_sums(
     import pyarrow as pa
 
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # empty block: zero-row partial, pinned types
+            return pa.table(
+                {
+                    label_col: pa.array(
+                        [], type=batch.schema.field(label_col).type
+                    ),
+                    "dim": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
         m = _as_matrix(batch.column(vec_col))
         vc = np.floor(m * scale + 0.5).astype(np.int64)
         labels = batch.column(label_col).to_numpy(zero_copy_only=False)

@@ -88,9 +88,15 @@ def _make_window_partial(ts_col, value_col, group_col, windows):
             .agg(n=("s", "size"), s=("s", "sum"))
             .reset_index()
         )
+        gv = p["g"].to_numpy()
+        g_arr = (
+            pa.array(gv, type=pa.int64())
+            if np.issubdtype(np.asarray(g).dtype, np.integer)
+            else pa.array(gv)  # string/object keys keep their type
+        )
         return pa.table(
             {
-                group_col: pa.array(p["g"].to_numpy(), type=pa.int64()),
+                group_col: g_arr,
                 "window_start": pa.array(p["w"].to_numpy(), type=pa.int64()),
                 "n_events": pa.array(p["n"].to_numpy(np.int64), type=pa.int64()),
                 "sum_value_e4": pa.array(p["s"].to_numpy(np.int64), type=pa.int64()),

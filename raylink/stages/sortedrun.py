@@ -33,6 +33,14 @@ def _group_slices(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = len(keys)
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if np.issubdtype(keys.dtype, np.floating) and np.isnan(keys).any():
+        # NaN != NaN breaks run detection AND the boundary-repair masks:
+        # every NaN row would become its own group and straddling NaN
+        # runs would never merge — refuse rather than emit fragments
+        raise ValueError(
+            "NaN group keys are unsupported in sorted scans; fill or "
+            "filter null keys first"
+        )
     change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
