@@ -108,9 +108,11 @@ def gamma_string(
     """String-distance agreement (``gammaCKpar!``/``gammaCKfuzzy!`` semantics).
 
     The reference's bit-parallel ``gammaCKfuzzy!`` is a performance
-    specialization of Jaro-Winkler with identical logical output (modulo its
-    16-codeunit truncation, which we deliberately do NOT reproduce — see
-    SURVEY.md §2.3); one scorer suffices here.
+    specialization of Jaro-Winkler with identical logical output modulo
+    its 16-codeunit truncation — available here as the opt-in per-variable
+    ``fuzzy_truncate`` flag, applied by the row scorer
+    (stages/scoring.py) and the pooled engine (pipelines/pooled.py), not
+    by this kernel; one scorer suffices.  See SURVEY.md §2.3.
     """
     sims = similarity_pairs(
         np.asarray(a, dtype=object),

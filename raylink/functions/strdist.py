@@ -496,8 +496,20 @@ def jaro_winkler_grid(
     with np.errstate(invalid="ignore", divide="ignore"):
         jaro_bound = (c / la + c / lb + 1.0) / 3.0
     out = np.minimum(jaro_bound, 1.0)
+    # zero-length strings: c/la is 0/0 = NaN, which would silently fail
+    # every comparison below and leave the cell NaN (-> MISSING gamma),
+    # diverging from the row engine's scalar convention ("" == "" -> 1.0,
+    # one side empty -> 0.0).  Resolve those cells exactly, up front.
+    zero_a = la == 0.0  # (m, 1)
+    zero_b = lb == 0.0  # (1, nb)
+    either_zero = zero_a | zero_b
+    if either_zero.any():
+        out = np.where(either_zero, np.where(zero_a & zero_b, 1.0, 0.0), out)
+        jaro_bound = np.where(either_zero, -1.0, jaro_bound)  # never rescan
     if prune_below is None:
-        todo = np.ones((m, nb), dtype=bool)
+        todo = ~either_zero if either_zero.any() else np.ones(
+            (m, nb), dtype=bool
+        )
     else:
         # 5e-5 guard: callers round to 4 digits before thresholding
         cutoff = prune_below - 5e-5

@@ -87,13 +87,16 @@ def quality_scores(texts) -> dict[str, np.ndarray]:
     punct_ratio = n_punct / safe_chars
     mean_token_len = (n_chars - (n_tokens - 1).clip(min=0)) / safe_toks
     sw_en = _STOPWORDS["en"]
-    stop_hits = np.array(
-        [
-            sum(1 for tok in _TOKEN_RE.split(t.lower()) if tok in sw_en)
-            for t in s
-        ],
-        dtype=np.int64,
-    )
+    # vectorized explode+isin (same shape as language_id above) — the
+    # per-doc Python tokenizer loop this replaces dominated batch cost;
+    # \s+-split semantics are identical (boundary empties miss the isin)
+    exq = s.str.lower().str.split(_TOKEN_RE.pattern, regex=True).explode()
+    exq = exq[exq.notna()]
+    stop_hits = np.zeros(len(s), dtype=np.int64)
+    if len(exq):
+        didx = exq.index.to_numpy(np.int64)
+        mask = pd.Series(exq.to_numpy(), copy=False).isin(sw_en).to_numpy()
+        np.add.at(stop_hits, didx[mask], 1)
     stopword_ratio = stop_hits / safe_toks
     # composite: reward natural-language-looking docs
     length_score = np.clip(n_tokens / 50.0, 0, 1)

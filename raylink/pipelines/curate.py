@@ -105,10 +105,38 @@ def curate_corpus(
 
     from ..state.checkpoint import PipelineRunner
 
+    # the resume key must cover every parameter that changes a stage's
+    # output, or a rerun with new thresholds/splits/seeds silently
+    # returns the OLD corpus; each stage keys on exactly the params it
+    # consumes so a split-only change still resumes the text pass
+    import hashlib as _hl
+    import json as _json
+
+    def _fp(params: dict) -> str:
+        blob = _json.dumps(params, sort_keys=True)
+        return (
+            input_fingerprint
+            + ":"
+            + _hl.sha256(blob.encode()).hexdigest()[:16]
+        )
+
+    filtered_fp = _fp(
+        {"max_dup_ratio_e4": max_dup_ratio_e4, "min_words": min_words}
+    )
+    final_fp = _fp(
+        {
+            "max_dup_ratio_e4": max_dup_ratio_e4,
+            "min_words": min_words,
+            "splits": splits,
+            "split_fractions": split_fractions,
+            "split_seed": split_seed,
+            "sample_seed": sample_seed,
+        }
+    )
     runner = PipelineRunner(checkpoint_dir)
     filtered = runner.stage(
-        "curate_filtered", build_filtered, input_fingerprint
+        "curate_filtered", build_filtered, filtered_fp
     ).dataset
     return runner.stage(
-        "curate_final", lambda: build_final(filtered), input_fingerprint
+        "curate_final", lambda: build_final(filtered), final_fp
     ).dataset

@@ -86,8 +86,17 @@ SCAN_CHUNK_PAIRS = 4_000_000
 
 
 def poolable(variables: list[VarConfig]) -> bool:
-    """True when every leaf variable can be scored by the pooled engine."""
-    return all(v.kernel in ("string", "exact", "numeric") for v in variables)
+    """True when every leaf variable can be scored by the pooled engine.
+
+    tf_adjust variables are NOT poolable: the pooled pipelines carry no
+    term-frequency side-channel, so routing a tf config here would
+    silently drop the adjustment — such configs belong to the row-pair
+    engine, which implements it faithfully."""
+    return all(
+        v.kernel in ("string", "exact", "numeric")
+        and not getattr(v, "tf_adjust", False)
+        for v in variables
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -245,10 +254,14 @@ def _build_gamma_luts(
             items.append({"job": j, "start": s, "end": min(s + rows_per_task, na)})
     if not items:
         return luts
-    payloads_ref = ray.put(payloads)
+    # one ray.put PER JOB: a scoring task deserializes only its own
+    # job's pools, not every variable's (object-dtype pools pickle,
+    # they don't zero-copy — shipping all jobs to all tasks repays the
+    # full deserialization once per task)
+    payload_refs = [ray.put(p) for p in payloads]
 
     def score_item(job: int, start: int, end: int) -> np.ndarray:
-        pl = ray.get(payloads_ref)[job]
+        pl = ray.get(payload_refs[job])
         p = params[job]
         nb = p["nb"]
         ia = np.arange(start, end, dtype=np.int64)
@@ -358,6 +371,9 @@ def _prepare_pooled_vars(
                 float(v.cut_b),
                 v.partial,
                 v.upper,
+                # truncation changes the gammas: two vars differing only
+                # in this flag must NOT share one LUT
+                bool(getattr(v, "fuzzy_truncate", False)),
                 hash(tuple(va)),
                 hash(tuple(vb)),
             )
@@ -777,7 +793,7 @@ def _cell_match_task(
         if len(flat) == 0:
             continue
         ri, ci = np.unravel_index(flat, keys.shape)
-        out_a.append((ids_a_all if diag else ids_a_all)[ia[ri]])
+        out_a.append(ids_a_all[ia[ri]])
         out_b.append((ids_a_all if diag else ids_b_all)[jb[ci]])
         out_k.append(keys.ravel()[flat])
     if not out_a:

@@ -65,11 +65,21 @@ def _config_fingerprint(config: LinkConfig, extra: str = "") -> str:
     blob = json.dumps(
         {
             "vars": [
-                (v.name, v.kernel, v.distmethod, v.cut_a, v.cut_b, v.partial, v.w)
+                (
+                    v.name, v.kernel, v.distmethod, v.cut_a, v.cut_b,
+                    v.partial, v.w,
+                    # every knob that changes gammas or downstream stage
+                    # output must be in the resume key, or a rerun with a
+                    # changed config silently resumes stale results
+                    bool(getattr(v, "upper", False)),
+                    bool(getattr(v, "fuzzy_truncate", False)),
+                    bool(getattr(v, "tf_adjust", False)),
+                )
                 for v in config.leaf_vars()
             ],
             "threshold": config.comparisons.threshold_match,
             "cap": config.blocking.cap,
+            "seed": getattr(config.execution, "seed", None),
             "extra": extra,
         },
         sort_keys=True,
