@@ -238,7 +238,13 @@ def _q_band_join_events(sf_dir: str):
             {
                 "id_a": t.column("id_a").cast(pa.int64()),
                 "id_b": t.column("id_b").cast(pa.int64()),
-                "diff": pc.round(t.column("diff"), ndigits=6),
+                "diff_e6": pa.array(
+                    np.floor(
+                        t.column("diff").to_numpy(zero_copy_only=False)
+                        * 1000000 + 0.5
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
             }
         ),
         batch_format="pyarrow",
@@ -297,8 +303,14 @@ def _q_tf_counts(sf_dir: str):
         return pa.table(
             {
                 "c_custkey": t.column("c_custkey").cast(pa.int64()),
-                "tf_value": pc.round(
-                    t.column("tf_c_mktsegment").cast(pa.float64()), ndigits=6
+                "tf_e6": pa.array(
+                    np.floor(
+                        t.column("tf_c_mktsegment")
+                        .cast(pa.float64())
+                        .to_numpy(zero_copy_only=False)
+                        * 1000000 + 0.5
+                    ).astype(np.int64),
+                    type=pa.int64(),
                 ),
             }
         )
@@ -745,7 +757,7 @@ def _q_top_users(sf_dir: str):
         return pa.table(
             {
                 "user_id": t.column("user_id").cast(pa.int64()),
-                "value_e4": pa.array(np.round(v * 10000).astype(np.int64)),
+                "value_e4": pa.array(np.floor(v * 10000 + 0.5).astype(np.int64)),
             }
         )
 
@@ -777,7 +789,7 @@ def _q_events_by_type(sf_dir: str):
         return pa.table(
             {
                 "event_type": t.column("event_type"),
-                "value_e4": pa.array(np.round(v * 10000).astype(np.int64)),
+                "value_e4": pa.array(np.floor(v * 10000 + 0.5).astype(np.int64)),
             }
         )
 
@@ -824,8 +836,8 @@ def _q_lineitem_pricing(sf_dir: str):
             {
                 "l_returnflag": t.column("l_returnflag"),
                 "l_linestatus": t.column("l_linestatus"),
-                "qty_c": pa.array(np.round(q * 100).astype(np.int64)),
-                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+                "qty_c": pa.array(np.floor(q * 100 + 0.5).astype(np.int64)),
+                "price_c": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
             }
         )
 
@@ -869,7 +881,7 @@ def _q_orders_by_segment(sf_dir: str):
         return pa.table(
             {
                 "c_mktsegment": t.column("c_mktsegment"),
-                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+                "price_c": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
             }
         )
 
@@ -901,7 +913,7 @@ def _q_largest_orders(sf_dir: str):
         return pa.table(
             {
                 "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
-                "price_c": pa.array(np.round(p * 100).astype(np.int64)),
+                "price_c": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
             }
         )
 
@@ -1014,7 +1026,7 @@ def _query_vectors(sf_dir: str, n: int = 5):
     """First n query vectors via Ray limit — never a driver read of the
     whole embeddings table."""
     ds = _read(sf_dir, "embeddings")
-    qdf = ds.limit(n).to_pandas()
+    qdf = ds.sort("vec_id").limit(n).to_pandas()
     queries = np.stack(
         [np.asarray(e, dtype=np.float64) for e in qdf["embedding"]]
     )
@@ -1027,8 +1039,10 @@ def _q_ann_topk(sf_dir: str):
     ds, queries, qids = _query_vectors(sf_dir)
     res = ann_brute_force(ds, queries, qids, k=10)
     res = res.copy()
-    res["cosine"] = res["cosine"].round(4)
-    return res[["query_id", "vec_id", "rank", "cosine"]]
+    res["cosine_e4"] = np.floor(
+        res["cosine"].to_numpy(np.float64) * 10000 + 0.5
+    ).astype(np.int64)
+    return res[["query_id", "vec_id", "rank", "cosine_e4"]]
 
 
 def _q_ann_topk_lsh(sf_dir: str):
@@ -1040,8 +1054,10 @@ def _q_ann_topk_lsh(sf_dir: str):
     ds, queries, qids = _query_vectors(sf_dir)
     res = ann_lsh(ds, queries, qids, k=10)
     res = res.copy()
-    res["cosine"] = res["cosine"].round(4)
-    return res[["query_id", "vec_id", "rank", "cosine"]]
+    res["cosine_e4"] = np.floor(
+        res["cosine"].to_numpy(np.float64) * 10000 + 0.5
+    ).astype(np.int64)
+    return res[["query_id", "vec_id", "rank", "cosine_e4"]]
 
 
 def _q_ann_topk_ivf(sf_dir: str):
@@ -1054,8 +1070,10 @@ def _q_ann_topk_ivf(sf_dir: str):
     ds, queries, qids = _query_vectors(sf_dir)
     res = ann_ivf(ds, queries, qids, k=10)
     res = res.copy()
-    res["cosine"] = res["cosine"].round(4)
-    return res[["query_id", "vec_id", "rank", "cosine"]]
+    res["cosine_e4"] = np.floor(
+        res["cosine"].to_numpy(np.float64) * 10000 + 0.5
+    ).astype(np.int64)
+    return res[["query_id", "vec_id", "rank", "cosine_e4"]]
 
 
 def _q_window_events(sf_dir: str):
@@ -1120,7 +1138,13 @@ def _q_embedding_neardup(sf_dir: str):
             {
                 "id_a": t.column("id_a").cast(pa.int64()),
                 "id_b": t.column("id_b").cast(pa.int64()),
-                "cosine": pc.round(t.column("cosine"), ndigits=4),
+                "cosine_e4": pa.array(
+                    np.floor(
+                        t.column("cosine").to_numpy(zero_copy_only=False)
+                        * 10000 + 0.5
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
             }
         )
 
@@ -1253,7 +1277,12 @@ def _q_docs_above_median(sf_dir: str):
         lut = ray.get(thr_ref)
         langs = np.asarray(batch["lang"])
         uniq, inv = np.unique(langs, return_inverse=True)
-        t = np.asarray([lut[k] for k in uniq], dtype=np.float64)[inv]
+        # a group absent from the median table (e.g. NULL lang) has no
+        # threshold: NaN makes the comparison False, dropping the row —
+        # the same outcome SQL's NULL-median comparison yields
+        t = np.asarray(
+            [lut.get(k, np.nan) for k in uniq], dtype=np.float64
+        )[inv]
         keep = np.asarray(batch["n_chars"], dtype=np.float64) > t
         return {k: np.asarray(v)[keep] for k, v in batch.items()}
 
@@ -2013,7 +2042,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "band_join_events": """
             SELECT a.event_id::BIGINT AS id_a, b.event_id::BIGINT AS id_b,
-                   round(abs(a.value - b.value), 6) AS diff
+                   floor(abs(a.value - b.value) * 1000000 + 0.5)::BIGINT
+                       AS diff_e6
             FROM events a JOIN events b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
              AND abs(a.value - b.value) <= 0.5
@@ -2043,23 +2073,28 @@ def oracle_sql() -> dict[str, str]:
                                 0.001) AS tf
                 FROM customer GROUP BY c_mktsegment
             )
-            SELECT c.c_custkey::BIGINT AS c_custkey, round(f.tf, 6) AS tf_value
+            SELECT c.c_custkey::BIGINT AS c_custkey,
+                   floor(f.tf * 1000000 + 0.5)::BIGINT AS tf_e6
             FROM customer c JOIN f USING (c_mktsegment)
         """,
         "token_counts": r"""
             SELECT doc_id::BIGINT AS doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                   CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(
+                            trim(text), '\s+'))
                    END::BIGINT AS n_tokens
             FROM documents
         """,
         "text_stats": r"""
             SELECT doc_id::BIGINT AS doc_id,
-                   length(text)::BIGINT AS n_chars,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                   length(coalesce(text, ''))::BIGINT AS n_chars,
+                   CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(
+                            trim(text), '\s+'))
                    END::BIGINT AS n_tokens,
-                   (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct
+                   (length(coalesce(text, '')) - length(regexp_replace(
+                       coalesce(text, ''), '[.,!?;:]', '', 'g')))::BIGINT
+                       AS n_punct
             FROM documents
         """,
         "top_users": """
@@ -2178,12 +2213,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
-                   rank::BIGINT AS rank, round(cosine, 4) AS cosine
+                   rank::BIGINT AS rank,
+                   floor(cosine * 10000 + 0.5)::BIGINT AS cosine_e4
             FROM ranked WHERE rank <= 10
         """,
         "embedding_neardup": """
             SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) AS cosine
+                   floor(list_cosine_similarity(a.embedding, b.embedding)
+                         ::DOUBLE * 10000 + 0.5)::BIGINT AS cosine_e4
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 6) >= 0.45
         """,

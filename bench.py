@@ -42,9 +42,17 @@ def _transcript_cache(n_entities: int, hot: int, seed: int = 42) -> str:
     into one task — a bench artifact that misrepresents the many-file
     reality at scale (cache layout v2; v1 single-file caches regenerate).
     """
+    from raylink.sources.synth import CORPUS_VERSION
+
     path = f"/tmp/raylink_bench/transcripts_e{n_entities}_h{hot}_s{seed}"
     marker = os.path.join(path, "_DONE")
-    if not (os.path.exists(marker) and open(marker).read().startswith("v2")):
+    # marker ties the cache to BOTH the shard layout and the generator
+    # version — a changed make_transcripts must not silently leave stale
+    # corpora under /tmp (existing "v2" markers regenerate once)
+    expected = f"v2:g{CORPUS_VERSION}"
+    if not (
+        os.path.exists(marker) and open(marker).read().strip() == expected
+    ):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
@@ -72,7 +80,7 @@ def _transcript_cache(n_entities: int, hot: int, seed: int = 42) -> str:
                 )
         truth.to_parquet(os.path.join(path, "truth.parquet"), row_group_size=65536)
         with open(marker, "w") as f:
-            f.write("v2")
+            f.write(expected)
     return path
 
 
@@ -528,10 +536,11 @@ def run_scoring_probe(sf_dir: str, n_pairs: int = 4_000_000, reps: int = 3) -> d
     Scores a deterministic amplified pair set drawn from the assembled
     conversation records with an actor pool sized proportionally to the
     cluster (3/4 of CPUs), so the N-vs-4N comparison varies only the
-    parallelism level.  The reported rate is the MEDIAN of ``reps``
-    repetitions — this VM's run-to-run noise is +-25-30% (documented in
-    BASELINE.md) and single-shot readings swing the efficiency ratio far
-    more than the engine does.
+    parallelism level.  The reported rate is the BEST of ``reps``
+    repetitions (minimum wall): this VM's run-to-run noise is +-25-30%
+    (documented in BASELINE.md), one-sided — interference only ever
+    slows a rep — so the fastest rep is the least-biased estimate of the
+    engine's throughput; per-rep walls are reported for transparency.
     """
     import numpy as np
     import ray
@@ -622,8 +631,9 @@ def main() -> None:
         headline["weak_scoring_walls"] = weak.get("scoring_walls")
         # pooled-engine probe at a compute-dominated scale (1G pairs):
         # fixed per-run costs (startup, driver EM) are O(1) in input size,
-        # so scaling must be read where distributed work dominates; median
-        # of 3 (same +-25-30% VM noise rationale as the scoring probe)
+        # so scaling must be read where distributed work dominates; BEST
+        # of 3 (same one-sided +-25-30% VM noise rationale as the
+        # scoring probe)
         import numpy as _np
 
         pooled_walls = [
@@ -703,8 +713,15 @@ def run_scaling() -> None:
             env=env,
             timeout=3600,
         )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            # surface the CHILD's failure, not a bare IndexError
+            raise RuntimeError(
+                f"scale probe at {cpus} CPUs failed "
+                f"(exit {proc.returncode}); stderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-15:])
+            )
+        results[cpus] = json.loads(lines[-1])
     h_lo, h_hi = results[lo]["headline"], results[hi]["headline"]
     factor = hi / lo
     e2e_eff = (h_hi["pairs_per_sec"] / h_lo["pairs_per_sec"]) / factor
@@ -719,16 +736,24 @@ def run_scaling() -> None:
     # weak scaling (pairs ∝ CPUs): ideal keeps wall constant, so total
     # rate scales by `factor`; efficiency normalizes the same way
     weak_eff = (w_hi / w_lo) / factor if w_lo and w_hi else None
-    best = max(
-        x
-        for x in (scoring_eff, pooled_eff, e2e_eff, weak_eff)
-        if x is not None
+    # headline value = the STRONG scoring efficiency (the criterion's
+    # named quantity), not the max over probes — the max of four noisy
+    # ratios is upward-biased and would hide a regression in three of
+    # them behind one lucky draw; every probe is still reported below
+    headline_eff = (
+        scoring_eff
+        if scoring_eff is not None
+        else max(
+            x
+            for x in (pooled_eff, e2e_eff, weak_eff)
+            if x is not None
+        )
     )
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
-                "value": round(best, 4),
+                "value": round(headline_eff, 4),
                 "unit": "ratio",
                 "queries": {
                     f"scoring_pairs_per_sec_{lo}cpu": s_lo,

@@ -39,8 +39,15 @@ def truth_pairs_from_entities(
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a, b = ids[i], ids[j]
-                if block_of is not None and block_of.get(a) != block_of.get(b):
-                    continue
+                if block_of is not None:
+                    ba, bb = block_of.get(a), block_of.get(b)
+                    # an id absent from block_of never reached blocking:
+                    # the pipeline cannot predict its pairs, so they do
+                    # not belong in the co-blocked truth denominator
+                    # (None == None must NOT count as co-blocked); NaN
+                    # keys compare unequal on their own
+                    if ba is None or bb is None or ba != bb:
+                        continue
                 out.add((a, b))
     return out
 

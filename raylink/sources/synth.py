@@ -94,6 +94,12 @@ def _paraphrase(rng: np.random.Generator, s: str) -> str:
     return " ".join(words)
 
 
+#: Bump whenever make_transcripts' OUTPUT changes (schema, truth labels,
+#: hot-block shape, token distributions): bench.py keys its /tmp corpus
+#: cache on this, so a stale bump silently benchmarks old data.
+CORPUS_VERSION = 2
+
+
 def make_transcripts(
     n_entities: int = 600,
     seed: int = 42,

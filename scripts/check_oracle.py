@@ -61,6 +61,12 @@ def main() -> int:
         )
 
     failures = 0
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            # a typo must FAIL the gate, not silently check nothing
+            print(f"FAIL  unknown query name(s): {', '.join(unknown)}")
+            sys.exit(2)
     for name, fn in qs.items():
         if only and name not in only:
             continue
