@@ -1655,6 +1655,19 @@ def _q_event_row_numbers(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "row_num"])
 
 
+def _q_near_dedup_docs(sf_dir: str):
+    """The complete near-dedup story: minhash pairs -> transitive
+    clusters -> keep-first -> filtered corpus.  Approximate by
+    construction (rows-only; pair quality graded via minhash_dedup's
+    est-Jaccard MAE, transitivity pytest-verified)."""
+    from raylink.pipelines.neardedup import near_dedup_corpus
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    kept, _counters = near_dedup_corpus(docs, threshold=0.7,
+                                        num_partitions=8)
+    return kept.select_columns(["doc_id"])
+
+
 def _q_new_docs_unseen(sf_dir: str):
     """Exact sibling of the cross-corpus near-dedup: new docs (doc_id >=
     250) whose exact text does NOT occur in the existing corpus —
@@ -1831,6 +1844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "budget_sample_docs": _q_budget_sample_docs,
         "event_row_numbers": _q_event_row_numbers,
+        "near_dedup_docs": _q_near_dedup_docs,
     }
 
 

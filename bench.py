@@ -207,6 +207,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "weighted_sample_docs",
         "budget_sample_docs",
         "event_row_numbers",
+        "near_dedup_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -2272,3 +2272,45 @@ def test_group_row_number_matches_pandas():
     exp = df.sort_values(["uid", "ord"]).reset_index(drop=True)
     exp["row_num"] = exp.groupby("uid").cumcount() + 1
     assert (out["row_num"].to_numpy() == exp["row_num"].to_numpy()).all()
+
+
+def test_near_dedup_corpus_transitive_collapse():
+    from raylink.pipelines.neardedup import near_dedup_corpus
+
+    rng = np.random.default_rng(16)
+    words = np.array([f"w{i}" for i in range(400)], dtype=object)
+    base = [" ".join(rng.choice(words, 60)) for _ in range(20)]
+    docs = []
+    # cluster of 3: a ~ b ~ c by chained small edits (a vs c farther)
+    a = base[0]
+    b = a + " tailone"
+    c = b + " tailtwo"
+    docs += [a, b, c]
+    # plain pair
+    docs += [base[1], base[1] + " x"]
+    # distinct docs
+    docs += base[2:12]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+    )
+    kept, counters = near_dedup_corpus(
+        ray.data.from_pandas(df).repartition(3), threshold=0.6,
+        num_partitions=4,
+    )
+    kept_ids = sorted(kept.to_pandas()["doc_id"])
+    # chain {0,1,2} collapses to 0; pair {3,4} to 3; distinct docs stay
+    assert 0 in kept_ids and 1 not in kept_ids and 2 not in kept_ids
+    assert 3 in kept_ids and 4 not in kept_ids
+    assert set(range(5, 15)) <= set(kept_ids)
+    assert counters["n_docs"] == 15
+    assert counters["n_kept"] == len(kept_ids) == 12
+    assert counters["n_dropped"] == 3
+    # no-duplicate corpus passes through untouched
+    clean = pd.DataFrame(
+        {"doc_id": np.arange(8, dtype=np.int64),
+         "text": base[12:20]}
+    )
+    kept2, c2 = near_dedup_corpus(
+        ray.data.from_pandas(clean), threshold=0.6, num_partitions=4
+    )
+    assert c2["n_dropped"] == 0 and len(kept2.to_pandas()) == 8
