@@ -124,10 +124,16 @@ def select_to_token_budget(
     budget: int,
     seed: int = 0,
     num_partitions: int = 64,
+    bucket_width: int = 1 << 20,
 ) -> ray.data.Dataset:
     """Budget-constrained corpus selection: keep documents in the
     deterministic hash order while the running token total stays within
     ``budget`` — "give me ~10B tokens of this corpus" as one call.
+
+    ``bucket_width`` partitions the 2^31 hash space for the prefix sum:
+    the default (2^20 -> 2048 buckets) keeps per-bucket groups large
+    enough that the scan's per-group overhead stays negligible while
+    the driver's bucket array stays tiny.
 
     Ids must lie in [0, 2^31-1) (enforced with a loud error): there the
     hash is a bijection, so hash order is a fixed pseudorandom
@@ -164,7 +170,7 @@ def select_to_token_budget(
     hashed = ds.map_batches(add_hash, batch_format="numpy")
     with_off = global_prefix_sum(
         hashed, "_tbs_hash", tokens_col, out_col="_tbs_off",
-        num_partitions=num_partitions,
+        bucket_width=bucket_width, num_partitions=num_partitions,
     )
 
     def filt(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
