@@ -1765,7 +1765,44 @@ def _q_redact_docs(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering contract (round 3): the driver verifies a bounded PREFIX of
+    # this dict (round 2 stopped at 50 entries), so entries that have never
+    # appeared in a CORRECTNESS_r*.json come FIRST. Block 1 below is the 29
+    # queries added late in round 2 that CORRECTNESS_r02.json never reached
+    # (redact_docs .. near_dedup_docs), plus any round-3 additions; block 2
+    # re-lists the 50 entries already verified green in round 2.
     return {
+        # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
+        "redact_docs": _q_redact_docs,
+        "repetition_docs": _q_repetition_docs,
+        "curate_docs": _q_curate_docs,
+        "zscore_events": _q_zscore_events,
+        "docs_above_median": _q_docs_above_median,
+        "split_docs": _q_split_docs,
+        "pivot_events": _q_pivot_events,
+        "label_centroids": _q_label_centroids,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "pca_embeddings": _q_pca_embeddings,
+        "rank_docs": _q_rank_docs,
+        "sample_docs_k": _q_sample_docs_k,
+        "lag_events": _q_lag_events,
+        "running_sum_events": _q_running_sum_events,
+        "rolling_sum_events": _q_rolling_sum_events,
+        "suppliers_by_region": _q_suppliers_by_region,
+        "pack_docs": _q_pack_docs,
+        "heavy_tokens": _q_heavy_tokens,
+        "decontaminate_ngrams": _q_decontaminate_ngrams,
+        "event_transitions": _q_event_transitions,
+        "hopping_window_events": _q_hopping_window_events,
+        "supplier_simjoin": _q_supplier_simjoin,
+        "cust_supp_simjoin": _q_cust_supp_simjoin,
+        "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
+        "new_docs_unseen": _q_new_docs_unseen,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "budget_sample_docs": _q_budget_sample_docs,
+        "event_row_numbers": _q_event_row_numbers,
+        "near_dedup_docs": _q_near_dedup_docs,
+        # --- block 2: verified green in CORRECTNESS_r02.json ---
         "block_keys": _q_block_keys,
         "block_pair_counts": _q_block_pair_counts,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1816,35 +1853,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": _q_sample_docs,
         "mixture_docs": _q_mixture_docs,
         "stratified_docs": _q_stratified_docs,
-        "redact_docs": _q_redact_docs,
-        "repetition_docs": _q_repetition_docs,
-        "curate_docs": _q_curate_docs,
-        "zscore_events": _q_zscore_events,
-        "docs_above_median": _q_docs_above_median,
-        "split_docs": _q_split_docs,
-        "pivot_events": _q_pivot_events,
-        "label_centroids": _q_label_centroids,
-        "kmeans_embeddings": _q_kmeans_embeddings,
-        "pca_embeddings": _q_pca_embeddings,
-        "rank_docs": _q_rank_docs,
-        "sample_docs_k": _q_sample_docs_k,
-        "lag_events": _q_lag_events,
-        "running_sum_events": _q_running_sum_events,
-        "rolling_sum_events": _q_rolling_sum_events,
-        "suppliers_by_region": _q_suppliers_by_region,
-        "pack_docs": _q_pack_docs,
-        "heavy_tokens": _q_heavy_tokens,
-        "decontaminate_ngrams": _q_decontaminate_ngrams,
-        "event_transitions": _q_event_transitions,
-        "hopping_window_events": _q_hopping_window_events,
-        "supplier_simjoin": _q_supplier_simjoin,
-        "cust_supp_simjoin": _q_cust_supp_simjoin,
-        "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
-        "new_docs_unseen": _q_new_docs_unseen,
-        "weighted_sample_docs": _q_weighted_sample_docs,
-        "budget_sample_docs": _q_budget_sample_docs,
-        "event_row_numbers": _q_event_row_numbers,
-        "near_dedup_docs": _q_near_dedup_docs,
     }
 
 
