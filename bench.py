@@ -590,12 +590,15 @@ def run_scoring_probe(sf_dir: str, n_pairs: int = 4_000_000, reps: int = 3) -> d
     # VM is one-sided (it only ever slows a rep down), so min(walls) is the
     # least-biased estimate of the engine's throughput at this parallelism
     wall = float(np.min(walls))
+    wall_med = float(np.median(walls))
     return {
         "scoring_pairs": n_pairs,
         "scoring_pool": pool,
         "scoring_wall": round(wall, 3),
+        "scoring_wall_median": round(wall_med, 3),
         "scoring_walls": [round(w, 3) for w in walls],
         "scoring_pairs_per_sec": round(n_pairs / wall, 1),
+        "scoring_pairs_per_sec_median": round(n_pairs / wall_med, 1),
     }
 
 
@@ -641,20 +644,31 @@ def main() -> None:
             run_ref_workload(10_000, 100_000)["wall_seconds"] for _ in range(3)
         ]
         pw = float(_np.min(pooled_walls))  # best-of, same one-sided-noise rationale
+        pw_med = float(_np.median(pooled_walls))
         headline["pooled_pairs"] = 10_000 * 100_000
         headline["pooled_wall"] = round(pw, 3)
+        headline["pooled_wall_median"] = round(pw_med, 3)
         headline["pooled_walls"] = pooled_walls
         headline["pooled_pairs_per_sec"] = round(10_000 * 100_000 / pw, 1)
+        headline["pooled_pairs_per_sec_median"] = round(
+            10_000 * 100_000 / pw_med, 1
+        )
     queries = {} if (headline_only or scale_probe) else run_op_benchmarks(SF_DIR)
     ref = None
     grades = None
     if not (headline_only or scale_probe):
         # best-of-3: this probe swings 12-33 s on identical input at 32
         # CPUs (one-sided VM interference; see BASELINE.md)
+        ref_walls = []
         for _rep in range(3):
             cand = run_ref_workload()
+            ref_walls.append(cand["wall_seconds"])
             if ref is None or cand["wall_seconds"] < ref["wall_seconds"]:
                 ref = cand
+        ref["all_walls"] = ref_walls  # min is headline; median readable here
+        import statistics as _stats
+
+        ref["wall_seconds_median"] = round(_stats.median(ref_walls), 3)
         queries["ref_workload"] = ref["wall_seconds"]
         grades = run_quality_grades(SF_DIR)
     total = headline["wall_seconds"] + sum(queries.values())
@@ -729,6 +743,11 @@ def run_scaling() -> None:
     s_lo = h_lo.get("scoring_pairs_per_sec")
     s_hi = h_hi.get("scoring_pairs_per_sec")
     scoring_eff = (s_hi / s_lo) / factor if s_lo and s_hi else None
+    # median-of-N companion so readers can judge the one-sided-noise claim
+    # without re-running (ADVICE round 2)
+    sm_lo = h_lo.get("scoring_pairs_per_sec_median")
+    sm_hi = h_hi.get("scoring_pairs_per_sec_median")
+    scoring_eff_med = (sm_hi / sm_lo) / factor if sm_lo and sm_hi else None
     p_lo = h_lo.get("pooled_pairs_per_sec")
     p_hi = h_hi.get("pooled_pairs_per_sec")
     pooled_eff = (p_hi / p_lo) / factor if p_lo and p_hi else None
@@ -760,6 +779,9 @@ def run_scaling() -> None:
                     f"scoring_pairs_per_sec_{lo}cpu": s_lo,
                     f"scoring_pairs_per_sec_{hi}cpu": s_hi,
                     "scoring_efficiency": round(scoring_eff, 4) if scoring_eff else None,
+                    "scoring_efficiency_median": round(scoring_eff_med, 4)
+                    if scoring_eff_med
+                    else None,
                     f"pooled_pairs_per_sec_{lo}cpu": p_lo,
                     f"pooled_pairs_per_sec_{hi}cpu": p_hi,
                     "pooled_efficiency": round(pooled_eff, 4) if pooled_eff else None,

@@ -1047,21 +1047,24 @@ def embedding_cosine_pairs_exact(
     scale path.  Returns (id_a, id_b, cosine) for id_a < id_b with
     ``cosine >= threshold``.
     """
-    mat_parts, id_parts = [], []
+    mat_parts, id_parts, n_rows = [], [], 0
     for b in ds.select_columns([id_col, emb_col]).iter_batches(
         batch_size=None, batch_format="pyarrow"
     ):
+        # enforce the limit DURING collection so the guard fires before
+        # the driver heap fills, not after the whole table is resident
+        n_rows += b.num_rows
+        if n_rows > broadcast_limit:
+            raise ValueError(
+                f">{broadcast_limit} rows exceed the exact-path broadcast "
+                f"limit; use embedding_cosine_dedup (LSH)"
+            )
         id_parts.append(b.column(id_col).to_numpy(zero_copy_only=False))
         mat_parts.append(
             np.stack([np.asarray(e, dtype=np.float64) for e in b.column(emb_col).to_pylist()])
         )
     ids = np.concatenate(id_parts)
     mat = np.concatenate(mat_parts)
-    if len(ids) > broadcast_limit:
-        raise ValueError(
-            f"{len(ids)} rows exceed the exact-path broadcast limit "
-            f"({broadcast_limit}); use embedding_cosine_dedup (LSH)"
-        )
     norm = np.linalg.norm(mat, axis=1)
     norm[norm == 0] = 1.0
     unit = mat / norm[:, None]

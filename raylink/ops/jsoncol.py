@@ -72,9 +72,14 @@ def with_json_field(
                 ]  # unescape via the JSON string grammar itself
                 arr = pa.array(ext, type=pa_type)
             else:
-                arr = pa.array(
-                    pd.to_numeric(vals, errors="coerce"), type=pa_type
-                )
+                nums = pd.to_numeric(vals, errors="coerce")
+                if pa.types.is_integer(pa_type):
+                    # same contract as the robust path: a non-integral or
+                    # out-of-range JSON number requested as int64 is a
+                    # null, never a job-killing ArrowInvalid cast error
+                    ok = (nums.mod(1) == 0) & (nums.abs() < float(2**63))
+                    nums = nums.where(ok)
+                arr = pa.array(nums, type=pa_type)
         else:
             ext = []
             for v in s:

@@ -75,10 +75,15 @@ def group_standardize(
         }
     )
 
-    def apply(batch: dict[str, np.ndarray]) -> dict:
+    def apply(batch):
+        import pyarrow as pa
+
         lut = ray.get(stats_ref)
-        g = np.asarray(batch[group_col])
-        v = np.asarray(batch[val_col], dtype=np.float64)
+        g = np.asarray(batch.column(group_col).to_numpy(zero_copy_only=False))
+        v = np.asarray(
+            batch.column(val_col).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
         uniq, inv = np.unique(g, return_inverse=True)
         # a group whose every value is null never reaches pass 1's LUT;
         # n=0 makes disc=0 so its rows fall through to the null z below
@@ -98,10 +103,14 @@ def group_standardize(
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(disc > 0, num / np.sqrt(disc), 0.0)
         z_e4 = np.floor(z * 10000 + 0.5)
-        out = dict(batch)
         nan = np.isnan(v)
-        z_e4 = np.where(nan, np.nan, z_e4)
-        out[out_col] = z_e4
-        return out
+        # nullable int64 honors the e4 fixed-point contract: null input ->
+        # null z (not NaN-in-float64, which breaks downstream int64 casts)
+        arr = pa.array(
+            np.where(nan, 0, z_e4).astype(np.int64),
+            type=pa.int64(),
+            mask=nan,
+        )
+        return batch.append_column(out_col, arr)
 
-    return ds.map_batches(apply, batch_format="numpy")
+    return ds.map_batches(apply, batch_format="pyarrow")

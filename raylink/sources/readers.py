@@ -74,14 +74,19 @@ def read_text_docs(
 
     ``by="line"`` — one doc per line (the .txt corpus-dump convention);
     ``by="file"`` — one doc per file (one article per file layouts).
-    Line mode emits a globally-UNIQUE ``id_col``: the stable 63-bit hash
-    of ``path:line_idx`` (content-independent, so a rerun over the same
-    tree assigns identical ids — resume-safe, unlike a global enumerate
-    over a nondeterministic file order), plus the raw ``path`` and
-    ``line_idx`` provenance columns.  Uniqueness matters downstream:
-    the samplers hash the id, packing requires a unique order key, and
-    a per-file line number alone would collide across files (line k of
-    every file sampling together).
+    Line mode emits a practically-unique ``id_col``: the stable 63-bit
+    hash of ``path:line_idx`` (content-independent, so a rerun over the
+    same tree assigns identical ids — resume-safe, unlike a global
+    enumerate over a nondeterministic file order), plus the raw ``path``
+    and ``line_idx`` provenance columns.  63 bits is NOT a uniqueness
+    guarantee at extreme scale (birthday bound: ~5% collision odds at
+    1e9 docs); ``(path, line_idx)`` is the exact unique key and travels
+    with every row, so id-collision-sensitive consumers (packing /
+    prefix-sum order keys, dedup keeper selection) can detect dups with
+    a ``count(*) GROUP BY id HAVING count > 1`` pass or re-key on the
+    provenance pair.  Near-uniqueness still matters downstream: the
+    samplers hash the id, and a per-file line number alone would collide
+    structurally across files (line k of every file sampling together).
     """
     if by == "line":
         ds = ray.data.read_binary_files(path, include_paths=True)
