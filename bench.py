@@ -221,7 +221,12 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_ref_workload(n_a: int = 10_000, n_b: int = 10_000, cap: int | None = None) -> dict:
+def run_ref_workload(
+    n_a: int = 10_000,
+    n_b: int = 10_000,
+    cap: int | None = None,
+    tf: bool = False,
+) -> dict:
     """The reference's own published benchmark workload, like-for-like.
 
     10k x 10k UNBLOCKED link (full 100M-pair cross product), 6 comparison
@@ -232,6 +237,12 @@ def run_ref_workload(n_a: int = 10_000, n_b: int = 10_000, cap: int | None = Non
     (BASELINE.md).  Runs through the pooled LUT engine —
     raylink/pipelines/pooled.py — the distributed re-expression of the
     reference's pooled unique-pair economy.
+
+    ``tf=True`` is the benchmark_tf.csv shape: the same 6 variables with
+    tf_adjust, exercising the pooled engine's per-code frequency
+    side-channel + the tf post-pass.  Reference: 115.80s = 0.86M pairs/s
+    (benchmark_tf.csv:8).  The returned tf_matches Dataset is consumed
+    (counted) so the post-pass wall is inside the measurement.
     """
     import ray.data
 
@@ -247,12 +258,12 @@ def run_ref_workload(n_a: int = 10_000, n_b: int = 10_000, cap: int | None = Non
                 "name": "total",
                 "threshold_match": 0.88,
                 "variables": [
-                    {"varname": "FIRST_NAME", "method": "jarowinkler"},
-                    {"varname": "FIRST_NAME1", "method": "jarowinkler"},
-                    {"varname": "MIDDLE_NAME", "method": "exact"},
-                    {"varname": "MIDDLE_NAME1", "method": "exact"},
-                    {"varname": "STREET_NAME", "method": "jarowinkler"},
-                    {"varname": "STREET_NAME1", "method": "jarowinkler"},
+                    {"varname": "FIRST_NAME", "method": "jarowinkler", "tf_adjust": tf},
+                    {"varname": "FIRST_NAME1", "method": "jarowinkler", "tf_adjust": tf},
+                    {"varname": "MIDDLE_NAME", "method": "exact", "tf_adjust": tf},
+                    {"varname": "MIDDLE_NAME1", "method": "exact", "tf_adjust": tf},
+                    {"varname": "STREET_NAME", "method": "jarowinkler", "tf_adjust": tf},
+                    {"varname": "STREET_NAME1", "method": "jarowinkler", "tf_adjust": tf},
                 ],
             },
             # ~24 salts -> ~576 pair-group cells: enough fan-out for 32
@@ -264,9 +275,13 @@ def run_ref_workload(n_a: int = 10_000, n_b: int = 10_000, cap: int | None = Non
     da, db = ray.data.from_pandas(df_a), ray.data.from_pandas(df_b)
     t0 = time.time()
     res = link_records_pooled(da, db, cfg, block_keys=[])
+    tf_pairs = None
+    if tf:
+        tf_pairs = res.tf_matches.count()  # consume the tf post-pass
     wall = time.time() - t0
     total_pairs = n_a * n_b
-    return {
+    ref_rate = 0.86e6 if tf else 1.10e6
+    out = {
         "n_a": n_a,
         "n_b": n_b,
         "total_pairs": total_pairs,
@@ -278,9 +293,12 @@ def run_ref_workload(n_a: int = 10_000, n_b: int = 10_000, cap: int | None = Non
         },
         "wall_seconds": round(wall, 3),
         "pairs_per_sec": round(total_pairs / wall, 1),
-        "reference_pairs_per_sec": 1.10e6,
-        "vs_reference": round(total_pairs / wall / 1.10e6, 2),
+        "reference_pairs_per_sec": ref_rate,
+        "vs_reference": round(total_pairs / wall / ref_rate, 2),
     }
+    if tf:
+        out["tf_adjusted_pairs"] = int(tf_pairs)
+    return out
 
 
 def run_quality_grades(sf_dir: str) -> dict:
@@ -670,6 +688,16 @@ def main() -> None:
 
         ref["wall_seconds_median"] = round(_stats.median(ref_walls), 3)
         queries["ref_workload"] = ref["wall_seconds"]
+        # benchmark_tf.csv shape (tf_adjust on all 6 vars): best-of-2
+        ref_tf = None
+        tf_walls = []
+        for _rep in range(2):
+            cand = run_ref_workload(tf=True)
+            tf_walls.append(cand["wall_seconds"])
+            if ref_tf is None or cand["wall_seconds"] < ref_tf["wall_seconds"]:
+                ref_tf = cand
+        ref_tf["all_walls"] = tf_walls
+        queries["ref_workload_tf"] = ref_tf["wall_seconds"]
         grades = run_quality_grades(SF_DIR)
     total = headline["wall_seconds"] + sum(queries.values())
     result = {
@@ -683,6 +711,7 @@ def main() -> None:
     }
     if ref is not None:
         result["ref_workload"] = ref
+        result["ref_workload_tf"] = ref_tf
     if grades is not None:
         result["grades"] = grades
     print(json.dumps(result))

@@ -85,18 +85,30 @@ DEFAULT_MAX_DISTINCT = 1_000_000
 SCAN_CHUNK_PAIRS = 4_000_000
 
 
-def poolable(variables: list[VarConfig]) -> bool:
+def poolable(variables: list[VarConfig], config=None) -> bool:
     """True when every leaf variable can be scored by the pooled engine.
 
-    tf_adjust variables are NOT poolable: the pooled pipelines carry no
-    term-frequency side-channel, so routing a tf config here would
-    silently drop the adjustment — such configs belong to the row-pair
-    engine, which implements it faithfully."""
-    return all(
-        v.kernel in ("string", "exact", "numeric")
-        and not getattr(v, "tf_adjust", False)
+    tf_adjust IS poolable for string/exact variables (round 3): the
+    factorization carries a per-code frequency vector (the reference's
+    pooled kernels carry tf natively, gammaCKpar.jl:132-235 /
+    gammaKpar.jl:60-130), gathered only in the matched-pair extraction
+    scan.  Still NOT poolable: numeric tf (no analog in the reference's
+    numeric kernel) and NESTED tf configs (per-pair child collapse
+    changes the EM itself — pass ``config`` to detect those; they belong
+    to the row engine's ``fit_patterns_per_pair`` path)."""
+    ok = all(
+        v.kernel in ("string", "exact")
+        or (v.kernel == "numeric" and not getattr(v, "tf_adjust", False))
         for v in variables
     )
+    if not ok:
+        return False
+    if config is not None:
+        from .nested_tf import has_nested_tf
+
+        if has_nested_tf(config):
+            return False
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -158,6 +170,97 @@ def _distinct_values_multi(
             )
         out_vals[c] = np.sort(np.asarray(vals, dtype=object))
     return out_vals
+
+
+def _value_counts_multi(
+    ds: ray.data.Dataset, cols: list[str]
+) -> dict[str, pd.Series]:
+    """Non-null value counts of every column in ``cols``, ONE pass.
+
+    Per-block ``value_counts`` partials stream to the driver padded to a
+    rectangle (zero-count pads drop out at the merge); the merged result
+    is one (value -> count) Series per column, bounded by the pooled-
+    cardinality assumption.  This is the tf side-channel's input: the
+    reference's pooled kernels count pool-value frequencies the same way
+    (/root/reference/src/gammas/gammaCKpar.jl:180-193).
+    """
+    if not cols:
+        return {}
+
+    def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        width = 0
+        for c in cols:
+            vc = pd.Series(batch[c]).value_counts(dropna=True)
+            out[c] = np.asarray(vc.index.to_numpy(), dtype=object)
+            out[f"_cnt_{c}"] = vc.to_numpy().astype(np.int64)
+            width = max(width, len(vc))
+        for c in cols:
+            k = len(out[c])
+            if k < width:
+                out[c] = np.concatenate(
+                    [out[c], np.full(width - k, None, dtype=object)]
+                )
+                out[f"_cnt_{c}"] = np.concatenate(
+                    [out[f"_cnt_{c}"], np.zeros(width - k, dtype=np.int64)]
+                )
+        return out
+
+    parts: dict[str, list[pd.DataFrame]] = {c: [] for c in cols}
+    cnt_ds = ds.select_columns(cols).map_batches(
+        partial, batch_format="numpy", batch_size=None
+    )
+    for b in cnt_ds.iter_batches(batch_size=1_000_000, batch_format="numpy"):
+        for c in cols:
+            vals = np.asarray(b[c], dtype=object)
+            keep = pd.notna(vals)
+            parts[c].append(
+                pd.DataFrame(
+                    {"v": vals[keep], "n": np.asarray(b[f"_cnt_{c}"])[keep]}
+                )
+            )
+    out: dict[str, pd.Series] = {}
+    for c in cols:
+        if not parts[c]:
+            out[c] = pd.Series([], dtype="int64")
+            continue
+        merged = pd.concat(parts[c], ignore_index=True)
+        out[c] = merged.groupby("v")["n"].sum()
+    return out
+
+
+def _tf_freq_vector(
+    v: VarConfig, dict_vals: np.ndarray, counts: pd.Series, n: int
+) -> np.ndarray:
+    """Per-code frequency vector (len(dict)+1, float32) for one tf variable.
+
+    Slot ``code`` holds ``max(count/n, tf_minimum_u_value)``; the padding
+    slot (null code -1, remapped to len(dict)) holds the null-group
+    frequency — identical formulas to the row engine's
+    :func:`raylink.stages.tf.add_tf_columns`, so the two engines' tf
+    columns are bit-equal.  ``upper`` string variables merge counts across
+    codes whose uppercased value coincides (the row engine counts AFTER
+    normalize_upper; the pooled dictionary holds raw values).
+    """
+    cnt = np.zeros(len(dict_vals), dtype=np.int64)
+    if len(counts):
+        pos = np.searchsorted(dict_vals, counts.index.to_numpy(object))
+        cnt[pos] = counts.to_numpy()
+    total = int(cnt.sum())
+    if v.upper and v.kernel == "string" and len(dict_vals):
+        up = np.array([s.upper() for s in dict_vals], dtype=object)
+        uniq, inv = np.unique(up, return_inverse=True)
+        merged = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(merged, inv, cnt)
+        cnt = merged[inv]
+    freq = np.maximum(cnt / n, v.tf_minimum_u_value).astype(np.float32)
+    null_cnt = n - total
+    null_freq = (
+        max(null_cnt / n, v.tf_minimum_u_value)
+        if null_cnt > 0
+        else v.tf_minimum_u_value
+    )
+    return np.concatenate([freq, np.asarray([null_freq], dtype=np.float32)])
 
 
 def _add_code_columns(
@@ -317,6 +420,11 @@ class _PooledVar:
     cut_a: float = 0.0
     cut_b: float = 0.0
     partial: bool = True
+    # tf side-channel: per-code frequency vectors (len(dict)+1 float32,
+    # null slot last), gathered only in the matched-pair extraction scan
+    tf: bool = False
+    freq_a: np.ndarray | None = None
+    freq_b: np.ndarray | None = None
 
 
 def _prepare_pooled_vars(
@@ -560,9 +668,13 @@ def _make_match_fn(
     id_out: tuple[str, str],
     link: bool,
 ):
-    """Pass-2 UDF: emit only pairs whose pattern is in the matched set."""
+    """Pass-2 UDF: emit only pairs whose pattern is in the matched set.
 
-    def empty(cols: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    tf-flagged specs also emit ``tf_<var>_a`` / ``tf_<var>_b`` per-pair
+    frequency columns (a per-code vector gather — O(matched pairs), never
+    O(comparisons))."""
+
+    def empty(cols: dict[str, np.ndarray], specs) -> dict[str, np.ndarray]:
         out = {
             id_out[0]: cols[id_col][:0],
             id_out[1]: cols[id_col][:0],
@@ -570,6 +682,10 @@ def _make_match_fn(
             "zeta_j": np.empty(0, dtype=np.float64),
             "weights": np.empty(0, dtype=np.float64),
         }
+        for sp in specs:
+            if sp.tf:
+                out[f"tf_{sp.name}_a"] = np.empty(0, dtype=np.float32)
+                out[f"tf_{sp.name}_b"] = np.empty(0, dtype=np.float32)
         return out
 
     def match_fn(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -578,12 +694,16 @@ def _make_match_fn(
         cols = {k: np.asarray(v) for k, v in group.items()}
         idx = _cell_indices(cols, id_col, link)
         if idx is None or len(mkeys) == 0:
-            return empty(cols)
+            return empty(cols, specs)
         a_rows, b_rows, tri = idx
         nb_c = len(b_rows)
         chunk = max(1, SCAN_CHUNK_PAIRS // max(nb_c, 1))
         ids = cols[id_col]
+        tf_specs = [sp for sp in specs if sp.tf]
         out_a, out_b, out_k = [], [], []
+        out_f: dict[str, tuple[list, list]] = {
+            sp.name: ([], []) for sp in tf_specs
+        }
         for c0 in range(0, len(a_rows), chunk):
             ia = a_rows[c0 : c0 + chunk]
             if tri:
@@ -611,26 +731,49 @@ def _make_match_fn(
             out_a.append(ids[ia[ri]])
             out_b.append(ids[jb[ci]])
             out_k.append(keys.ravel()[flat])
+            for sp in tf_specs:
+                c = cols[f"c_{sp.name}"]
+                ca = c[ia[ri]].astype(np.int64)
+                cb = c[jb[ci]].astype(np.int64)
+                out_f[sp.name][0].append(
+                    sp.freq_a[np.where(ca < 0, sp.na, ca)]
+                )
+                out_f[sp.name][1].append(
+                    sp.freq_b[np.where(cb < 0, sp.nb, cb)]
+                )
         if not out_a:
-            return empty(cols)
+            return empty(cols, specs)
         id_a = np.concatenate(out_a)
         id_b = np.concatenate(out_b)
         kk = np.concatenate(out_k)
+        swap = None
         if not link:
             swap = id_a > id_b
             id_a, id_b = np.where(swap, id_b, id_a), np.where(swap, id_a, id_b)
         kk = kk.astype(np.int64)
         pos = np.searchsorted(mkeys, kk)
-        return {
+        out = {
             id_out[0]: id_a,
             id_out[1]: id_b,
             "pattern_key": kk,
             "zeta_j": mzeta[pos],
             "weights": mweights[pos],
         }
+        for sp in tf_specs:
+            fa = np.concatenate(out_f[sp.name][0])
+            fb = np.concatenate(out_f[sp.name][1])
+            if swap is not None:
+                # keep tf_<var>_a attached to id_a through the orientation
+                # swap (row-engine parity; the denominators are symmetric)
+                fa, fb = np.where(swap, fb, fa), np.where(swap, fa, fb)
+            out[f"tf_{sp.name}_a"] = fa.astype(np.float32)
+            out[f"tf_{sp.name}_b"] = fb.astype(np.float32)
+        return out
 
     def empty_fn(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        return empty({k: np.asarray(v) for k, v in batch.items()})
+        return empty(
+            {k: np.asarray(v) for k, v in batch.items()}, ray.get(specs_ref)
+        )
 
     return match_fn, empty_fn
 
@@ -745,22 +888,26 @@ def _cell_hist_task(ba, bb, specs, id_col: str, n_bins: int, diag: bool):
 def _cell_match_task(
     ba, bb, specs, matched, id_col: str, id_out, diag: bool, dedupe: bool
 ):
-    """Matched pairs of one cell -> pa.Table(id_a, id_b, pattern_key, zeta_j, weights)."""
+    """Matched pairs of one cell -> pa.Table(id_a, id_b, pattern_key, zeta_j,
+    weights[, tf_<var>_a/_b per tf spec])."""
     mkeys, mzeta, mweights = matched
     cols_a, cols_b = ba, bb
     na, nb = len(cols_a[id_col]), len(cols_b[id_col])
     ids_a_all, ids_b_all = cols_a[id_col], cols_b[id_col]
+    tf_specs = [sp for sp in specs if sp.tf]
 
     def empty_tbl():
-        return pa.table(
-            {
-                id_out[0]: pa.array(ids_a_all[:0]),
-                id_out[1]: pa.array(ids_b_all[:0]),
-                "pattern_key": pa.array([], type=pa.int64()),
-                "zeta_j": pa.array([], type=pa.float64()),
-                "weights": pa.array([], type=pa.float64()),
-            }
-        )
+        d = {
+            id_out[0]: pa.array(ids_a_all[:0]),
+            id_out[1]: pa.array(ids_b_all[:0]),
+            "pattern_key": pa.array([], type=pa.int64()),
+            "zeta_j": pa.array([], type=pa.float64()),
+            "weights": pa.array([], type=pa.float64()),
+        }
+        for sp in tf_specs:
+            d[f"tf_{sp.name}_a"] = pa.array([], type=pa.float32())
+            d[f"tf_{sp.name}_b"] = pa.array([], type=pa.float32())
+        return pa.table(d)
 
     if na == 0 or nb == 0 or len(mkeys) == 0:
         return empty_tbl()
@@ -770,6 +917,9 @@ def _cell_match_task(
     b_rows = np.arange(nb)
     chunk = max(1, SCAN_CHUNK_PAIRS // max(len(b_rows), 1))
     out_a, out_b, out_k = [], [], []
+    out_f: dict[str, tuple[list, list]] = {
+        sp.name: ([], []) for sp in tf_specs
+    }
     for c0 in range(0, len(a_rows), chunk):
         ia = a_rows[c0 : c0 + chunk]
         if diag:
@@ -796,24 +946,45 @@ def _cell_match_task(
         out_a.append(ids_a_all[ia[ri]])
         out_b.append((ids_a_all if diag else ids_b_all)[jb[ci]])
         out_k.append(keys.ravel()[flat])
+        for sp in tf_specs:
+            ca = cols_a[f"c_{sp.name}"][ia[ri]].astype(np.int64)
+            cb = (cols_a if diag else cols_b)[f"c_{sp.name}"][jb[ci]].astype(
+                np.int64
+            )
+            # diag cells are same-table: both sides gather freq_a
+            out_f[sp.name][0].append(sp.freq_a[np.where(ca < 0, sp.na, ca)])
+            fb_vec = sp.freq_a if diag else sp.freq_b
+            nb_pad = sp.na if diag else sp.nb
+            out_f[sp.name][1].append(fb_vec[np.where(cb < 0, nb_pad, cb)])
     if not out_a:
         return empty_tbl()
     id_a = np.concatenate(out_a)
     id_b = np.concatenate(out_b)
     kk = np.concatenate(out_k)
+    swap = None
     if dedupe:
         swap = id_a > id_b
         id_a, id_b = np.where(swap, id_b, id_a), np.where(swap, id_a, id_b)
     pos = np.searchsorted(mkeys, kk)
-    return pa.table(
-        {
-            id_out[0]: pa.array(id_a),
-            id_out[1]: pa.array(id_b),
-            "pattern_key": pa.array(kk, type=pa.int64()),
-            "zeta_j": pa.array(mzeta[pos], type=pa.float64()),
-            "weights": pa.array(mweights[pos], type=pa.float64()),
-        }
-    )
+    d = {
+        id_out[0]: pa.array(id_a),
+        id_out[1]: pa.array(id_b),
+        "pattern_key": pa.array(kk, type=pa.int64()),
+        "zeta_j": pa.array(mzeta[pos], type=pa.float64()),
+        "weights": pa.array(mweights[pos], type=pa.float64()),
+    }
+    for sp in tf_specs:
+        fa = np.concatenate(out_f[sp.name][0])
+        fb = np.concatenate(out_f[sp.name][1])
+        if swap is not None:
+            fa, fb = np.where(swap, fb, fa), np.where(swap, fa, fb)
+        d[f"tf_{sp.name}_a"] = pa.array(
+            fa.astype(np.float32), type=pa.float32()
+        )
+        d[f"tf_{sp.name}_b"] = pa.array(
+            fb.astype(np.float32), type=pa.float32()
+        )
+    return pa.table(d)
 
 
 def _direct_cells(s: int, link: bool) -> list[tuple[int, int, bool]]:
@@ -898,10 +1069,11 @@ def link_records_pooled(
     no-blocking path.
     """
     leaf_vars = config.leaf_vars()
-    if not poolable(leaf_vars):
+    if not poolable(leaf_vars, config):
         raise ValueError(
             "config has non-poolable variables; use link_records()"
         )
+    tf_vars = [v for v in leaf_vars if getattr(v, "tf_adjust", False)]
     counters: dict[str, Any] = {}
     id_a_col, id_b_col = config.idvar
     keys = config.blocking.keys if block_keys is None else block_keys
@@ -978,6 +1150,21 @@ def link_records_pooled(
 
     # --- gamma LUTs (the string-distance work, distributed) ----------------
     specs = _prepare_pooled_vars(leaf_vars, dicts_a, dicts_b, lut_max_cells)
+    if tf_vars:
+        # tf side-channel: one counts pass per table covering every tf
+        # variable; per-code float32 frequency vectors ride inside specs
+        tf_names = list(dict.fromkeys(v.name for v in tf_vars))
+        counts_a = _value_counts_multi(da, tf_names)
+        counts_b = _value_counts_multi(db, tf_names)
+        for k, v in enumerate(leaf_vars):
+            if getattr(v, "tf_adjust", False):
+                specs[k].tf = True
+                specs[k].freq_a = _tf_freq_vector(
+                    v, dicts_a[v.name], counts_a[v.name], n_a
+                )
+                specs[k].freq_b = _tf_freq_vector(
+                    v, dicts_b[v.name], counts_b[v.name], n_b
+                )
     specs_ref = ray.put(specs)
 
     # --- salt plan + expansion --------------------------------------------
@@ -1121,6 +1308,14 @@ def link_records_pooled(
     matches = _attach_gammas(matches, [v.name for v in leaf_vars]).materialize()
     counters["matched_pairs"] = matches.count()
 
+    tf_matches = None
+    if tf_vars:
+        from ..stages.tf import apply_tf_adjustment
+
+        tf_matches = apply_tf_adjustment(
+            matches, root_em, leaf, leaf_vars, tf_vars
+        )
+
     return LinkResult(
         em=root_em,
         child_ems=child_ems,
@@ -1128,7 +1323,7 @@ def link_records_pooled(
         matches=matches,
         scored_pairs=None,
         clusters=None,
-        tf_matches=None,
+        tf_matches=tf_matches,
         counters=counters,
     )
 
@@ -1145,8 +1340,9 @@ def dedupe_records_pooled(
 ) -> LinkResult:
     """Self-link (dedupe) through the pooled LUT engine."""
     leaf_vars = config.leaf_vars()
-    if not poolable(leaf_vars):
+    if not poolable(leaf_vars, config):
         raise ValueError("config has non-poolable variables; use dedupe_records()")
+    tf_vars = [v for v in leaf_vars if getattr(v, "tf_adjust", False)]
     counters: dict[str, Any] = {}
     keys = config.blocking.keys if block_keys is None else block_keys
     fields = [v.name for v in leaf_vars]
@@ -1175,6 +1371,15 @@ def dedupe_records_pooled(
     ds_c = _add_code_columns(ds, dicts).materialize()
 
     specs = _prepare_pooled_vars(leaf_vars, dicts, dicts, lut_max_cells)
+    if tf_vars:
+        tf_names = list(dict.fromkeys(v.name for v in tf_vars))
+        counts = _value_counts_multi(ds, tf_names)
+        for k, v in enumerate(leaf_vars):
+            if getattr(v, "tf_adjust", False):
+                specs[k].tf = True
+                fv = _tf_freq_vector(v, dicts[v.name], counts[v.name], n)
+                specs[k].freq_a = fv
+                specs[k].freq_b = fv
     specs_ref = ray.put(specs)
 
     K = len(leaf_vars)
@@ -1284,6 +1489,14 @@ def dedupe_records_pooled(
     matches = _attach_gammas(matches, [v.name for v in leaf_vars]).materialize()
     counters["matched_pairs"] = matches.count()
 
+    tf_matches = None
+    if tf_vars:
+        from ..stages.tf import apply_tf_adjustment
+
+        tf_matches = apply_tf_adjustment(
+            matches, root_em, leaf, leaf_vars, tf_vars
+        )
+
     clusters = None
     if cluster:
         nodes = ds.select_columns([id_col]).map_batches(
@@ -1306,6 +1519,6 @@ def dedupe_records_pooled(
         matches=matches,
         scored_pairs=None,
         clusters=clusters,
-        tf_matches=None,
+        tf_matches=tf_matches,
         counters=counters,
     )

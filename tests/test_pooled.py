@@ -210,3 +210,114 @@ def test_pooled_fuzzy_truncate_matches_row_engine():
     )
     res_off = link_records(da, db, cfg_off, block_keys=["MIDDLE_NAME"])
     assert not _hist_of(res_off).round(6).equals(hist_trunc)
+
+
+def _tf_cfg(blocking_cap=256):
+    return parse_config(
+        {
+            "link_type": "link_only",
+            "idvar": ["TV_ID", "TS_ID"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.88,
+                "variables": [
+                    {"varname": "FIRST_NAME", "method": "jarowinkler",
+                     "tf_adjust": True},
+                    {"varname": "MIDDLE_NAME", "method": "exact",
+                     "tf_adjust": True},
+                    {"varname": "STREET_NAME", "method": "jarowinkler"},
+                ],
+            },
+            "blocking": {"cap": blocking_cap},
+        }
+    )
+
+
+def _tf_frame(res) -> pd.DataFrame:
+    cols = [
+        "id_a", "id_b", "pattern_key",
+        "tf_FIRST_NAME_a", "tf_FIRST_NAME_b",
+        "tf_MIDDLE_NAME_a", "tf_MIDDLE_NAME_b",
+        "final_weight", "final_zeta", "tf_ismatch",
+    ]
+    return (
+        res.tf_matches.to_pandas()[cols]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def test_pooled_tf_link_matches_row_engine():
+    """tf side-channel (round 3): the pooled engine's per-code frequency
+    vectors + the shared apply_tf_adjustment post-pass reproduce the row
+    engine's tf_matches exactly (reference carries tf in its pooled
+    kernels, gammaCKpar.jl:132-235 / gammaKpar.jl:60-130)."""
+    a, b = make_ref_benchmark_tables(400, 300, seed=23)
+    da, db = ray.data.from_pandas(a), ray.data.from_pandas(b)
+    cfg = _tf_cfg()
+    res_row = link_records(da, db, cfg, block_keys=["MIDDLE_NAME"])
+    res_pool = link_records_pooled(da, db, cfg, block_keys=["MIDDLE_NAME"])
+    assert res_row.tf_matches is not None and res_pool.tf_matches is not None
+    t_row, t_pool = _tf_frame(res_row), _tf_frame(res_pool)
+    assert len(t_row) == len(t_pool) and len(t_row) > 0
+    pd.testing.assert_frame_equal(t_row, t_pool, rtol=0, atol=0)
+
+
+def test_pooled_tf_unblocked_and_dedupe():
+    a, b = make_ref_benchmark_tables(400, 300, seed=29)
+    cfg = _tf_cfg(blocking_cap=200)  # force the direct-cell (salted) path
+    res = link_records_pooled(
+        ray.data.from_pandas(a), ray.data.from_pandas(b), cfg, block_keys=[]
+    )
+    assert res.counters["scored_pairs"] == 400 * 300
+    assert res.counters["matched_pairs"] > 0
+    tfm = res.tf_matches.to_pandas()
+    assert {"tf_FIRST_NAME_a", "final_zeta", "tf_ismatch"} <= set(tfm.columns)
+    assert len(tfm) == res.counters["matched_pairs"]
+    # dedupe path: pooled tf matches the row engine pair-for-pair
+    both = pd.concat(
+        [a.rename(columns={"TV_ID": "rid"}), b.rename(columns={"TS_ID": "rid"})],
+        ignore_index=True,
+    )
+    ds = ray.data.from_pandas(both)
+    res_row = dedupe_records(ds, _tf_cfg(), "rid", block_keys=["FIRST_NAME"],
+                             cluster=False)
+    res_pool = dedupe_records_pooled(
+        ds, _tf_cfg(), "rid", block_keys=["FIRST_NAME"], cluster=False
+    )
+    t_row, t_pool = _tf_frame(res_row), _tf_frame(res_pool)
+    assert len(t_row) == len(t_pool) and len(t_row) > 0
+    pd.testing.assert_frame_equal(t_row, t_pool, rtol=0, atol=0)
+
+
+def test_poolable_tf_detection():
+    from raylink.config import VarConfig
+
+    # string/exact tf now poolable; numeric tf and nested tf are not
+    assert poolable([VarConfig(name="x", method="jw", tf_adjust=True)])
+    assert poolable([VarConfig(name="x", method="exact", tf_adjust=True)])
+    assert not poolable([VarConfig(name="x", method="numeric", tf_adjust=True)])
+    nested = parse_config(
+        {
+            "link_type": "link_only",
+            "idvar": ["ida", "idb"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.88,
+                "variables": [
+                    {"varname": "A", "method": "jarowinkler"},
+                    {
+                        "comparisons": {
+                            "name": "child",
+                            "threshold_match": 0.88,
+                            "variables": [
+                                {"varname": "B", "method": "exact",
+                                 "tf_adjust": True},
+                            ],
+                        }
+                    },
+                ],
+            },
+        }
+    )
+    assert not poolable(nested.leaf_vars(), nested)
