@@ -392,7 +392,13 @@ def _q_langid(sf_dir: str):
     from raylink.ops.text import with_language_id
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return with_language_id(docs).select_columns(["doc_id", "lang_pred"])
+    # default="en": back off to the prior-most language when no stopword
+    # fires (the production-LID convention) instead of emitting 'und' —
+    # on a content-indistinguishable corpus this is exactly the
+    # majority-class predictor, never worse than it
+    return with_language_id(docs, default="en").select_columns(
+        ["doc_id", "lang_pred"]
+    )
 
 
 def _q_fingerprints(sf_dir: str):

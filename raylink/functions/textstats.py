@@ -41,13 +41,19 @@ def token_counts(texts) -> np.ndarray:
     return s.fillna("").str.count(r"\S+").to_numpy(np.int64)
 
 
-def language_id(texts) -> np.ndarray:
-    """Language guess among {en, fr, de, es, zh}; 'und' if no signal.
+def language_id(texts, default: str = "und") -> np.ndarray:
+    """Language guess among {en, fr, de, es, zh}; ``default`` if no signal.
 
     Script detection first (CJK-dominant text is 'zh' — the stopword lists
     are Latin-script and can't see it), then the stopword-hit vote, fully
     vectorized: one explode of the token stream plus one ``isin`` per
     language; ties keep the first language in ``_STOPWORDS`` order.
+
+    ``default`` is what a document with tokens but ZERO stopword hits
+    gets.  'und' (the BCP-47 undetermined tag) is the honest answer;
+    production LID models instead back off to the prior-most language —
+    pass ``default="en"`` for that convention.  Empty/null documents are
+    always 'und': there is nothing to identify.
     """
     s = pd.Series(texts, dtype="object").fillna("")
     n = len(s)
@@ -66,7 +72,10 @@ def language_id(texts) -> np.ndarray:
     best = hits.argmax(axis=1)
     best_hits = hits[np.arange(n), best]
     langs = np.array(list(_STOPWORDS), dtype=object)
-    out = np.where(best_hits > 0, langs[best], "und").astype(object)
+    has_tokens = np.zeros(n, dtype=bool)
+    has_tokens[np.unique(doc_idx)] = True
+    fallback = np.where(has_tokens, default, "und").astype(object)
+    out = np.where(best_hits > 0, langs[best], fallback).astype(object)
     out[is_zh] = "zh"
     return out
 

@@ -14,14 +14,15 @@ same fixed point.
 
 Scale design: identical to the linkage pipeline's pair stage — hot
 blocks are salted into triangle cells by the same plan (``cap`` sizes
-the cells; the planner clamps at its ``max_salts``, so a single block
-vastly larger than ``cap * max_salts`` still yields oversized cells —
-pick ``block_cols`` that bound block sizes, or set
-``BlockingConfig.drop_oversized`` in the pipeline API for hard
-guarantees), pairs never materialize outside the streaming scorer, and
+the cells), pairs never materialize outside the streaming scorer, and
 each unique string pair is scored once per batch (pool economy,
-gammaCKpar.jl:99-106's trick).  An empty ``block_cols`` (a full cross
-join) is refused outright.
+gammaCKpar.jl:99-106's trick).  A single block larger than
+``cap * max_salts`` would still yield oversized cells when clamped, so
+both joins take ``drop_oversized`` (default True): such mega-blocks are
+dropped from the pair space — with their keys reported via a loud log —
+rather than silently producing unbounded cells; pass
+``drop_oversized=False`` to clamp instead (the pre-round-3 behavior).
+An empty ``block_cols`` (a full cross join) is refused outright.
 """
 
 from __future__ import annotations
@@ -48,6 +49,7 @@ def similarity_self_join(
     method: str = "jw",
     w: float = 0.1,
     cap: int = 100_000,
+    drop_oversized: bool = True,
 ) -> ray.data.Dataset:
     """All within-block pairs (``id_a < id_b``) whose ``method``
     similarity on ``text_col`` reaches ``threshold``; emits
@@ -62,13 +64,32 @@ def similarity_self_join(
     keyed = bs.derive_block_keys(
         ds.select_columns([id_col, *block_cols, text_col]), block_cols
     )
-    plan, _counters = bs.plan_salts(keyed, BlockingConfig(cap=cap))
-    exp = bs.expand_pair_groups(keyed, plan, id_col, side=None)
+    plan, counters = bs.plan_salts(
+        keyed, BlockingConfig(cap=cap, drop_oversized=drop_oversized)
+    )
+    dropped = set(counters.notes.get("dropped_block_keys", []))
+    _warn_dropped(counters, "similarity_self_join")
+    exp = bs.expand_pair_groups(keyed, plan, id_col, side=None, dropped=dropped)
     pairs = generate_pairs_dedupe(exp, [text_col], id_col=id_col)
 
     return pairs.map_batches(
         _make_scorer(text_col, thr_e4, method, w), batch_format="pyarrow"
     )
+
+
+def _warn_dropped(counters, op: str) -> None:
+    """Loudly report mega-blocks the salt planner refused (no silent caps)."""
+    if counters.n_dropped_blocks:
+        import logging
+
+        logging.getLogger("raylink").warning(
+            "%s: dropped %d oversized block(s) covering %d rows "
+            "(> cap * max_salts); their pairs are NOT in the result — "
+            "tighten block_cols or raise cap for coverage",
+            op,
+            counters.n_dropped_blocks,
+            counters.dropped_rows,
+        )
 
 
 def _make_scorer(text_col: str, thr_e4: int, method: str, w: float):
@@ -112,6 +133,7 @@ def similarity_link_join(
     method: str = "jw",
     w: float = 0.1,
     cap: int = 100_000,
+    drop_oversized: bool = True,
 ) -> ray.data.Dataset:
     """Two-table (A×B) variant: all within-block cross pairs whose
     similarity on ``text_col`` reaches ``threshold`` — the reference's
@@ -134,7 +156,11 @@ def similarity_link_join(
     both = ka.select_columns(["block_key"]).union(
         kb.select_columns(["block_key"])
     )
-    plan, _counters = bs.plan_salts(both, BlockingConfig(cap=cap))
+    plan, counters = bs.plan_salts(
+        both, BlockingConfig(cap=cap, drop_oversized=drop_oversized)
+    )
+    dropped = set(counters.notes.get("dropped_block_keys", []))
+    _warn_dropped(counters, "similarity_link_join")
 
     def tag(side: str):
         def fn(b: pa.Table) -> pa.Table:
@@ -152,11 +178,11 @@ def similarity_link_join(
 
     ea = bs.expand_pair_groups(
         ka.map_batches(tag("a"), batch_format="pyarrow"),
-        plan, id_col_a, side="a",
+        plan, id_col_a, side="a", dropped=dropped,
     ).map_batches(rename_to(id_col_a), batch_format="pyarrow")
     eb = bs.expand_pair_groups(
         kb.map_batches(tag("b"), batch_format="pyarrow"),
-        plan, id_col_b, side="b",
+        plan, id_col_b, side="b", dropped=dropped,
     ).map_batches(rename_to(id_col_b), batch_format="pyarrow")
     pairs = generate_pairs_link(ea.union(eb), [text_col], id_col="_pair_id")
     return pairs.map_batches(

@@ -37,12 +37,16 @@ def with_token_counts(
 
 
 def with_language_id(
-    ds: ray.data.Dataset, text_col: str = "text", out_col: str = "lang_pred"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    default: str = "und",
 ) -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
         t = batch.column(text_col).to_numpy(zero_copy_only=False)
         return batch.append_column(
-            out_col, pa.array(textstats.language_id(t), type=pa.string())
+            out_col,
+            pa.array(textstats.language_id(t, default=default), type=pa.string()),
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")

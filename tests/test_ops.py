@@ -170,6 +170,10 @@ def test_text_ops():
 
     zh = language_id(["这是一个测试文档", "xyzzy qwerty", "", None])
     assert zh.tolist() == ["zh", "und", "und", "und"]
+    # default="en" backs off to the prior-most language when tokens exist
+    # but no stopword fires; empty/null stay 'und' (nothing to identify)
+    en = language_id(["这是一个测试文档", "xyzzy qwerty", "", None], default="en")
+    assert en.tolist() == ["zh", "en", "und", "und"]
     q = with_quality_scores(ds).to_pandas()
     assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
     f = with_fingerprints(ds, winnow=True).to_pandas()
@@ -2314,3 +2318,47 @@ def test_near_dedup_corpus_transitive_collapse():
         ray.data.from_pandas(clean), threshold=0.6, num_partitions=4
     )
     assert c2["n_dropped"] == 0 and len(kept2.to_pandas()) == 8
+
+
+def test_similarity_join_drops_oversized_blocks():
+    """A planted mega-block (> cap * max_salts rows) is dropped from the
+    pair space by default — never silently clamped into oversized cells —
+    while normal blocks are unaffected; drop_oversized=False restores the
+    clamping behavior (round-3 hardening, VERDICT #6)."""
+    from raylink.ops.simjoin import similarity_link_join, similarity_self_join
+
+    n_mega = 200  # > cap(2) * max_salts(64)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n_mega + 2, dtype=np.int64),
+            "grp": np.concatenate(
+                [np.zeros(n_mega, dtype=np.int64), [1, 1]]
+            ),
+            "name": ["martha"] * n_mega + ["dwayne", "duane"],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        similarity_self_join(ds, "rid", "name", ["grp"], threshold=0.8, cap=2)
+        .to_pandas()
+    )
+    # only the normal block's single pair survives
+    assert sorted(zip(out["id_a"], out["id_b"])) == [(n_mega, n_mega + 1)]
+    # opt-out: clamping keeps (a capped subset of) the mega-block's pairs
+    out_clamped = similarity_self_join(
+        ds, "rid", "name", ["grp"], threshold=0.8, cap=2, drop_oversized=False
+    ).to_pandas()
+    assert len(out_clamped) > 1
+
+    # link variant: mega-block hot on ONE side still drops for both
+    a = df.rename(columns={"rid": "aid"})
+    b = pd.DataFrame(
+        {"bid": [900, 901], "grp": [0, 1], "name": ["martha", "dwayne"]}
+    )
+    out_link = similarity_link_join(
+        ray.data.from_pandas(a), ray.data.from_pandas(b),
+        "aid", "bid", "name", ["grp"], threshold=0.8, cap=2,
+    ).to_pandas()
+    assert set(zip(out_link["id_a"], out_link["id_b"])) == {
+        (n_mega, 901), (n_mega + 1, 901)
+    }
