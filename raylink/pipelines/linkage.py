@@ -357,9 +357,12 @@ def dedupe_records(
         passthrough=[f"{c}_{side}" for c in tf_cols for side in ("a", "b")],
     ).materialize()
 
-    # small deterministic record sample for residual u-estimation
+    # small deterministic record sample for residual u-estimation —
+    # id-hash based so a resumed/re-parallelized run draws the same rows
+    from ..stages.sampling import deterministic_sample
+
     frac = min(1.0, 2000 / max(n, 1))
-    sample = records.random_sample(frac, seed=seed).to_pandas()
+    sample = deterministic_sample(records, id_col, frac, seed=seed).to_pandas()
     root_em, child_ems, leaf, matches, tf_plan = _run_common(
         scored, config, total_comparisons, counters, seed, sample_a=sample
     )
@@ -510,10 +513,14 @@ def link_records(
         passthrough=[f"{c}_{side}" for c in tf_cols for side in ("a", "b")],
     ).materialize()
 
+    from ..stages.sampling import deterministic_sample
+
     frac_a = min(1.0, 1000 / max(n_a, 1))
     frac_b = min(1.0, 1000 / max(n_b, 1))
-    sample_a = da.random_sample(frac_a, seed=seed).to_pandas()
-    sample_b = db.random_sample(frac_b, seed=seed + 1).to_pandas()
+    sample_a = deterministic_sample(da, id_a_col, frac_a, seed=seed).to_pandas()
+    sample_b = deterministic_sample(
+        db, id_b_col, frac_b, seed=seed + 1
+    ).to_pandas()
     root_em, child_ems, leaf, matches, tf_plan = _run_common(
         scored, config, total_comparisons, counters, seed,
         sample_a=sample_a, sample_b=sample_b,

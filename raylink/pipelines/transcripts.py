@@ -162,8 +162,13 @@ def run_transcript_pipeline(
     scored_count = float(hist["cnt"].sum())
     residual = total_comparisons - scored_count
     if residual > 0:
-        sample = records.random_sample(
-            min(1.0, 2000 / max(n, 1)), seed=seed
+        # hash sample, NOT random_sample: the draw must be a pure function
+        # of the rows so a resumed run refits the EM on the identical
+        # sample (see stages/sampling.py; proven by bench --resume-proof)
+        from ..stages.sampling import deterministic_sample
+
+        sample = deterministic_sample(
+            records, "conv_id", min(1.0, 2000 / max(n, 1)), seed=seed
         ).to_pandas()
         hist = merge_histograms(
             hist,

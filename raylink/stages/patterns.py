@@ -119,8 +119,20 @@ def sample_residual_histogram(
 
     rng = np.random.default_rng(seed)
     self_mode = records_a is records_b
-    a = records_a.reset_index(drop=True)
-    b = a if self_mode else records_b.reset_index(drop=True)
+    # canonicalize row order: the pair draw below is POSITIONAL, and the
+    # caller's to_pandas() order depends on block arrival — a resumed or
+    # re-parallelized run must draw the identical pairs from the identical
+    # sample set (bench --resume-proof pins this)
+    a = records_a.sort_values(
+        list(records_a.columns), kind="stable", na_position="last"
+    ).reset_index(drop=True)
+    b = (
+        a
+        if self_mode
+        else records_b.sort_values(
+            list(records_b.columns), kind="stable", na_position="last"
+        ).reset_index(drop=True)
+    )
     # bounded random pair draw (not the full sample cross product): the
     # residual distribution only needs O(10^4) samples to pin down the
     # u-marginals, independent of corpus size
