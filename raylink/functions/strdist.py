@@ -239,6 +239,46 @@ def ratcliff_obershelp(s1: str, s2: str) -> float:
     return SequenceMatcher(None, s1, s2, autojunk=False).ratio()
 
 
+def ratcliff_obershelp_batch(
+    strs_a: list[str], strs_b: list[str], w: float | None = None
+) -> np.ndarray:
+    """Ratcliff-Obershelp across pairs, exact vs :func:`ratcliff_obershelp`.
+
+    The gestalt recursion is data-dependent per pair, so there is no
+    lockstep-numpy form; the batch win here is amortizing difflib's b2j
+    index build — pairs are grouped by their right-hand string and scored
+    through ONE ``SequenceMatcher`` whose ``set_seq2`` (the expensive side:
+    difflib indexes seq2 into a char→positions dict) is set once per unique
+    b.  In the pooled/linkage workloads one b value meets many a values, so
+    this removes the dominant constant.  ``w`` accepted/ignored for the
+    `_BATCH_METHODS` signature.
+    """
+    n = len(strs_a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    arr_a = np.asarray(strs_a, dtype=object)
+    arr_b = np.asarray(strs_b, dtype=object)
+    equal = arr_a == arr_b
+    out[equal] = 1.0
+    len_a = np.fromiter((len(s) for s in strs_a), np.int64, n)
+    len_b = np.fromiter((len(s) for s in strs_b), np.int64, n)
+    todo = np.flatnonzero(~equal & (len_a > 0) & (len_b > 0))
+    if todo.size == 0:
+        return out
+    order = todo[np.argsort(arr_b[todo], kind="stable")]
+    sm = SequenceMatcher(None, autojunk=False)
+    prev_b: str | None = None
+    for i in order:
+        b = strs_b[i]
+        if b != prev_b:
+            sm.set_seq2(b)
+            prev_b = b
+        sm.set_seq1(strs_a[i])
+        out[i] = sm.ratio()
+    return out
+
+
 def char_jaccard(s1: str, s2: str) -> float:
     """Jaccard similarity of the character *sets* (DuckDB ``jaccard()``)."""
     a, b = set(s1), set(s2)
@@ -852,6 +892,9 @@ _BATCH_METHODS = {
         [_enc_chars(s) for s in ua], [_enc_chars(s) for s in ub]
     ),
     "hamming": lambda ua, ub, w: hamming_batch(ua, ub),
+    # exact, grouped-by-b seq2-index reuse (no lockstep form exists for the
+    # gestalt recursion) — see ratcliff_obershelp_batch
+    "ro": lambda ua, ub, w: ratcliff_obershelp_batch(ua, ub),
 }
 
 

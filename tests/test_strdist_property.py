@@ -41,6 +41,26 @@ def test_jw_batch_equals_scalar(alphabet):
     np.testing.assert_allclose(got, exp, atol=1e-12)
 
 
+@pytest.mark.parametrize("alphabet", ALPHABETS)
+def test_ro_batch_equals_scalar(alphabet):
+    from raylink.functions.strdist import (
+        ratcliff_obershelp,
+        ratcliff_obershelp_batch,
+    )
+
+    rng = np.random.default_rng(hash(("ro", alphabet)) % (2**32))
+    a = _rand_strings(rng, alphabet, 1500, 30)
+    # repeat b values so the grouped set_seq2 reuse path is exercised
+    b_pool = _rand_strings(rng, alphabet, 80, 30)
+    b = [b_pool[int(i)] for i in rng.integers(0, len(b_pool), 1500)]
+    a[5] = b[5]
+    a[6] = ""
+    b[7] = ""
+    got = ratcliff_obershelp_batch(a, b)
+    exp = np.array([ratcliff_obershelp(x, y) for x, y in zip(a, b)])
+    np.testing.assert_allclose(got, exp, atol=0)
+
+
 def test_token_lv_matrix_equals_scalar_dp():
     rng = np.random.default_rng(99)
     seqs_a, seqs_b = [], []
