@@ -613,13 +613,14 @@ def run_scoring_probe(sf_dir: str, n_pairs: int = 4_000_000, reps: int = 3) -> d
     cpus = int(ray.cluster_resources().get("CPU", 8))
     pairs = ray.data.from_pandas(pairs_df).repartition(max(64, 4 * cpus)).materialize()
     cfg = default_transcript_config()
-    pool = max(1, (3 * cpus) // 4)
     import gc
 
     walls = []
     for _ in range(max(1, reps)):
         t0 = time.time()
-        score_pairs(pairs, cfg.leaf_vars(), concurrency=pool).select_columns(
+        # production default: task-based scorer (warm workers, no actor
+        # pool spin-up — see stages/scoring.py:score_pairs)
+        score_pairs(pairs, cfg.leaf_vars()).select_columns(
             ["id_a", "id_b", "pattern_key"]
         ).materialize()
         walls.append(time.time() - t0)
@@ -631,7 +632,7 @@ def run_scoring_probe(sf_dir: str, n_pairs: int = 4_000_000, reps: int = 3) -> d
     wall_med = float(np.median(walls))
     return {
         "scoring_pairs": n_pairs,
-        "scoring_pool": pool,
+        "scoring_pool": "tasks",
         "scoring_wall": round(wall, 3),
         "scoring_wall_median": round(wall_med, 3),
         "scoring_walls": [round(w, 3) for w in walls],

@@ -101,7 +101,10 @@ def run_transcript_pipeline(
     the same ``checkpoint_dir`` + fingerprints skips completed stages.
     """
     config = config or default_transcript_config()
-    runner = PipelineRunner(checkpoint_dir)
+    # async_writes: checkpoint Parquet commits overlap the next stage's
+    # compute — the flat per-stage write+readback was the dominant
+    # single-box e2e scaling cost (round-2 verdict item 4)
+    runner = PipelineRunner(checkpoint_dir, async_writes=True)
     fp = _config_fingerprint(config, input_fingerprint)
     id_col = "conv_id"
     fields = [v.name for v in config.leaf_vars()]
@@ -218,6 +221,9 @@ def run_transcript_pipeline(
         )
 
     clusters_res = runner.stage("clusters", build_clusters, fp)
+    # every overlapped checkpoint commit must be durable before we report
+    # success (manifests below also gain rows/partitions once committed)
+    runner.finalize()
 
     return {
         "records": records,

@@ -1,12 +1,15 @@
-"""Pair scoring: gamma vectors on a stateful actor pool.
+"""Pair scoring: gamma vectors over the candidate-pair stream.
 
-The scorer is a callable CLASS given to ``map_batches(PairScorer,
-concurrency=N, batch_size=B, batch_format="pyarrow")`` — per-actor setup
-(compiled kernel table, string-distance memo cache) happens once in
-``__init__``, per-batch work in ``__call__`` (the north star's "stateful
-actor pool" stage).  The memo cache reproduces the reference's unique-value
-economy (pooled columns score each value pair once,
-/root/reference/src/gammas/gammaCKpar.jl:99-106) across batches.
+``PairScorer`` is a callable class.  By default an INSTANCE is handed to
+task-based ``map_batches`` — its only per-worker state is a memo cache, so
+tasks in already-warm Ray workers beat an actor pool whose process spin-up
+is flat cost (measured 2x at 16 CPUs; see :func:`score_pairs`).  Passing
+``concurrency`` runs it as a classic actor pool (``map_batches(PairScorer,
+concurrency=N)``, setup once per actor in ``__init__``) for kernels with
+genuinely expensive setup.  The memo cache reproduces the reference's
+unique-value economy (pooled columns score each value pair once,
+/root/reference/src/gammas/gammaCKpar.jl:99-106) across batches within a
+worker.
 
 Output: ``id_a``, ``id_b``, a uint8 ``gamma_<var>`` column per variable and
 the packed uint64 ``pattern_key``; optional passthrough columns (term
@@ -144,28 +147,36 @@ def score_pairs(
     batch_size: int = 8192,
     passthrough: list[str] | None = None,
 ) -> ray.data.Dataset:
-    """Run the scorer actor pool over the candidate-pair Dataset."""
+    """Run the scorer over the candidate-pair Dataset.
+
+    Default is TASK-based ``map_batches`` (a pickled ``PairScorer``
+    instance): the scorer's only state is a memo cache, so tasks in
+    already-warm Ray workers beat an actor pool whose process spin-up is
+    pure flat cost — measured 11.3 s -> 5.6 s at 16 CPUs and 18.0 -> 13.8
+    at 4 CPUs on the sf0.1 pair stream (844k pairs).  Pass ``concurrency``
+    explicitly to force an actor pool (the right call once a kernel gains
+    genuinely expensive per-worker setup, e.g. a model load).
+    """
     import ray as _ray
 
     cpus_total = int(_ray.cluster_resources().get("CPU", 8))
     # pair-generation emits one block per reduce task with wildly varying
     # sizes (hot cells); rebalance so scorer tasks see uniform work
     pairs = pairs.repartition(max(64, 4 * cpus_total))
-    kwargs = {}
     if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    else:
-        # Actor pools require an explicit size; autoscaling from 1 ramps too
-        # slowly for short stages (measured 7.9s -> 3.2s on the sf0.1 bench),
-        # so start at half the ceiling and let the pool grow.  The ceiling
-        # always leaves >= 2 CPUs free — a pool spanning every CPU deadlocks
-        # the upstream tasks feeding it.
-        hi = max(1, cpus_total - 2)
-        kwargs["concurrency"] = (max(1, hi // 2), hi)
+        # explicit actor pool (setup in __init__, once per actor)
+        return pairs.map_batches(
+            PairScorer,
+            fn_constructor_kwargs={
+                "variables": variables,
+                "passthrough": passthrough,
+            },
+            batch_size=batch_size,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
     return pairs.map_batches(
-        PairScorer,
-        fn_constructor_kwargs={"variables": variables, "passthrough": passthrough},
+        PairScorer(variables, passthrough=passthrough),
         batch_size=batch_size,
         batch_format="pyarrow",
-        **kwargs,
     )
