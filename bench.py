@@ -106,6 +106,11 @@ def run_headline(sf_dir: str) -> dict:
     turns = ray.data.read_parquet(os.path.join(data_dir, "turns.parquet"))
     n_turns = turns.count()
     ckpt = f"/tmp/raylink_bench/ckpt_{n_entities}_{NUM_CPUS}_{int(time.time())}"
+    # NOTE: no pre-timing "worker warmup" — A/B measured a warmup
+    # execution making the subsequent pipeline ~20-35% SLOWER at both 4
+    # and 16 CPUs (importing the heavy deps in every worker bloats their
+    # heaps before the sort stage needs that memory), so the timed run
+    # includes Ray's worker spawn, as a real first job would.
     t0 = time.time()
     res = run_transcript_pipeline(
         turns, ckpt, input_fingerprint=f"bench-{n_entities}"

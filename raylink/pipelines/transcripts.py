@@ -161,18 +161,30 @@ def run_transcript_pipeline(
     import time as _time
 
     _t_em = _time.time()
-    hist = pattern_histogram(scored)
+    # the histogram (over scored) and the residual EM sample (over records)
+    # scan different materialized datasets — run them concurrently; the
+    # sample is speculative (wasted only in the residual==0 corner, where
+    # every comparison was blocked together)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..stages.sampling import deterministic_sample
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f_hist = _ex.submit(pattern_histogram, scored)
+        _f_sample = _ex.submit(
+            lambda: deterministic_sample(
+                records, "conv_id", min(1.0, 2000 / max(n, 1)), seed=seed
+            ).to_pandas()
+        )
+        hist = _f_hist.result()
+        _sample_df = _f_sample.result()
     scored_count = float(hist["cnt"].sum())
     residual = total_comparisons - scored_count
     if residual > 0:
         # hash sample, NOT random_sample: the draw must be a pure function
         # of the rows so a resumed run refits the EM on the identical
         # sample (see stages/sampling.py; proven by bench --resume-proof)
-        from ..stages.sampling import deterministic_sample
-
-        sample = deterministic_sample(
-            records, "conv_id", min(1.0, 2000 / max(n, 1)), seed=seed
-        ).to_pandas()
+        sample = _sample_df
         hist = merge_histograms(
             hist,
             sample_residual_histogram(
