@@ -881,15 +881,15 @@ def run_scaling() -> None:
     """Two fresh-process runs at SCALING_LEVELS (N and 4N CPUs); reports
     BOTH efficiencies:
 
-    - ``scoring``: blocked-pair scoring throughput (pairs/s) with an actor
-      pool sized to 3/4 of each cluster — the quantity the BASELINE.json
+    - ``scoring``: blocked-pair scoring throughput (pairs/s) with the
+      production task-based scorer — the quantity the BASELINE.json
       metric names.  Compute-dominated, so it isolates how the scoring
       stage itself scales.  Best-of-3 repetitions per level (one-sided
       interference; per-rep walls are reported for transparency).
     - ``e2e``: whole-pipeline throughput.  Driver-side stage transitions
-      cost a near-constant ~10s at every parallelism level (O(patterns +
-      hot blocks), independent of input size), so e2e underreports at
-      bench scale.
+      (EM fit, salt plan, local CC) cost a near-constant ~6s at every
+      parallelism level (O(patterns + hot blocks), independent of input
+      size), so e2e underreports at bench scale.
     """
     lo, hi = SCALING_LEVELS
     results = {}

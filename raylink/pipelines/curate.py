@@ -133,10 +133,12 @@ def curate_corpus(
             "sample_seed": sample_seed,
         }
     )
-    runner = PipelineRunner(checkpoint_dir)
+    runner = PipelineRunner(checkpoint_dir, async_writes=True)
     filtered = runner.stage(
         "curate_filtered", build_filtered, filtered_fp
     ).dataset
-    return runner.stage(
+    final = runner.stage(
         "curate_final", lambda: build_final(filtered), final_fp
     ).dataset
+    runner.finalize()
+    return final
