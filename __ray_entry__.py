@@ -273,11 +273,9 @@ def _q_pattern_histogram_customer(sf_dir: str):
         VarConfig(name="c_acctbal", method="numeric", cut_a=100, cut_b=500),
     ]
     # cheap scalar kernels (exact + numeric band): big batches amortize
-    # per-batch dispatch, and a moderate warm-start pool beats both a
-    # tiny pool and full-width spin-up (measured 9-13s -> ~6s at sf0.1)
-    scored = score_pairs(
-        pairs, variables, concurrency=(4, 12), batch_size=65536
-    )
+    # per-batch dispatch; the task-based scorer (warm workers, no pool
+    # spin-up) replaced the round-2 actor pool here (9-13s -> ~4s at sf0.1)
+    scored = score_pairs(pairs, variables, batch_size=65536)
     hist = pattern_histogram(scored)
     gam = unpack_patterns(hist["pattern_key"].to_numpy(np.int64), 2)
     return pd.DataFrame(
