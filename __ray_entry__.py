@@ -1768,6 +1768,43 @@ def _q_redact_docs(sf_dir: str):
     return out.filter(expr="n_redactions > 0")
 
 
+def _q_user_profile(sf_dir: str):
+    """Survivorship aggregate: most frequent event_type per user (grouped
+    mode, combiner-first partial counts; ties break count desc, value
+    asc — raylink/ops/canonical.py)."""
+    from raylink.ops.canonical import grouped_mode
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type", num_partitions=32)
+
+
+def _q_multi_block_pairs(sf_dir: str):
+    """OR-of-blocking-rules candidate pairs over customers: same nation OR
+    (same segment AND same $1000 balance band), deduplicated to one row
+    per pair tagged with the lowest producing rule
+    (raylink/ops/multiblock.py)."""
+    from raylink.ops.multiblock import multi_rule_pairs
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def add_band(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        band = pc.floor(pc.divide(t.column("c_acctbal"), 1000.0))
+        return t.append_column("bal_band", band.cast(pa.int64()))
+
+    cust = cust.map_batches(add_band, batch_format="pyarrow")
+    return multi_rule_pairs(
+        cust,
+        [["c_nationkey"], ["c_mktsegment", "bal_band"]],
+        id_col="c_custkey",
+        cap=100_000,
+        num_partitions=32,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (round 3): the driver verifies a bounded PREFIX of
     # this dict (round 2 stopped at 50 entries), so entries that have never
@@ -1777,6 +1814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # re-lists the 50 entries already verified green in round 2.
     return {
         # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
+        "user_profile": _q_user_profile,
+        "multi_block_pairs": _q_multi_block_pairs,
         "redact_docs": _q_redact_docs,
         "repetition_docs": _q_repetition_docs,
         "curate_docs": _q_curate_docs,
@@ -1862,6 +1901,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "user_profile": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*)::BIGINT AS cnt
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY user_id, event_type
+            ), r AS (
+                SELECT user_id, event_type, cnt,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY cnt DESC, event_type ASC
+                       ) AS rn
+                FROM c
+            )
+            SELECT user_id::BIGINT AS user_id,
+                   event_type AS mode_value,
+                   cnt AS mode_count
+            FROM r WHERE rn = 1
+        """,
+        "multi_block_pairs": """
+            WITH c AS (
+                SELECT c_custkey, c_nationkey, c_mktsegment,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+                FROM customer
+            ), u AS (
+                SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, 0 AS rule
+                FROM c a JOIN c b
+                  ON a.c_nationkey = b.c_nationkey
+                 AND a.c_custkey < b.c_custkey
+                UNION ALL
+                SELECT a.c_custkey, b.c_custkey, 1
+                FROM c a JOIN c b
+                  ON a.c_mktsegment = b.c_mktsegment
+                 AND a.bal_band = b.bal_band
+                 AND a.c_custkey < b.c_custkey
+            )
+            SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+                   MIN(rule)::BIGINT AS rule
+            FROM u GROUP BY id_a, id_b
+        """,
         "block_keys": """
             SELECT lang || ':' || substr(lower(text), 1, 16) AS block_key,
                    count(*)::BIGINT AS n

@@ -2362,3 +2362,52 @@ def test_similarity_join_drops_oversized_blocks():
     assert set(zip(out_link["id_a"], out_link["id_b"])) == {
         (n_mega, 901), (n_mega + 1, 901)
     }
+
+
+def test_grouped_mode_ties_and_nulls():
+    from raylink.ops.canonical import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 2, 2, 3, 3],
+            "v": ["b", "a", "a", "x", "y", None, "y", None, None],
+        }
+    )
+    out = (
+        grouped_mode(ray.data.from_pandas(df), "k", "v", num_partitions=4)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    # k=1: a wins on count; k=2: y wins (null never counts); k=3: all-null
+    # keys emit no row (SQL WHERE v IS NOT NULL semantics)
+    assert out["k"].tolist() == [1, 2]
+    assert out["mode_value"].tolist() == ["a", "y"]
+    assert out["mode_count"].tolist() == [2, 2]
+    # deterministic ties: count-equal values resolve to the smaller value
+    tie = pd.DataFrame({"k": [9, 9, 9, 9], "v": ["z", "m", "z", "m"]})
+    t = grouped_mode(ray.data.from_pandas(tie), "k", "v").to_pandas()
+    assert t["mode_value"].tolist() == ["m"]
+
+
+def test_multi_rule_pairs_union_dedup_min_rule():
+    from raylink.ops.multiblock import multi_rule_pairs
+
+    # ids 1,2 share BOTH rules (pair tagged rule 0); 3,4 share only g2;
+    # 5 shares nothing; 6 has a null g1 (blocks only under rule 1)
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "g1": ["a", "a", "b", "c", "d", None],
+            "g2": ["p", "p", "q", "q", "r", "p"],
+        }
+    )
+    out = (
+        multi_rule_pairs(
+            ray.data.from_pandas(df), [["g1"], ["g2"]], id_col="id",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    got = list(zip(out["id_a"], out["id_b"], out["rule"]))
+    assert got == [(1, 2, 0), (1, 6, 1), (2, 6, 1), (3, 4, 1)]
