@@ -1805,6 +1805,26 @@ def _q_multi_block_pairs(sf_dir: str):
     )
 
 
+def _q_canonical_events(sf_dir: str):
+    """Composite survivorship: one canonical record per user — modal
+    event_type, max value, first event_type by ts, last value by ts
+    (raylink/ops/canonical.py::canonical_records, long-format partials)."""
+    from raylink.ops.canonical import canonical_records
+
+    ev = _read(sf_dir, "events")
+    return canonical_records(
+        ev,
+        "user_id",
+        {
+            "top_type": ("event_type", "mode"),
+            "max_value": ("value", "max"),
+            "first_type": ("event_type", "first_by:ts"),
+            "last_value": ("value", "last_by:ts"),
+        },
+        num_partitions=32,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (round 3): the driver verifies a bounded PREFIX of
     # this dict (round 2 stopped at 50 entries), so entries that have never
@@ -1816,6 +1836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
         "user_profile": _q_user_profile,
         "multi_block_pairs": _q_multi_block_pairs,
+        "canonical_events": _q_canonical_events,
         "redact_docs": _q_redact_docs,
         "repetition_docs": _q_repetition_docs,
         "curate_docs": _q_curate_docs,
@@ -1918,6 +1939,47 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS mode_value,
                    cnt AS mode_count
             FROM r WHERE rn = 1
+        """,
+        "canonical_events": """
+            WITH base AS (
+                SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+            ), m AS (
+                SELECT user_id, event_type AS top_type FROM (
+                    SELECT user_id, event_type,
+                           row_number() OVER (
+                               PARTITION BY user_id
+                               ORDER BY count(*) DESC, event_type ASC
+                           ) AS rn
+                    FROM events WHERE event_type IS NOT NULL
+                    GROUP BY user_id, event_type
+                ) WHERE rn = 1
+            ), a AS (
+                SELECT user_id, max(value) AS max_value
+                FROM events GROUP BY user_id
+            ), f AS (
+                SELECT user_id, event_type AS first_type FROM (
+                    SELECT user_id, event_type,
+                           row_number() OVER (
+                               PARTITION BY user_id
+                               ORDER BY ts ASC, event_type ASC
+                           ) AS rn
+                    FROM events WHERE event_type IS NOT NULL
+                ) WHERE rn = 1
+            ), l AS (
+                SELECT user_id, value AS last_value FROM (
+                    SELECT user_id, value,
+                           row_number() OVER (
+                               PARTITION BY user_id
+                               ORDER BY ts DESC, value ASC
+                           ) AS rn
+                    FROM events WHERE value IS NOT NULL
+                ) WHERE rn = 1
+            )
+            SELECT b.user_id::BIGINT AS user_id, m.top_type, a.max_value,
+                   f.first_type, l.last_value
+            FROM base b
+            LEFT JOIN m USING(user_id) LEFT JOIN a USING(user_id)
+            LEFT JOIN f USING(user_id) LEFT JOIN l USING(user_id)
         """,
         "multi_block_pairs": """
             WITH c AS (

@@ -213,6 +213,9 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "budget_sample_docs",
         "event_row_numbers",
         "near_dedup_docs",
+        "user_profile",
+        "multi_block_pairs",
+        "canonical_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -2411,3 +2411,51 @@ def test_multi_rule_pairs_union_dedup_min_rule():
     )
     got = list(zip(out["id_a"], out["id_b"], out["rule"]))
     assert got == [(1, 2, 0), (1, 6, 1), (2, 6, 1), (3, 4, 1)]
+
+
+def test_canonical_records_strategies():
+    from raylink.ops.canonical import canonical_records
+
+    ts = pd.to_datetime(
+        ["2024-01-03", "2024-01-01", "2024-01-02", "2024-01-01", "2024-01-05"]
+    )
+    df = pd.DataFrame(
+        {
+            "cid": [1, 1, 1, 2, 2],
+            "name": ["bb", "aaa", "aaa", None, "zz"],
+            "score": [3.5, 1.0, 2.0, 7.0, None],
+            "ts": ts,
+        }
+    )
+    out = (
+        canonical_records(
+            ray.data.from_pandas(df),
+            "cid",
+            {
+                "top_name": ("name", "mode"),
+                "best": ("score", "max"),
+                "long_name": ("name", "longest"),
+                "first_name": ("name", "first_by:ts"),
+                "last_score": ("score", "last_by:ts"),
+            },
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("cid", ignore_index=True)
+    )
+    assert out["cid"].tolist() == [1, 2]
+    assert out["top_name"].tolist() == ["aaa", "zz"]
+    assert out["best"].tolist() == [3.5, 7.0]
+    assert out["long_name"].tolist() == ["aaa", "zz"]
+    # cid=1 first_by ts: 2024-01-01 -> aaa; cid=2 first non-null name by
+    # ts is zz (the null name at 01-01 is skipped, SQL WHERE v IS NOT NULL)
+    assert out["first_name"].tolist() == ["aaa", "zz"]
+    # cid=2 last_by ts over non-null scores: 7.0 at 01-01 (null at 01-05
+    # skipped); cid=1 last is 3.5 at 01-03
+    assert out["last_score"].tolist() == [3.5, 7.0]
+    # mode ties on a numeric column break on VALUE ascending numerically
+    tie = pd.DataFrame({"cid": [9] * 4, "v": [10.0, 2.0, 10.0, 2.0]})
+    t = canonical_records(
+        ray.data.from_pandas(tie), "cid", {"m": ("v", "mode")}
+    ).to_pandas()
+    assert t["m"].tolist() == [2.0]
