@@ -1805,6 +1805,35 @@ def _q_multi_block_pairs(sf_dir: str):
     )
 
 
+def _q_cust_supp_multiblock(sf_dir: str):
+    """Two-table OR-blocking: customer x supplier candidate pairs where
+    nations match OR $1000 account-balance bands match, one row per pair
+    tagged with the lowest rule (raylink/ops/multiblock.py link mode)."""
+    from raylink.ops.multiblock import multi_rule_pairs_link
+
+    def prep(table: str, id_src: str, nk: str, bal: str):
+        ds = _read(sf_dir, table).select_columns([id_src, nk, bal])
+
+        def fix(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            band = pc.floor(pc.divide(t.column(bal), 1000.0))
+            t = t.append_column("bal_band", band.cast(pa.int64()))
+            return t.rename_columns(
+                ["id" if c == id_src else ("nk" if c == nk else c)
+                 for c in t.column_names]
+            )
+
+        return ds.map_batches(fix, batch_format="pyarrow")
+
+    cust = prep("customer", "c_custkey", "c_nationkey", "c_acctbal")
+    supp = prep("supplier", "s_suppkey", "s_nationkey", "s_acctbal")
+    return multi_rule_pairs_link(
+        cust, supp, [["nk"], ["bal_band"]], id_col="id",
+        cap=100_000, num_partitions=32,
+    )
+
+
 def _q_canonical_events(sf_dir: str):
     """Composite survivorship: one canonical record per user — modal
     event_type, max value, first event_type by ts, last value by ts
@@ -1837,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_profile": _q_user_profile,
         "multi_block_pairs": _q_multi_block_pairs,
         "canonical_events": _q_canonical_events,
+        "cust_supp_multiblock": _q_cust_supp_multiblock,
         "redact_docs": _q_redact_docs,
         "repetition_docs": _q_repetition_docs,
         "curate_docs": _q_curate_docs,
@@ -1939,6 +1969,26 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS mode_value,
                    cnt AS mode_count
             FROM r WHERE rn = 1
+        """,
+        "cust_supp_multiblock": """
+            WITH a AS (
+                SELECT c_custkey AS id, c_nationkey AS nk,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+                FROM customer
+            ), b AS (
+                SELECT s_suppkey AS id, s_nationkey AS nk,
+                       CAST(floor(s_acctbal / 1000) AS BIGINT) AS band
+                FROM supplier
+            ), u AS (
+                SELECT a.id AS id_a, b.id AS id_b, 0 AS rule
+                FROM a JOIN b ON a.nk = b.nk
+                UNION ALL
+                SELECT a.id, b.id, 1
+                FROM a JOIN b ON a.band = b.band
+            )
+            SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+                   MIN(rule)::BIGINT AS rule
+            FROM u GROUP BY id_a, id_b
         """,
         "canonical_events": """
             WITH base AS (

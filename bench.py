@@ -216,6 +216,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "user_profile",
         "multi_block_pairs",
         "canonical_events",
+        "cust_supp_multiblock",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -2459,3 +2459,30 @@ def test_canonical_records_strategies():
         ray.data.from_pandas(tie), "cid", {"m": ("v", "mode")}
     ).to_pandas()
     assert t["m"].tolist() == [2.0]
+
+
+def test_multi_rule_pairs_link_two_tables():
+    from raylink.ops.multiblock import multi_rule_pairs_link
+
+    # a1 matches b1 under BOTH rules (rule 0 wins); a2-b2 only via g2/h2;
+    # a3 matches nothing; b3's null h1 excludes it from rule 0
+    dfa = pd.DataFrame(
+        {"id": [1, 2, 3], "g1": ["x", "y", "z"], "g2": ["p", "q", "r"]}
+    )
+    dfb = pd.DataFrame(
+        {"id": [10, 20, 30], "h1": ["x", None, "w"], "h2": ["p", "q", "s"]}
+    )
+    out = (
+        multi_rule_pairs_link(
+            ray.data.from_pandas(dfa),
+            ray.data.from_pandas(dfb),
+            [["g1"], ["g2"]],
+            id_col="id",
+            rules_b=[["h1"], ["h2"]],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    got = list(zip(out["id_a"], out["id_b"], out["rule"]))
+    assert got == [(1, 10, 0), (2, 20, 1)]
