@@ -1805,6 +1805,17 @@ def _q_multi_block_pairs(sf_dir: str):
     )
 
 
+def _q_user_journeys(sf_dir: str):
+    """Per-user event-type journey string, ts-ordered with event_id
+    tie-break (raylink/ops/strcat.py::grouped_concat — SQL string_agg)."""
+    from raylink.ops.strcat import grouped_concat
+
+    ev = _read(sf_dir, "events")
+    return grouped_concat(
+        ev, "user_id", "event_type", ["ts", "event_id"], num_partitions=32
+    )
+
+
 def _q_cust_supp_multiblock(sf_dir: str):
     """Two-table OR-blocking: customer x supplier candidate pairs where
     nations match OR $1000 account-balance bands match, one row per pair
@@ -1867,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_block_pairs": _q_multi_block_pairs,
         "canonical_events": _q_canonical_events,
         "cust_supp_multiblock": _q_cust_supp_multiblock,
+        "user_journeys": _q_user_journeys,
         "redact_docs": _q_redact_docs,
         "repetition_docs": _q_repetition_docs,
         "curate_docs": _q_curate_docs,
@@ -1969,6 +1981,14 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS mode_value,
                    cnt AS mode_count
             FROM r WHERE rn = 1
+        """,
+        "user_journeys": """
+            SELECT user_id::BIGINT AS user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id)
+                       AS concat,
+                   count(event_type)::BIGINT AS n
+            FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY user_id
         """,
         "cust_supp_multiblock": """
             WITH a AS (

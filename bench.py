@@ -217,6 +217,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "multi_block_pairs",
         "canonical_events",
         "cust_supp_multiblock",
+        "user_journeys",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

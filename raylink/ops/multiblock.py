@@ -4,22 +4,27 @@ Real ER deployments block on several rules at once — "same nation OR
 (same segment AND same balance band)" — because no single key has full
 recall.  The reference's config takes exactly one key set per run
 (FastLink.jl runs one blocking pass; users union runs by hand), so this
-op is the one-call version: candidate pairs from EVERY rule, deduplicated
-to one row per pair, tagged with the lowest rule index that produced it.
+op is the one-call version: candidate pairs from EVERY rule, exactly one
+row per pair, tagged with the lowest rule index that produced it.
 
 Scale shape:
 
-- each rule derives its own ``block_key`` (remixed with the rule index so
-  blocks never collide across rules) and the per-rule datasets union
-  LAZILY — records replicate once per rule, never more;
+- ONE pass derives each record's block key under ALL rules (``rk_j``
+  int64 columns; -1 marks a null rule column, which excludes the record
+  from that rule — SQL equi-join semantics);
+- per rule the keyed records union LAZILY (a record replicates once per
+  rule it is valid under, never more) with the rule's key remixed by the
+  rule index so blocks never collide across rules;
 - hot blocks go through the same salt plan / cap machinery as the
   linkage pipeline (``plan_salts``), so one degenerate rule (a constant
   column) cannot produce an unbounded cell;
-- cross-rule pair dedup is ONE shuffle of the candidate-pair ids (id
-  pairs only — no payload travels), grouped by a 64-bit pair hash; the
-  exact (id_a, id_b) dedup happens inside each hash group, so hash
-  collisions cost nothing.  This shuffle is inherent to OR semantics:
-  the same pair can surface in different blocks on different nodes.
+- cross-rule dedup costs NO extra shuffle: the lower-rule keys ride into
+  the pair generator, and a pair surfacing in rule *i*'s cell is dropped
+  when its two records also co-block under any rule *j* < *i* — rule
+  *j*'s cell is the one that emits it (the classic multi-pass blocking
+  exclusion: emit where not previously matched).  "Co-blocks under rule
+  j" is the same key-equality predicate that defines rule *j*'s cells,
+  so the suppression is exactly consistent with what rule *j* emits.
 """
 
 from __future__ import annotations
@@ -31,121 +36,191 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import BlockingConfig
-from ..functions.hashing import hash64_array
+from ..functions.hashing import combine_hashes, hash64_array
 from ..stages import blocking as bs
-from ..stages.pairs import generate_pairs_dedupe, generate_pairs_link
+from ..stages.pairs import _default_partitions
 from ..stages.sortedrun import sorted_group_scan
 
 __all__ = ["multi_rule_pairs", "multi_rule_pairs_link"]
 
 
-def _tag_rules(
-    records: ray.data.Dataset, rules: list[list[str]]
-) -> list[ray.data.Dataset]:
-    """Per-rule block-keyed datasets: null rule columns excluded (SQL
-    equi-join semantics), keys remixed with the rule index so blocks
-    never collide across rules, ``rule`` column attached."""
-    per_rule = []
-    for i, rule in enumerate(rules):
-        def keep_nonnull(batch: pa.Table, rule: tuple = tuple(rule)) -> pa.Table:
-            mask = None
+def _strip_soundex(colname: str) -> tuple[str, bool]:
+    if colname.startswith("soundex(") and colname.endswith(")"):
+        return colname[8:-1], True
+    return colname, False
+
+
+def _with_rule_keys(
+    records: ray.data.Dataset, rules: list[list[str]], id_col: str
+) -> ray.data.Dataset:
+    """Project to ``id_col`` + one int63 key column per rule (``rk_j``;
+    -1 where any of the rule's columns is null).  Same hashing as
+    ``stages.blocking.derive_block_keys`` so cells match the single-rule
+    path exactly."""
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        out: dict[str, pa.Array] = {id_col: batch.column(id_col)}
+        for j, rule in enumerate(rules):
+            h = None
+            valid = None
             for colname in rule:
-                src = (
-                    colname[8:-1]
-                    if colname.startswith("soundex(") and colname.endswith(")")
-                    else colname
+                src, use_soundex = _strip_soundex(colname)
+                arr = batch.column(src)
+                v = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                col = arr.to_numpy(zero_copy_only=False)
+                if use_soundex:
+                    from ..functions.soundex import soundex
+
+                    col = np.array(
+                        [soundex(x) if x is not None else "" for x in col],
+                        dtype=object,
+                    )
+                hk = hash64_array(col)
+                h = hk if h is None else combine_hashes(h, hk)
+                valid = v if valid is None else (valid & v)
+            k = bs._to_i63(h)
+            k[~valid] = -1
+            out[f"rk{j}"] = pa.array(k, type=pa.int64())
+        return pa.table(out)
+
+    need = {id_col}
+    for rule in rules:
+        for colname in rule:
+            need.add(_strip_soundex(colname)[0])
+    return records.select_columns(sorted(need)).map_batches(
+        add_keys, batch_format="pyarrow"
+    )
+
+
+def _fan_out_rules(
+    keyed: ray.data.Dataset, n_rules: int, id_col: str
+) -> ray.data.Dataset:
+    """Lazy union of per-rule datasets: rule-valid rows only, with
+    ``block_key`` (rule-remixed), ``rule``, and all lower rules' keys."""
+    parts = []
+    for i in range(n_rules):
+        def tag(batch: pa.Table, i: int = i) -> pa.Table:
+            rk = batch.column(f"rk{i}").to_numpy(zero_copy_only=False)
+            sel = rk != -1
+            batch = batch.filter(pa.array(sel))
+            rk = rk[sel]
+            cols: dict[str, pa.Array] = {id_col: batch.column(id_col)}
+            # lower-rule keys ride along for the min-rule suppression
+            # (rule n-1's own key is never consulted, so only n-1 key
+            # columns travel; rows from rule <= j carry -1 there)
+            for j in range(min(i, n_rules - 1)):
+                cols[f"rk{j}"] = batch.column(f"rk{j}")
+            for j in range(min(i, n_rules - 1), n_rules - 1):
+                cols[f"rk{j}"] = pa.array(
+                    np.full(len(rk), -1, dtype=np.int64)
                 )
-                v = pc.is_valid(batch.column(src))
-                mask = v if mask is None else pc.and_(mask, v)
-            return batch.filter(mask)
-
-        ds_i = bs.derive_block_keys(
-            records.map_batches(keep_nonnull, batch_format="pyarrow"), rule
-        )
-
-        def remix(batch: pa.Table, i: int = i) -> pa.Table:
-            bk = batch.column("block_key").to_numpy(zero_copy_only=False)
-            mixed = hash64_array(bk, seed=i + 1)
-            batch = batch.drop_columns(["block_key"]).append_column(
-                "block_key", pa.array(mixed, type=pa.uint64())
+            cols["rule"] = pa.array(np.full(len(rk), i, dtype=np.int64))
+            cols["block_key"] = pa.array(
+                hash64_array(rk, seed=i + 1), type=pa.uint64()
             )
-            return batch.append_column(
-                "rule", pa.array(np.full(len(bk), i, dtype=np.int64))
-            )
+            return pa.table(cols)
 
-        per_rule.append(ds_i.map_batches(remix, batch_format="pyarrow"))
-    return per_rule
-
-
-def _union_all(parts: list[ray.data.Dataset]) -> ray.data.Dataset:
+        parts.append(keyed.map_batches(tag, batch_format="pyarrow"))
     ds = parts[0]
     for other in parts[1:]:
         ds = ds.union(other)
     return ds
 
 
-def _dedupe_pairs_min_rule(
-    pairs: ray.data.Dataset,
-    id_type_a: pa.DataType,
-    id_type_b: pa.DataType,
-    num_partitions: int,
+def _suppress_lower(
+    cols: dict[str, np.ndarray],
+    rule: int,
+    ia: np.ndarray,
+    ib: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Drop index pairs that also co-block under any rule j < rule —
+    that rule's cell is the one that emits them (min-rule semantics)."""
+    if rule == 0 or len(ia) == 0:
+        return ia, ib
+    keep = np.ones(len(ia), dtype=bool)
+    for j in range(rule):
+        rk = cols[f"rk{j}"]
+        keep &= ~((rk[ia] == rk[ib]) & (rk[ia] != -1))
+    return ia[keep], ib[keep]
+
+
+def _gen_pairs_min_rule(
+    expanded: ray.data.Dataset,
+    id_col: str,
+    id_type: pa.DataType,
+    link: bool,
+    num_partitions: int | None,
 ) -> ray.data.Dataset:
-    """One row per (id_a, id_b) tagged with the smallest producing rule.
+    """Pair generation with in-cell min-rule suppression.
 
-    One shuffle of id-only pair rows grouped by a 64-bit pair hash; the
-    exact dedup happens inside each hash group, so collisions cost
-    nothing.  This shuffle is inherent to OR semantics: the same pair can
-    surface in different blocks on different nodes.
+    Modeled on ``stages.pairs.generate_pairs_dedupe`` /
+    ``generate_pairs_link`` (same triangle / salt-rectangle cell walk,
+    same ``id_a < id_b`` canonicalization for self-link), but suppressed
+    pairs never materialize and the output carries only
+    ``(id_a, id_b, rule)`` — no comparison payload rides the pair rows.
     """
-
-    def add_pair_hash(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        # independent hash families per side; XOR would cancel symmetric
-        # structure, addition keeps the pair key collision-resistant
-        ph = hash64_array(a, seed=11) + hash64_array(b, seed=12)
-        return pa.table(
-            {
-                "pair_h": pa.array(ph, type=pa.uint64()),
-                "id_a": batch.column("id_a"),
-                "id_b": batch.column("id_b"),
-                "rule": batch.column("rule_a"),
-            }
-        )
-
-    hashed = pairs.map_batches(add_pair_hash, batch_format="pyarrow")
-
     out_schema = pa.schema(
         [
-            pa.field("id_a", id_type_a),
-            pa.field("id_b", id_type_b),
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
             pa.field("rule", pa.int64()),
         ]
     )
 
-    def group_fn(g: dict[str, np.ndarray]) -> dict:
-        a = np.asarray(g["id_a"])
-        b = np.asarray(g["id_b"])
-        r = np.asarray(g["rule"], dtype=np.int64)
-        order = np.lexsort((r, b, a))
-        a, b, r = a[order], b[order], r[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return {"id_a": a[keep], "id_b": b[keep], "rule": r[keep]}
-
-    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+    def emit(cols: dict, rule: int, ia: np.ndarray, ib: np.ndarray) -> dict:
+        ids = cols[id_col]
+        if not link:
+            swap = ids[ia] > ids[ib]
+            ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
         return {
-            "id_a": np.asarray(batch["id_a"])[:0],
-            "id_b": np.asarray(batch["id_b"])[:0],
+            "id_a": ids[ia],
+            "id_b": ids[ib],
+            "rule": np.full(len(ia), rule, dtype=np.int64),
+        }
+
+    def empty(cols: dict) -> dict:
+        return {
+            "id_a": np.asarray(cols[id_col])[:0],
+            "id_b": np.asarray(cols[id_col])[:0],
             "rule": np.array([], dtype=np.int64),
         }
 
+    def gen(group: dict[str, np.ndarray]) -> dict:
+        if len(group[id_col]) < 2:
+            return empty(group)
+        cols = {k: np.asarray(v) for k, v in group.items()}
+        rule = int(cols["rule"][0])
+        sub_i = int(cols["sub_i"][0])
+        sub_j = int(cols["sub_j"][0])
+        if link:
+            side = cols["_side"]
+            a_rows = np.flatnonzero(side == "a")
+            b_rows = np.flatnonzero(side == "b")
+            if len(a_rows) == 0 or len(b_rows) == 0:
+                return empty(cols)
+            ia = np.repeat(a_rows, len(b_rows))
+            ib = np.tile(b_rows, len(a_rows))
+        elif sub_i == sub_j:
+            order = np.argsort(cols[id_col], kind="stable")
+            ti, tj = np.triu_indices(len(cols[id_col]), k=1)
+            ia, ib = order[ti], order[tj]
+        else:
+            salt = cols["salt"]
+            left = np.flatnonzero(salt == sub_i)
+            right = np.flatnonzero(salt == sub_j)
+            if len(left) == 0 or len(right) == 0:
+                return empty(cols)
+            ia = np.repeat(left, len(right))
+            ib = np.tile(right, len(left))
+        ia, ib = _suppress_lower(cols, rule, ia, ib)
+        return emit(cols, rule, ia, ib)
+
     return sorted_group_scan(
-        hashed,
-        "pair_h",
-        group_fn,
-        empty_fn,
-        num_partitions=num_partitions,
+        expanded,
+        "pg_key",
+        gen,
+        empty,
+        num_partitions=num_partitions or _default_partitions(),
         out_schema=out_schema,
     )
 
@@ -164,11 +239,8 @@ def multi_rule_pairs(
     """
     if not rules:
         raise ValueError("multi_rule_pairs needs at least one rule")
-    # only the id rides the pair shuffle — blocking columns stay behind
-    tagged = _union_all(
-        [t.select_columns([id_col, "rule", "block_key"])
-         for t in _tag_rules(records, rules)]
-    )
+    keyed = _with_rule_keys(records, rules, id_col)
+    tagged = _fan_out_rules(keyed, len(rules), id_col)
 
     plan, bcount = bs.plan_salts(tagged, BlockingConfig(cap=cap))
     expanded = bs.expand_pair_groups(
@@ -178,12 +250,15 @@ def multi_rule_pairs(
         side=None,
         dropped=set(bcount.notes.get("dropped_block_keys", [])),
     )
-    pairs = generate_pairs_dedupe(expanded, ["rule"], id_col=id_col)
-
     from .canonical import pa_column_type
 
-    id_type = pa_column_type(records, id_col)
-    return _dedupe_pairs_min_rule(pairs, id_type, id_type, num_partitions)
+    return _gen_pairs_min_rule(
+        expanded,
+        id_col,
+        pa_column_type(records, id_col),
+        link=False,
+        num_partitions=num_partitions,
+    )
 
 
 def multi_rule_pairs_link(
@@ -199,9 +274,10 @@ def multi_rule_pairs_link(
 
     ``rules`` names the blocking columns on the A side; ``rules_b``
     (default: same names) on the B side — rule *i* joins A rows and B
-    rows whose respective column tuples hash equal.  Both sides must
-    carry ``id_col``.  Output: ``id_a`` (from A), ``id_b`` (from B),
-    ``rule`` (int64, the smallest rule index that blocked the pair).
+    rows whose respective column tuples hash equal (values must share a
+    dtype across sides; key hashes cover values only, not column names).
+    Both sides must carry ``id_col``.  Output: ``id_a`` (from A),
+    ``id_b`` (from B), ``rule`` (int64, smallest producing rule).
 
     Same scale shape as :func:`multi_rule_pairs`; the salt plan is
     computed over the UNION of both sides' block keys so a block hot on
@@ -211,15 +287,13 @@ def multi_rule_pairs_link(
         raise ValueError("multi_rule_pairs_link needs at least one rule")
     if rules_b is not None and len(rules_b) != len(rules):
         raise ValueError("rules_b must pair up with rules one-to-one")
-    # project both sides to one minimal schema (the two tables' own
-    # columns differ) — only the id rides the pair shuffle
-    tagged_a = _union_all(
-        [t.select_columns([id_col, "rule", "block_key"])
-         for t in _tag_rules(records_a, rules)]
+    tagged_a = _fan_out_rules(
+        _with_rule_keys(records_a, rules, id_col), len(rules), id_col
     )
-    tagged_b = _union_all(
-        [t.select_columns([id_col, "rule", "block_key"])
-         for t in _tag_rules(records_b, rules_b or rules)]
+    tagged_b = _fan_out_rules(
+        _with_rule_keys(records_b, rules_b or rules, id_col),
+        len(rules),
+        id_col,
     )
 
     both_keys = tagged_a.select_columns(["block_key"]).union(
@@ -243,14 +317,13 @@ def multi_rule_pairs_link(
         plan, id_col, side="b", dropped=dropped,
     )
     # a cell only ever contains one rule's rows (keys are remixed with the
-    # rule index), so the pair's rule_a == rule_b by construction
-    pairs = generate_pairs_link(ea.union(eb), ["rule"], id_col=id_col)
-
+    # rule index), so every cell's ``rule`` is uniform by construction
     from .canonical import pa_column_type
 
-    return _dedupe_pairs_min_rule(
-        pairs,
+    return _gen_pairs_min_rule(
+        ea.union(eb),
+        id_col,
         pa_column_type(records_a, id_col),
-        pa_column_type(records_b, id_col),
-        num_partitions,
+        link=True,
+        num_partitions=num_partitions,
     )

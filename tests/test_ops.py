@@ -2486,3 +2486,29 @@ def test_multi_rule_pairs_link_two_tables():
     )
     got = list(zip(out["id_a"], out["id_b"], out["rule"]))
     assert got == [(1, 10, 0), (2, 20, 1)]
+
+
+def test_grouped_concat_order_and_nulls():
+    from raylink.ops.strcat import grouped_concat
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "ord": [3, 1, 2, 5, 4, 9],
+            "tie": [0, 0, 0, 0, 1, 0],
+            "v": ["c", "a", None, "y", "x", None],
+        }
+    )
+    out = (
+        grouped_concat(
+            ray.data.from_pandas(df), "k", "v", ["ord", "tie"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    # k=1: nulls skipped, ordered a(1), c(3); k=2: x(4) before y(5);
+    # k=3: all-null emits nothing
+    assert out["k"].tolist() == [1, 2]
+    assert out["concat"].tolist() == ["a,c", "x,y"]
+    assert out["n"].tolist() == [2, 2]
