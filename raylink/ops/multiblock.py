@@ -51,15 +51,20 @@ def _strip_soundex(colname: str) -> tuple[str, bool]:
 
 
 def _with_rule_keys(
-    records: ray.data.Dataset, rules: list[list[str]], id_col: str
+    records: ray.data.Dataset,
+    rules: list[list[str]],
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
-    """Project to ``id_col`` + one int63 key column per rule (``rk_j``;
-    -1 where any of the rule's columns is null).  Same hashing as
-    ``stages.blocking.derive_block_keys`` so cells match the single-rule
-    path exactly."""
+    """Project to ``id_col`` + ``keep_cols`` + one int63 key column per
+    rule (``rk_j``; -1 where any of the rule's columns is null).  Same
+    hashing as ``stages.blocking.derive_block_keys`` so cells match the
+    single-rule path exactly."""
 
     def add_keys(batch: pa.Table) -> pa.Table:
         out: dict[str, pa.Array] = {id_col: batch.column(id_col)}
+        for c in keep_cols:
+            out[c] = batch.column(c)
         for j, rule in enumerate(rules):
             h = None
             valid = None
@@ -83,7 +88,7 @@ def _with_rule_keys(
             out[f"rk{j}"] = pa.array(k, type=pa.int64())
         return pa.table(out)
 
-    need = {id_col}
+    need = {id_col, *keep_cols}
     for rule in rules:
         for colname in rule:
             need.add(_strip_soundex(colname)[0])
@@ -93,7 +98,10 @@ def _with_rule_keys(
 
 
 def _fan_out_rules(
-    keyed: ray.data.Dataset, n_rules: int, id_col: str
+    keyed: ray.data.Dataset,
+    n_rules: int,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Lazy union of per-rule datasets: rule-valid rows only, with
     ``block_key`` (rule-remixed), ``rule``, and all lower rules' keys."""
@@ -105,6 +113,8 @@ def _fan_out_rules(
             batch = batch.filter(pa.array(sel))
             rk = rk[sel]
             cols: dict[str, pa.Array] = {id_col: batch.column(id_col)}
+            for c in keep_cols:
+                cols[c] = batch.column(c)
             # lower-rule keys ride along for the min-rule suppression
             # (rule n-1's own key is never consulted, so only n-1 key
             # columns travel; rows from rule <= j carry -1 there)
@@ -115,8 +125,10 @@ def _fan_out_rules(
                     np.full(len(rk), -1, dtype=np.int64)
                 )
             cols["rule"] = pa.array(np.full(len(rk), i, dtype=np.int64))
+            # int63 like derive_block_keys: the downstream block machinery
+            # (count/filter/salt membership) assumes int64-safe keys
             cols["block_key"] = pa.array(
-                hash64_array(rk, seed=i + 1), type=pa.uint64()
+                bs._to_i63(hash64_array(rk, seed=i + 1)), type=pa.int64()
             )
             return pa.table(cols)
 
@@ -150,40 +162,53 @@ def _gen_pairs_min_rule(
     id_type: pa.DataType,
     link: bool,
     num_partitions: int | None,
+    fields: tuple[str, ...] = (),
+    field_types: dict[str, pa.DataType] | None = None,
 ) -> ray.data.Dataset:
     """Pair generation with in-cell min-rule suppression.
 
     Modeled on ``stages.pairs.generate_pairs_dedupe`` /
     ``generate_pairs_link`` (same triangle / salt-rectangle cell walk,
     same ``id_a < id_b`` canonicalization for self-link), but suppressed
-    pairs never materialize and the output carries only
-    ``(id_a, id_b, rule)`` — no comparison payload rides the pair rows.
+    pairs never materialize.  Output carries ``(id_a, id_b, rule)`` plus
+    ``f_a``/``f_b`` for each of ``fields`` (comparison payload for a
+    downstream scorer — the linkage pipeline's multi-rule path).
     """
-    out_schema = pa.schema(
-        [
-            pa.field("id_a", id_type),
-            pa.field("id_b", id_type),
-            pa.field("rule", pa.int64()),
-        ]
-    )
+    sf = [pa.field("id_a", id_type), pa.field("id_b", id_type),
+          pa.field("rule", pa.int64())]
+    for f in fields:
+        t = (field_types or {}).get(f, pa.string())
+        sf.append(pa.field(f"{f}_a", t))
+        sf.append(pa.field(f"{f}_b", t))
+    out_schema = pa.schema(sf)
 
     def emit(cols: dict, rule: int, ia: np.ndarray, ib: np.ndarray) -> dict:
         ids = cols[id_col]
         if not link:
             swap = ids[ia] > ids[ib]
             ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
-        return {
+        out = {
             "id_a": ids[ia],
             "id_b": ids[ib],
             "rule": np.full(len(ia), rule, dtype=np.int64),
         }
+        for f in fields:
+            col = cols[f]
+            out[f"{f}_a"] = col[ia]
+            out[f"{f}_b"] = col[ib]
+        return out
 
     def empty(cols: dict) -> dict:
-        return {
+        out = {
             "id_a": np.asarray(cols[id_col])[:0],
             "id_b": np.asarray(cols[id_col])[:0],
             "rule": np.array([], dtype=np.int64),
         }
+        for f in fields:
+            c = np.asarray(cols[f])[:0]
+            out[f"{f}_a"] = c
+            out[f"{f}_b"] = c
+        return out
 
     def gen(group: dict[str, np.ndarray]) -> dict:
         if len(group[id_col]) < 2:
@@ -225,6 +250,45 @@ def _gen_pairs_min_rule(
     )
 
 
+def multi_rule_pairs_from_keyed(
+    keyed: ray.data.Dataset,
+    n_rules: int,
+    id_col: str,
+    id_type: pa.DataType,
+    blocking: BlockingConfig,
+    fields: tuple[str, ...] = (),
+    field_types: dict[str, pa.DataType] | None = None,
+    num_partitions: int | None = None,
+):
+    """Pair rows from a ``_with_rule_keys`` output: fan-out → salt plan →
+    singleton filter → in-cell min-rule pair generation.  ``fields``
+    columns of ``keyed`` ride into the pair rows as ``f_a``/``f_b``
+    (comparison payload).  Returns ``(pairs, BlockingCounters)`` — the
+    linkage pipeline's multi-rule entry point.
+    """
+    tagged = _fan_out_rules(keyed, n_rules, id_col, keep_cols=tuple(fields))
+    plan, bcount, counts = bs.analyze_blocks(tagged, blocking)
+    # singleton blocks generate no pairs — drop them before the shuffle
+    tagged = bs.filter_to_multi_blocks(tagged, counts=counts)
+    expanded = bs.expand_pair_groups(
+        tagged,
+        plan,
+        id_col,
+        side=None,
+        dropped=set(bcount.notes.get("dropped_block_keys", [])),
+    )
+    pairs = _gen_pairs_min_rule(
+        expanded,
+        id_col,
+        id_type,
+        link=False,
+        num_partitions=num_partitions,
+        fields=tuple(fields),
+        field_types=field_types,
+    )
+    return pairs, bcount
+
+
 def multi_rule_pairs(
     records: ray.data.Dataset,
     rules: list[list[str]],
@@ -239,26 +303,18 @@ def multi_rule_pairs(
     """
     if not rules:
         raise ValueError("multi_rule_pairs needs at least one rule")
-    keyed = _with_rule_keys(records, rules, id_col)
-    tagged = _fan_out_rules(keyed, len(rules), id_col)
-
-    plan, bcount = bs.plan_salts(tagged, BlockingConfig(cap=cap))
-    expanded = bs.expand_pair_groups(
-        tagged,
-        plan,
-        id_col,
-        side=None,
-        dropped=set(bcount.notes.get("dropped_block_keys", [])),
-    )
     from .canonical import pa_column_type
 
-    return _gen_pairs_min_rule(
-        expanded,
+    keyed = _with_rule_keys(records, rules, id_col)
+    pairs, _ = multi_rule_pairs_from_keyed(
+        keyed,
+        len(rules),
         id_col,
         pa_column_type(records, id_col),
-        link=False,
+        BlockingConfig(cap=cap),
         num_partitions=num_partitions,
     )
+    return pairs
 
 
 def multi_rule_pairs_link(

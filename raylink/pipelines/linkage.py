@@ -287,6 +287,7 @@ def dedupe_records(
     id_col: str,
     block_keys: list[str] | None = None,
     precomputed_block_key: bool = False,
+    block_rules: list[list[str]] | None = None,
     cluster: bool = True,
     seed: int = 1234,
 ) -> LinkResult:
@@ -294,23 +295,48 @@ def dedupe_records(
 
     ``records`` must carry ``id_col``, every leaf comparison column, and —
     unless ``precomputed_block_key`` — the ``block_keys`` columns.
+
+    ``block_rules`` (mutually exclusive with the other blocking args)
+    enables multi-pass OR blocking: candidate pairs come from the union
+    of several blocking rules, each pair scored exactly once via the
+    in-cell min-rule suppression in :mod:`raylink.ops.multiblock` —
+    no single key has full recall, so production ER runs several
+    (the reference runs one pass per config; its users union by hand).
+    Rule keys hash the RAW column values (same as the single-key path,
+    which derives ``block_key`` before case-normalization).
     """
     counters: dict[str, Any] = {}
     n = records.count()
     counters["records"] = n
     total_comparisons = n * (n - 1) // 2
 
-    if not precomputed_block_key:
-        keys = block_keys or config.blocking.keys
-        if not keys:
-            raise ValueError("dedupe requires blocking keys (or a block_key column)")
-        records = blocking_stage.derive_block_keys(records, keys)
-    # prune to what pair rows need BEFORE the shuffle: ids + comparison
-    # fields + block key (wide payloads like full_text stay out)
     leaf_fields = [v.name for v in config.leaf_vars()]
-    records = records.select_columns(
-        list(dict.fromkeys([id_col, *leaf_fields, "block_key"]))
-    )
+    if block_rules:
+        if precomputed_block_key or block_keys:
+            raise ValueError(
+                "block_rules is mutually exclusive with block_keys / "
+                "precomputed_block_key"
+            )
+        from ..ops.multiblock import _with_rule_keys
+
+        # rk_j columns derived from raw values here; the rule source
+        # columns themselves are dropped before normalization/shuffle
+        records = _with_rule_keys(
+            records, block_rules, id_col, keep_cols=tuple(leaf_fields)
+        )
+    else:
+        if not precomputed_block_key:
+            keys = block_keys or config.blocking.keys
+            if not keys:
+                raise ValueError(
+                    "dedupe requires blocking keys (or a block_key column)"
+                )
+            records = blocking_stage.derive_block_keys(records, keys)
+        # prune to what pair rows need BEFORE the shuffle: ids + comparison
+        # fields + block key (wide payloads like full_text stay out)
+        records = records.select_columns(
+            list(dict.fromkeys([id_col, *leaf_fields, "block_key"]))
+        )
     # case-normalize ONCE on records (O(records)), not per pair row in the
     # scorer (O(pairs), both sides)
     from ..stages.scoring import normalize_upper
@@ -320,24 +346,9 @@ def dedupe_records(
     if tf_vars:
         records = add_tf_columns(records, tf_vars, n)
     records = records.materialize()
-    plan, bcount, block_counts = blocking_stage.analyze_blocks(
-        records, config.blocking
-    )
-    counters["hot_blocks"] = bcount.n_hot_blocks
-    counters["dropped_blocks"] = bcount.n_dropped_blocks
-    counters["dropped_rows"] = bcount.dropped_rows
-
     leaf_vars = scored_vars
     fields = [v.name for v in leaf_vars]
     tf_cols = [f"tf_{v.name}" for v in tf_vars]
-    # singleton blocks generate no pairs — drop them before the pair shuffle
-    paired_records = blocking_stage.filter_to_multi_blocks(
-        records, counts=block_counts
-    )
-    expanded = blocking_stage.expand_pair_groups(
-        paired_records, plan, id_col, side=None,
-        dropped=set(bcount.notes.get("dropped_block_keys", [])),
-    )
     try:
         import pyarrow as _pa
 
@@ -346,9 +357,43 @@ def dedupe_records(
             src_schema = None
     except Exception:
         src_schema = None
-    pairs = pairs_stage.generate_pairs_dedupe(
-        expanded, fields + tf_cols, id_col=id_col, source_schema=src_schema
-    )
+    if block_rules:
+        from ..ops.canonical import pa_column_type
+        from ..ops.multiblock import multi_rule_pairs_from_keyed
+
+        ftypes = (
+            {f: src_schema.field(f).type for f in fields + tf_cols}
+            if src_schema is not None
+            else None
+        )
+        pairs, bcount = multi_rule_pairs_from_keyed(
+            records,
+            len(block_rules),
+            id_col,
+            pa_column_type(records, id_col),
+            config.blocking,
+            fields=tuple(fields + tf_cols),
+            field_types=ftypes,
+            num_partitions=config.execution.pair_shuffle_partitions,
+        )
+    else:
+        plan, bcount, block_counts = blocking_stage.analyze_blocks(
+            records, config.blocking
+        )
+        # singleton blocks generate no pairs — drop them pre-shuffle
+        paired_records = blocking_stage.filter_to_multi_blocks(
+            records, counts=block_counts
+        )
+        expanded = blocking_stage.expand_pair_groups(
+            paired_records, plan, id_col, side=None,
+            dropped=set(bcount.notes.get("dropped_block_keys", [])),
+        )
+        pairs = pairs_stage.generate_pairs_dedupe(
+            expanded, fields + tf_cols, id_col=id_col, source_schema=src_schema
+        )
+    counters["hot_blocks"] = bcount.n_hot_blocks
+    counters["dropped_blocks"] = bcount.n_dropped_blocks
+    counters["dropped_rows"] = bcount.dropped_rows
     scored = score_pairs(
         pairs,
         leaf_vars,

@@ -176,3 +176,82 @@ def test_link_and_dedupe_mode():
     assert hit / len(ts) >= 0.85, f"recovered {hit}/{len(ts)}"
     # clusters exist over the union id space
     assert res.clusters is not None
+
+
+def test_dedupe_multirule_or_blocking():
+    """block_rules finds duplicates reachable only through the SECOND
+    blocking rule and never scores a cross-rule pair twice."""
+    rng = np.random.default_rng(7)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def rand_name(k=8):
+        return "".join(rng.choice(letters, k))
+
+    n = 360
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "id": i,
+                "firstname": rand_name(),
+                "lastname": rand_name(),
+                "zip": f"z{rng.integers(0, 30):02d}",
+                "city": f"c{rng.integers(0, 20):02d}",
+            }
+        )
+    # 5 duplicate pairs co-blocked on zip only, 5 on city only
+    planted = []
+    for j in range(10):
+        src = rows[j * 3]
+        dup = dict(src)
+        dup["id"] = n + j
+        if j < 5:
+            dup["city"] = "c_other"  # same zip, different city -> rule 0
+        else:
+            dup["zip"] = "z_other"  # different zip, same city -> rule 1
+        rows.append(dup)
+        planted.append((src["id"], dup["id"]))
+    df = pd.DataFrame(rows)
+
+    config = parse_config(
+        {
+            "link_type": "dedupe_only",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "firstname", "method": "jarowinkler"},
+                    {"varname": "lastname", "method": "jarowinkler"},
+                ],
+            },
+            "blocking": {"cap": 2000},
+        }
+    )
+    res = dedupe_records(
+        ray.data.from_pandas(df),
+        config,
+        id_col="id",
+        block_rules=[["zip"], ["city"]],
+        cluster=False,
+    )
+    m = res.matches.to_pandas()
+    pred = set(zip(m["id_a"], m["id_b"]))
+    assert set(planted) <= pred, sorted(set(planted) - pred)
+    # single-key blocking on zip alone must MISS the city-only pairs
+    res_zip = dedupe_records(
+        ray.data.from_pandas(df),
+        config,
+        id_col="id",
+        block_keys=["zip"],
+        cluster=False,
+    )
+    pred_zip = set(
+        zip(res_zip.matches.to_pandas()["id_a"],
+            res_zip.matches.to_pandas()["id_b"])
+    )
+    assert set(planted[:5]) <= pred_zip
+    assert not (set(planted[5:]) & pred_zip)
+    # every scored pair is unique (cross-rule dedup held)
+    sp = res.scored_pairs.to_pandas()
+    assert not sp.duplicated(["id_a", "id_b"]).any()
