@@ -317,6 +317,78 @@ def multi_rule_pairs(
     return pairs
 
 
+def multi_rule_pairs_link_from_keyed(
+    keyed_a: ray.data.Dataset,
+    keyed_b: ray.data.Dataset,
+    n_rules: int,
+    id_col_a: str,
+    id_col_b: str,
+    id_type: pa.DataType,
+    blocking: BlockingConfig,
+    fields: tuple[str, ...] = (),
+    field_types: dict[str, pa.DataType] | None = None,
+    num_partitions: int | None = None,
+):
+    """Two-table pair rows from two ``_with_rule_keys`` outputs.
+
+    Both id columns unify to ``_pair_id`` internally (the pair output is
+    ``id_a`` from A / ``id_b`` from B regardless); the salt plan sees the
+    COMBINED block populations, and blocks with fewer than 2 members
+    across both sides are dropped before the shuffle.  Returns
+    ``(pairs, BlockingCounters)``.
+    """
+
+    def rename_to_pair_id(old: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [("_pair_id" if c == old else c) for c in b.column_names]
+            )
+
+        return fn
+
+    tagged_a = _fan_out_rules(
+        keyed_a.map_batches(rename_to_pair_id(id_col_a), batch_format="pyarrow"),
+        n_rules, "_pair_id", keep_cols=tuple(fields),
+    )
+    tagged_b = _fan_out_rules(
+        keyed_b.map_batches(rename_to_pair_id(id_col_b), batch_format="pyarrow"),
+        n_rules, "_pair_id", keep_cols=tuple(fields),
+    )
+    both_keys = tagged_a.select_columns(["block_key"]).union(
+        tagged_b.select_columns(["block_key"])
+    )
+    plan, bcount, counts = bs.analyze_blocks(both_keys, blocking)
+    dropped = set(bcount.notes.get("dropped_block_keys", []))
+    # a pair needs >= 2 members in the block across BOTH sides
+    tagged_a = bs.filter_to_multi_blocks(tagged_a, counts=counts)
+    tagged_b = bs.filter_to_multi_blocks(tagged_b, counts=counts)
+
+    def tag(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("_side", pa.array([side] * len(b)))
+
+        return fn
+
+    ea = bs.expand_pair_groups(
+        tagged_a.map_batches(tag("a"), batch_format="pyarrow"),
+        plan, "_pair_id", side="a", dropped=dropped,
+    )
+    eb = bs.expand_pair_groups(
+        tagged_b.map_batches(tag("b"), batch_format="pyarrow"),
+        plan, "_pair_id", side="b", dropped=dropped,
+    )
+    pairs = _gen_pairs_min_rule(
+        ea.union(eb),
+        "_pair_id",
+        id_type,
+        link=True,
+        num_partitions=num_partitions,
+        fields=tuple(fields),
+        field_types=field_types,
+    )
+    return pairs, bcount
+
+
 def multi_rule_pairs_link(
     records_a: ray.data.Dataset,
     records_b: ray.data.Dataset,
@@ -343,43 +415,16 @@ def multi_rule_pairs_link(
         raise ValueError("multi_rule_pairs_link needs at least one rule")
     if rules_b is not None and len(rules_b) != len(rules):
         raise ValueError("rules_b must pair up with rules one-to-one")
-    tagged_a = _fan_out_rules(
-        _with_rule_keys(records_a, rules, id_col), len(rules), id_col
-    )
-    tagged_b = _fan_out_rules(
+    from .canonical import pa_column_type
+
+    pairs, _ = multi_rule_pairs_link_from_keyed(
+        _with_rule_keys(records_a, rules, id_col),
         _with_rule_keys(records_b, rules_b or rules, id_col),
         len(rules),
         id_col,
-    )
-
-    both_keys = tagged_a.select_columns(["block_key"]).union(
-        tagged_b.select_columns(["block_key"])
-    )
-    plan, bcount = bs.plan_salts(both_keys, BlockingConfig(cap=cap))
-    dropped = set(bcount.notes.get("dropped_block_keys", []))
-
-    def tag(side: str):
-        def fn(b: pa.Table) -> pa.Table:
-            return b.append_column("_side", pa.array([side] * len(b)))
-
-        return fn
-
-    ea = bs.expand_pair_groups(
-        tagged_a.map_batches(tag("a"), batch_format="pyarrow"),
-        plan, id_col, side="a", dropped=dropped,
-    )
-    eb = bs.expand_pair_groups(
-        tagged_b.map_batches(tag("b"), batch_format="pyarrow"),
-        plan, id_col, side="b", dropped=dropped,
-    )
-    # a cell only ever contains one rule's rows (keys are remixed with the
-    # rule index), so every cell's ``rule`` is uniform by construction
-    from .canonical import pa_column_type
-
-    return _gen_pairs_min_rule(
-        ea.union(eb),
         id_col,
         pa_column_type(records_a, id_col),
-        link=True,
+        BlockingConfig(cap=cap),
         num_partitions=num_partitions,
     )
+    return pairs

@@ -452,9 +452,17 @@ def link_records(
     records_b: ray.data.Dataset,
     config: LinkConfig,
     block_keys: list[str] | None = None,
+    block_rules: list[list[str]] | None = None,
+    block_rules_b: list[list[str]] | None = None,
     seed: int = 1234,
 ) -> LinkResult:
-    """Two-table link (the reference's only implemented mode)."""
+    """Two-table link (the reference's only implemented mode).
+
+    ``block_rules`` (+ optional per-B-side ``block_rules_b`` column
+    names) enables multi-pass OR blocking, same semantics as
+    :func:`dedupe_records`: pairs from the union of the rules, each
+    scored exactly once via in-cell min-rule suppression.
+    """
     counters: dict[str, Any] = {}
     n_a = records_a.count()
     n_b = records_b.count()
@@ -462,9 +470,6 @@ def link_records(
     counters["records_b"] = n_b
     total_comparisons = n_a * n_b
 
-    keys = block_keys or config.blocking.keys
-    if not keys:
-        raise ValueError("link requires blocking keys")
     id_a_col, id_b_col = config.idvar
 
     leaf_vars = config.leaf_vars()
@@ -480,12 +485,28 @@ def link_records(
 
     tf_vars = [v for v in leaf_vars if v.tf_adjust]
     tf_cols = [f"tf_{v.name}" for v in tf_vars]
-    da = blocking_stage.derive_block_keys(records_a, keys).select_columns(
-        list(dict.fromkeys([id_a_col, *fields, "block_key"]))
-    )
-    db = blocking_stage.derive_block_keys(records_b, keys).select_columns(
-        list(dict.fromkeys([id_b_col, *fields, "block_key"]))
-    )
+    if block_rules:
+        if block_keys:
+            raise ValueError("block_rules is mutually exclusive with block_keys")
+        from ..ops.multiblock import _with_rule_keys
+
+        da = _with_rule_keys(
+            records_a, block_rules, id_a_col, keep_cols=tuple(fields)
+        )
+        db = _with_rule_keys(
+            records_b, block_rules_b or block_rules, id_b_col,
+            keep_cols=tuple(fields),
+        )
+    else:
+        keys = block_keys or config.blocking.keys
+        if not keys:
+            raise ValueError("link requires blocking keys")
+        da = blocking_stage.derive_block_keys(records_a, keys).select_columns(
+            list(dict.fromkeys([id_a_col, *fields, "block_key"]))
+        )
+        db = blocking_stage.derive_block_keys(records_b, keys).select_columns(
+            list(dict.fromkeys([id_b_col, *fields, "block_key"]))
+        )
     # case-normalize ONCE per table, not per pair row in the scorer
     from ..stages.scoring import normalize_upper
 
@@ -498,34 +519,6 @@ def link_records(
         db = add_tf_columns(db, tf_vars, n_b)
     da = da.materialize()
     db = db.materialize()
-    # the salt plan must see combined block populations
-    both_keys = da.select_columns(["block_key"]).union(
-        db.select_columns(["block_key"])
-    )
-    plan, bcount = blocking_stage.plan_salts(both_keys, config.blocking)
-    counters["hot_blocks"] = bcount.n_hot_blocks
-    dropped = set(bcount.notes.get("dropped_block_keys", []))
-
-    ea = blocking_stage.expand_pair_groups(
-        da.map_batches(tag("a"), batch_format="pyarrow"),
-        plan, id_a_col, side="a", dropped=dropped,
-    )
-    eb = blocking_stage.expand_pair_groups(
-        db.map_batches(tag("b"), batch_format="pyarrow"),
-        plan, id_b_col, side="b", dropped=dropped,
-    )
-    # unify the id column name for pair generation
-    def rename_id(b: pa.Table) -> pa.Table:
-        names = [("_pair_id" if c == id_b_col else c) for c in b.column_names]
-        return b.rename_columns(names)
-
-    def rename_id_a(b: pa.Table) -> pa.Table:
-        names = [("_pair_id" if c == id_a_col else c) for c in b.column_names]
-        return b.rename_columns(names)
-
-    expanded = ea.map_batches(rename_id_a, batch_format="pyarrow").union(
-        eb.map_batches(rename_id, batch_format="pyarrow")
-    )
     try:
         base_a = getattr(da.schema(), "base_schema", None)
         base_b = getattr(db.schema(), "base_schema", None)
@@ -547,9 +540,65 @@ def link_records(
             )
     except Exception:
         src_schema = None
-    pairs = pairs_stage.generate_pairs_link(
-        expanded, fields + tf_cols, id_col="_pair_id", source_schema=src_schema
-    )
+    if block_rules:
+        from ..ops.canonical import pa_column_type
+        from ..ops.multiblock import multi_rule_pairs_link_from_keyed
+
+        ftypes = (
+            {f: src_schema.field(f).type for f in fields + tf_cols}
+            if src_schema is not None
+            else None
+        )
+        pairs, bcount = multi_rule_pairs_link_from_keyed(
+            da,
+            db,
+            len(block_rules),
+            id_a_col,
+            id_b_col,
+            pa_column_type(da, id_a_col),
+            config.blocking,
+            fields=tuple(fields + tf_cols),
+            field_types=ftypes,
+            num_partitions=config.execution.pair_shuffle_partitions,
+        )
+        counters["hot_blocks"] = bcount.n_hot_blocks
+    else:
+        # the salt plan must see combined block populations
+        both_keys = da.select_columns(["block_key"]).union(
+            db.select_columns(["block_key"])
+        )
+        plan, bcount = blocking_stage.plan_salts(both_keys, config.blocking)
+        counters["hot_blocks"] = bcount.n_hot_blocks
+        dropped = set(bcount.notes.get("dropped_block_keys", []))
+
+        ea = blocking_stage.expand_pair_groups(
+            da.map_batches(tag("a"), batch_format="pyarrow"),
+            plan, id_a_col, side="a", dropped=dropped,
+        )
+        eb = blocking_stage.expand_pair_groups(
+            db.map_batches(tag("b"), batch_format="pyarrow"),
+            plan, id_b_col, side="b", dropped=dropped,
+        )
+        # unify the id column name for pair generation
+        def rename_id(b: pa.Table) -> pa.Table:
+            names = [
+                ("_pair_id" if c == id_b_col else c) for c in b.column_names
+            ]
+            return b.rename_columns(names)
+
+        def rename_id_a(b: pa.Table) -> pa.Table:
+            names = [
+                ("_pair_id" if c == id_a_col else c) for c in b.column_names
+            ]
+            return b.rename_columns(names)
+
+        expanded = ea.map_batches(rename_id_a, batch_format="pyarrow").union(
+            eb.map_batches(rename_id, batch_format="pyarrow")
+        )
+        pairs = pairs_stage.generate_pairs_link(
+            expanded, fields + tf_cols, id_col="_pair_id",
+            source_schema=src_schema,
+        )
     scored = score_pairs(
         pairs,
         leaf_vars,

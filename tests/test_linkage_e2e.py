@@ -255,3 +255,82 @@ def test_dedupe_multirule_or_blocking():
     # every scored pair is unique (cross-rule dedup held)
     sp = res.scored_pairs.to_pandas()
     assert not sp.duplicated(["id_a", "id_b"]).any()
+
+
+def test_link_multirule_or_blocking():
+    """link_records(block_rules=...) finds matches reachable only via the
+    second rule; single-key blocking provably misses them."""
+    rng = np.random.default_rng(11)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def rand_name(k=8):
+        return "".join(rng.choice(letters, k))
+
+    def mk(n, start):
+        return [
+            {
+                "id": start + i,
+                "firstname": rand_name(),
+                "lastname": rand_name(),
+                "zip": f"z{rng.integers(0, 25):02d}",
+                "city": f"c{rng.integers(0, 15):02d}",
+            }
+            for i in range(n)
+        ]
+
+    rows_a = mk(250, 0)
+    rows_b = mk(200, 10_000)
+    planted = []
+    for j in range(10):
+        src = rows_a[j * 5]
+        dup = dict(src)
+        dup["id"] = 20_000 + j
+        if j < 5:
+            dup["city"] = "c_zzz"  # reachable via zip (rule 0) only
+        else:
+            dup["zip"] = "z_zzz"  # reachable via city (rule 1) only
+        rows_b.append(dup)
+        planted.append((src["id"], dup["id"]))
+    df_a, df_b = pd.DataFrame(rows_a), pd.DataFrame(rows_b)
+
+    config = parse_config(
+        {
+            "link_type": "link_only",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "firstname", "method": "jarowinkler"},
+                    {"varname": "lastname", "method": "jarowinkler"},
+                ],
+            },
+            "blocking": {"cap": 2000},
+        }
+    )
+    res = link_records(
+        ray.data.from_pandas(df_a),
+        ray.data.from_pandas(df_b),
+        config,
+        block_rules=[["zip"], ["city"]],
+    )
+    m = res.matches.to_pandas()
+    pred = set(zip(m["id_a"], m["id_b"]))
+    assert set(planted) <= pred, sorted(set(planted) - pred)
+    sp = res.scored_pairs.to_pandas()
+    assert not sp.duplicated(["id_a", "id_b"]).any()
+    # A-side ids on the left, B-side on the right (no triangle collapse)
+    assert (sp["id_a"] < 10_000).all() and (sp["id_b"] >= 10_000).all()
+
+    res_zip = link_records(
+        ray.data.from_pandas(df_a),
+        ray.data.from_pandas(df_b),
+        config,
+        block_keys=["zip"],
+    )
+    pred_zip = set(
+        zip(res_zip.matches.to_pandas()["id_a"],
+            res_zip.matches.to_pandas()["id_b"])
+    )
+    assert set(planted[:5]) <= pred_zip
+    assert not (set(planted[5:]) & pred_zip)
