@@ -146,7 +146,10 @@ class ComparisonConfig:
 class BlockingConfig:
     """Candidate-generation settings (rebuild extension; no reference analog).
 
-    ``keys`` name record columns whose combined value is the block key.  A
+    ``keys`` name record columns whose combined value is the block key;
+    ``rules`` (mutually exclusive) names SEVERAL such key sets for
+    multi-pass OR blocking — candidate pairs come from the union of the
+    rules, each scored once (see :mod:`raylink.ops.multiblock`).  A
     block whose record count exceeds ``cap`` is *salted*: split into
     ``ceil(n / cap)`` sub-blocks by a stable record-id hash, and candidate
     pairs are generated for every sub-block combination so no pair is lost
@@ -157,9 +160,17 @@ class BlockingConfig:
     """
 
     keys: list[str] = field(default_factory=list)
+    rules: list[list[str]] = field(default_factory=list)
     cap: int = 512
     max_salts: int = 64
     drop_oversized: bool = False
+
+    def __post_init__(self) -> None:
+        if self.keys and self.rules:
+            raise ValueError(
+                "blocking.keys and blocking.rules are mutually exclusive: "
+                "rules IS the multi-pass generalization of a single key set"
+            )
 
 
 @dataclass

@@ -310,6 +310,8 @@ def dedupe_records(
     counters["records"] = n
     total_comparisons = n * (n - 1) // 2
 
+    if block_rules is None and config.blocking.rules:
+        block_rules = config.blocking.rules
     leaf_fields = [v.name for v in config.leaf_vars()]
     if block_rules:
         if precomputed_block_key or block_keys:
@@ -470,6 +472,8 @@ def link_records(
     counters["records_b"] = n_b
     total_comparisons = n_a * n_b
 
+    if block_rules is None and config.blocking.rules:
+        block_rules = config.blocking.rules
     id_a_col, id_b_col = config.idvar
 
     leaf_vars = config.leaf_vars()

@@ -334,3 +334,36 @@ def test_link_multirule_or_blocking():
     )
     assert set(planted[:5]) <= pred_zip
     assert not (set(planted[5:]) & pred_zip)
+
+
+def test_block_rules_via_config():
+    """blocking.rules in the reference-style JSON config routes through
+    the multi-rule path; keys+rules together are rejected at parse."""
+    import pytest
+
+    from raylink.config import parse_config as pc
+
+    base = {
+        "link_type": "dedupe_only",
+        "idvar": ["id", "id"],
+        "comparisons": {
+            "name": "total",
+            "threshold_match": 0.85,
+            "variables": [{"varname": "firstname", "method": "jarowinkler"}],
+        },
+    }
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pc({**base, "blocking": {"keys": ["zip"], "rules": [["zip"]]}})
+
+    cfg = pc({**base, "blocking": {"rules": [["zip"], ["city"]], "cap": 500}})
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "firstname": ["aa", "aa", "bb", "bb"],
+            "zip": ["z1", "z1", "z9", "z8"],
+            "city": ["c1", "c2", "c3", "c3"],
+        }
+    )
+    res = dedupe_records(ray.data.from_pandas(df), cfg, id_col="id")
+    sp = res.scored_pairs.to_pandas()
+    assert set(zip(sp["id_a"], sp["id_b"])) == {(1, 2), (3, 4)}
