@@ -1805,6 +1805,16 @@ def _q_multi_block_pairs(sf_dir: str):
     )
 
 
+def _q_user_distinct_types(sf_dir: str):
+    """Exact count(DISTINCT event_type) per user — combiner-first
+    (raylink/ops/canonical.py::grouped_nunique), the exact counterpart
+    of approx_distinct_users."""
+    from raylink.ops.canonical import grouped_nunique
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    return grouped_nunique(ev, "user_id", "event_type", num_partitions=32)
+
+
 def _q_user_journeys(sf_dir: str):
     """Per-user event-type journey string, ts-ordered with event_id
     tie-break (raylink/ops/strcat.py::grouped_concat — SQL string_agg)."""
@@ -1879,6 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_events": _q_canonical_events,
         "cust_supp_multiblock": _q_cust_supp_multiblock,
         "user_journeys": _q_user_journeys,
+        "user_distinct_types": _q_user_distinct_types,
         "redact_docs": _q_redact_docs,
         "repetition_docs": _q_repetition_docs,
         "curate_docs": _q_curate_docs,
@@ -1981,6 +1992,12 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS mode_value,
                    cnt AS mode_count
             FROM r WHERE rn = 1
+        """,
+        "user_distinct_types": """
+            SELECT user_id::BIGINT AS user_id,
+                   count(DISTINCT event_type)::BIGINT AS n_distinct
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
         """,
         "user_journeys": """
             SELECT user_id::BIGINT AS user_id,

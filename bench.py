@@ -218,6 +218,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "canonical_events",
         "cust_supp_multiblock",
         "user_journeys",
+        "user_distinct_types",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -47,7 +47,11 @@ from .ops.dedup import (  # noqa: F401
     ngram_jaccard_dedup,
     simhash_dedup,
 )
-from .ops.canonical import canonical_records, grouped_mode  # noqa: F401
+from .ops.canonical import (  # noqa: F401
+    canonical_records,
+    grouped_mode,
+    grouped_nunique,
+)
 from .ops.joins import broadcast_join  # noqa: F401
 from .ops.multiblock import multi_rule_pairs, multi_rule_pairs_link  # noqa: F401
 from .ops.lag import group_lag, group_rolling_sum, group_running_sum  # noqa: F401

@@ -25,7 +25,12 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["canonical_records", "grouped_mode", "pa_column_type"]
+__all__ = [
+    "canonical_records",
+    "grouped_mode",
+    "grouped_nunique",
+    "pa_column_type",
+]
 
 
 def pa_column_type(ds: ray.data.Dataset, col: str) -> pa.DataType:
@@ -40,6 +45,82 @@ def pa_column_type(ds: ray.data.Dataset, col: str) -> pa.DataType:
         return pa.from_numpy_dtype(t)
     except (pa.ArrowNotImplementedError, TypeError):
         return pa.string() if getattr(t, "kind", "O") == "O" else pa.int64()
+
+
+def grouped_nunique(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Exact ``count(DISTINCT value_col)`` per ``key_col`` (nulls don't
+    count, SQL semantics; a key whose values are all null reports 0).
+
+    Combiner-first: each block reduces to its distinct ``(key, value)``
+    pairs — only those pay the key shuffle — and the per-group scan
+    counts the distinct values across blocks.  The exact counterpart of
+    the HLL ``approx_distinct`` sketch (``ops/sketch.py``) for when the
+    key cardinality is high but values-per-key are bounded.
+    """
+    key_type = pa_column_type(ds, key_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        kmask = pd.notna(keys)
+        df = pd.DataFrame({"k": keys[kmask], "v": vals[kmask]})
+        vm = df["v"].notna()
+        dd = df[vm].drop_duplicates(["k", "v"])
+        # keys whose block-values are all null still surface (count 0)
+        only_null = df.loc[~df["k"].isin(dd["k"]), ["k"]].drop_duplicates()
+        out = pd.concat(
+            [
+                dd.assign(has=np.True_),
+                only_null.assign(v=None, has=np.False_),
+            ],
+            ignore_index=True,
+        )
+        enc = out["v"].map(lambda x: None if pd.isna(x) else str(x))
+        return pa.table(
+            {
+                key_col: pa.array(out["k"], type=key_type),
+                # str() is injective on int64/float64/strings, and the
+                # encoding is only a distinctness token here
+                "v": pa.array(enc.astype(object), type=pa.string()),
+                "has": pa.array(out["has"], type=pa.bool_()),
+            }
+        )
+
+    partials = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    out_schema = pa.schema(
+        [pa.field(key_col, key_type), pa.field("n_distinct", pa.int64())]
+    )
+
+    def group_fn(g: dict[str, np.ndarray]) -> dict:
+        vals = np.asarray(g["v"], dtype=object)
+        has = np.asarray(g["has"], dtype=bool)
+        n = len(pd.unique(pd.Series(vals[has])))
+        return {
+            key_col: np.asarray(g[key_col])[:1],
+            "n_distinct": np.array([n], dtype=np.int64),
+        }
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            key_col: np.asarray(batch[key_col])[:0],
+            "n_distinct": np.array([], dtype=np.int64),
+        }
+
+    return sorted_group_scan(
+        partials,
+        key_col,
+        group_fn,
+        empty_fn,
+        num_partitions=num_partitions,
+        out_schema=out_schema,
+    )
 
 
 def _kind_of(t: pa.DataType) -> str:

@@ -2512,3 +2512,22 @@ def test_grouped_concat_order_and_nulls():
     assert out["k"].tolist() == [1, 2]
     assert out["concat"].tolist() == ["a,c", "x,y"]
     assert out["n"].tolist() == [2, 2]
+
+
+def test_grouped_nunique_exact():
+    from raylink.ops.canonical import grouped_nunique
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2, 3],
+            "v": ["a", "b", "a", None, "x", "x", None],
+        }
+    )
+    out = (
+        grouped_nunique(ray.data.from_pandas(df), "k", "v", num_partitions=4)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    # k=1: {a,b}; k=2: {x}; k=3: all-null -> 0 (SQL count(DISTINCT v))
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["n_distinct"].tolist() == [2, 1, 0]
