@@ -283,7 +283,15 @@ def canonical_records(
             return None
         dec = _decode(np.array([val_str], dtype=object), kind)[0]
         if kind == "ts":
-            return pa.scalar(int(dec), type=pa.int64()).cast(t).as_py()
+            # the encoding is epoch MICROseconds; cast through
+            # timestamp[us] so ns/ms-typed outputs convert units instead
+            # of reinterpreting the integer
+            return (
+                pa.scalar(int(dec), type=pa.int64())
+                .cast(pa.timestamp("us"))
+                .cast(t)
+                .as_py()
+            )
         return dec
 
     fields = [pa.field(cluster_col, cluster_type)]

@@ -2459,6 +2459,18 @@ def test_canonical_records_strategies():
         ray.data.from_pandas(tie), "cid", {"m": ("v", "mode")}
     ).to_pandas()
     assert t["m"].tolist() == [2.0]
+    # timestamp-VALUED output columns round-trip exactly (us resolution)
+    t2 = canonical_records(
+        ray.data.from_pandas(df),
+        "cid",
+        {"first_ts": ("ts", "min"), "last_ts": ("ts", "max")},
+    ).to_pandas().sort_values("cid", ignore_index=True)
+    assert t2["first_ts"].tolist() == [
+        pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-01")
+    ]
+    assert t2["last_ts"].tolist() == [
+        pd.Timestamp("2024-01-03"), pd.Timestamp("2024-01-05")
+    ]
 
 
 def test_multi_rule_pairs_link_two_tables():
