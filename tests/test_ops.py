@@ -2543,3 +2543,86 @@ def test_grouped_nunique_exact():
     # k=1: {a,b}; k=2: {x}; k=3: all-null -> 0 (SQL count(DISTINCT v))
     assert out["k"].tolist() == [1, 2, 3]
     assert out["n_distinct"].tolist() == [2, 1, 0]
+
+
+def test_grouped_aggregates_random_pandas_equivalence():
+    """Seeded random sweep: grouped_mode / grouped_nunique /
+    grouped_concat / canonical_records agree with a pandas recompute on
+    frames dense in ties and nulls."""
+    from raylink.ops.canonical import (
+        canonical_records,
+        grouped_mode,
+        grouped_nunique,
+    )
+    from raylink.ops.strcat import grouped_concat
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 12, n),
+                "v": rng.choice(
+                    np.array(["a", "b", "c", None], dtype=object), n
+                ),
+                "num": np.where(
+                    rng.random(n) < 0.2, np.nan, rng.integers(0, 5, n)
+                ),
+                "ord": rng.permutation(n),
+            }
+        )
+        ds = ray.data.from_pandas(df)
+
+        # mode: count desc, value asc, nulls out
+        exp = (
+            df.dropna(subset=["v"]).groupby(["k", "v"]).size()
+            .reset_index(name="c")
+            .sort_values(["k", "c", "v"], ascending=[True, False, True])
+            .drop_duplicates("k")
+        )
+        got = grouped_mode(ds, "k", "v", num_partitions=4).to_pandas()
+        got = got.sort_values("k", ignore_index=True)
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["mode_value"].tolist() == exp["v"].tolist()
+        assert got["mode_count"].tolist() == exp["c"].tolist()
+
+        # nunique: all keys surface, null values don't count
+        expn = (
+            df.groupby("k")["v"].nunique().reset_index(name="n_distinct")
+        )
+        gotn = (
+            grouped_nunique(ds, "k", "v", num_partitions=4)
+            .to_pandas().sort_values("k", ignore_index=True)
+        )
+        assert gotn["k"].tolist() == expn["k"].tolist()
+        assert gotn["n_distinct"].tolist() == expn["n_distinct"].tolist()
+
+        # concat ordered by (ord) — unique order col, nulls skipped
+        expc = (
+            df.dropna(subset=["v"]).sort_values("ord")
+            .groupby("k")["v"].agg(",".join)
+        )
+        gotc = (
+            grouped_concat(ds, "k", "v", ["ord"], num_partitions=4)
+            .to_pandas().set_index("k")["concat"]
+        )
+        assert gotc.sort_index().tolist() == expc.sort_index().tolist()
+
+        # canonical: max over a float col with NaNs + first_by order
+        expm = df.groupby("k")["num"].max()
+        d2 = df.dropna(subset=["v"]).sort_values(["ord", "v"])
+        expf = d2.groupby("k")["v"].first()
+        gotcr = (
+            canonical_records(
+                ds, "k",
+                {"mx": ("num", "max"), "fv": ("v", "first_by:ord")},
+                num_partitions=4,
+            ).to_pandas().set_index("k").sort_index()
+        )
+        for k in gotcr.index:
+            e = expm.loc[k]
+            g = gotcr.loc[k, "mx"]
+            assert (pd.isna(e) and pd.isna(g)) or e == g, (seed, k, e, g)
+            ef = expf.get(k)
+            gf = gotcr.loc[k, "fv"]
+            assert (ef is None and gf is None) or ef == gf, (seed, k, ef, gf)
