@@ -684,7 +684,17 @@ def link_and_dedupe_records(
     db = records_b.map_batches(tag("B", id_b_col), batch_format="pyarrow")
     fields = [v.name for v in config.leaf_vars()]
     keys = block_keys or config.blocking.keys
-    cols = list(dict.fromkeys(["_uid", *fields, *(keys or [])]))
+    # multi-rule configs route through dedupe_records' block_rules path —
+    # keep the rule source columns through the projection
+    from ..ops.multiblock import _strip_soundex
+
+    rule_srcs = [
+        _strip_soundex(c)[0]
+        for rule in (config.blocking.rules or [])
+        for c in rule
+    ]
+    key_srcs = [_strip_soundex(c)[0] for c in (keys or [])]
+    cols = list(dict.fromkeys(["_uid", *fields, *key_srcs, *rule_srcs]))
     both = da.select_columns(cols).union(db.select_columns(cols))
     res = dedupe_records(
         both, config, "_uid", block_keys=block_keys, cluster=cluster, seed=seed

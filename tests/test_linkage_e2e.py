@@ -367,3 +367,48 @@ def test_block_rules_via_config():
     res = dedupe_records(ray.data.from_pandas(df), cfg, id_col="id")
     sp = res.scored_pairs.to_pandas()
     assert set(zip(sp["id_a"], sp["id_b"])) == {(1, 2), (3, 4)}
+
+
+def test_link_and_dedupe_with_config_rules():
+    """link_and_dedupe routes config blocking.rules through the dedupe
+    multi-rule path (rule source columns survive the projection)."""
+    from raylink.pipelines.linkage import link_and_dedupe_records
+
+    cfg = parse_config(
+        {
+            "link_type": "link_and_dedupe",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "firstname", "method": "jarowinkler"}
+                ],
+            },
+            "blocking": {"rules": [["zip"], ["city"]], "cap": 500},
+        }
+    )
+    df_a = pd.DataFrame(
+        {
+            "id": [1, 2],
+            "firstname": ["aaaa", "bbbb"],
+            "zip": ["z1", "z2"],
+            "city": ["c1", "c2"],
+        }
+    )
+    # b1 matches a1 via zip only; b2 matches a2 via city only
+    df_b = pd.DataFrame(
+        {
+            "id": [1, 2],
+            "firstname": ["aaaa", "bbbb"],
+            "zip": ["z1", "z9"],
+            "city": ["c9", "c2"],
+        }
+    )
+    res = link_and_dedupe_records(
+        ray.data.from_pandas(df_a), ray.data.from_pandas(df_b), cfg,
+        cluster=False,
+    )
+    sp = res.scored_pairs.to_pandas()
+    got = set(zip(sp["id_a"], sp["id_b"]))
+    assert got == {("A:1", "B:1"), ("A:2", "B:2")}
