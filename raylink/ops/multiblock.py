@@ -266,7 +266,13 @@ def multi_rule_pairs_from_keyed(
     (comparison payload).  Returns ``(pairs, BlockingCounters)`` — the
     linkage pipeline's multi-rule entry point.
     """
-    tagged = _fan_out_rules(keyed, n_rules, id_col, keep_cols=tuple(fields))
+    # materialize the id+keys projection: the block-count pass and the
+    # expansion both consume it, and without pinning each would re-run
+    # the upstream read/keying (it is the narrow table — fields ride
+    # along only when the caller needs comparison payload)
+    tagged = _fan_out_rules(
+        keyed, n_rules, id_col, keep_cols=tuple(fields)
+    ).materialize()
     plan, bcount, counts = bs.analyze_blocks(tagged, blocking)
     # singleton blocks generate no pairs — drop them before the shuffle
     tagged = bs.filter_to_multi_blocks(tagged, counts=counts)
@@ -346,14 +352,16 @@ def multi_rule_pairs_link_from_keyed(
 
         return fn
 
+    # materialized for the same reason as the self-link path: the
+    # combined count pass and the per-side expansions each consume them
     tagged_a = _fan_out_rules(
         keyed_a.map_batches(rename_to_pair_id(id_col_a), batch_format="pyarrow"),
         n_rules, "_pair_id", keep_cols=tuple(fields),
-    )
+    ).materialize()
     tagged_b = _fan_out_rules(
         keyed_b.map_batches(rename_to_pair_id(id_col_b), batch_format="pyarrow"),
         n_rules, "_pair_id", keep_cols=tuple(fields),
-    )
+    ).materialize()
     both_keys = tagged_a.select_columns(["block_key"]).union(
         tagged_b.select_columns(["block_key"])
     )
