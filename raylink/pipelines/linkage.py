@@ -456,6 +456,7 @@ def link_records(
     block_keys: list[str] | None = None,
     block_rules: list[list[str]] | None = None,
     block_rules_b: list[list[str]] | None = None,
+    em: "EMResult | None" = None,
     seed: int = 1234,
 ) -> LinkResult:
     """Two-table link (the reference's only implemented mode).
@@ -464,7 +465,22 @@ def link_records(
     names) enables multi-pass OR blocking, same semantics as
     :func:`dedupe_records`: pairs from the union of the rules, each
     scored exactly once via in-cell min-rule suppression.
+
+    ``em`` switches to APPLY mode — incremental linkage: block + score
+    as usual, then match with the supplied fitted model's parameters
+    (``stages.matches.apply_em``) instead of refitting.  Fit once on a
+    corpus, then link every new record batch against it without paying
+    the EM again; flat (non-nested, non-tf) configs only.
     """
+    if em is not None and (
+        len(config.levels()) > 1
+        or any(v.tf_adjust for v in config.leaf_vars())
+    ):
+        raise NotImplementedError(
+            "apply-mode link (em=...) supports flat non-tf configs; nested "
+            "or tf-adjusted models fold per-pair state the apply pass does "
+            "not carry"
+        )
     counters: dict[str, Any] = {}
     n_a = records_a.count()
     n_b = records_b.count()
@@ -610,6 +626,24 @@ def link_records(
         batch_size=config.execution.scorer_batch_size,
         passthrough=[f"{c}_{side}" for c in tf_cols for side in ("a", "b")],
     ).materialize()
+
+    if em is not None:  # apply mode: match with the supplied fit, no refit
+        from ..stages.matches import apply_em
+
+        matches = apply_em(
+            scored, em, threshold=config.comparisons.threshold_match
+        ).materialize()
+        counters["matched_pairs"] = matches.count()
+        return LinkResult(
+            em=em,
+            child_ems={},
+            leaf_patterns=em.patterns_w,
+            matches=matches,
+            scored_pairs=scored,
+            clusters=None,
+            tf_matches=None,
+            counters=counters,
+        )
 
     from ..stages.sampling import deterministic_sample
 

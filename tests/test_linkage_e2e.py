@@ -412,3 +412,58 @@ def test_link_and_dedupe_with_config_rules():
     sp = res.scored_pairs.to_pandas()
     got = set(zip(sp["id_a"], sp["id_b"]))
     assert got == {("A:1", "B:1"), ("A:2", "B:2")}
+
+
+def test_apply_em_matches_training_posteriors():
+    """apply_em recomputes zeta from model parameters: on the training
+    pairs it reproduces get_matches (same match set, zeta within EM
+    tolerance), and em= on link_records links a NEW batch without refit."""
+    from raylink.stages.matches import apply_em
+
+    df_a, df_b, truth = make_person_tables(
+        n_a=400, n_b=300, n_matches=40, seed=9
+    )
+    config = parse_config(
+        {
+            "link_type": "link_only",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "firstname", "method": "jarowinkler"},
+                    {"varname": "lastname", "method": "jarowinkler"},
+                    {"varname": "birthyear", "method": "exact"},
+                ],
+            },
+            "blocking": {"keys": ["_one"], "cap": 1000},
+        }
+    )
+    df_a = df_a.assign(_one=1)
+    df_b = df_b.assign(_one=1)
+    res = link_records(
+        ray.data.from_pandas(df_a), ray.data.from_pandas(df_b), config
+    )
+    trained = res.matches.to_pandas().set_index(["id_a", "id_b"])
+    applied = (
+        apply_em(res.scored_pairs, res.em)
+        .to_pandas().set_index(["id_a", "id_b"])
+    )
+    assert set(trained.index) == set(applied.index)
+    joined = trained.join(applied, rsuffix="_ap")
+    assert (joined["zeta_j"] - joined["zeta_j_ap"]).abs().max() < 1e-4
+
+    # incremental: a NEW B batch linked with the stored fit, no refit
+    new_b = df_a.iloc[:8][["firstname", "lastname", "birthyear", "_one"]].copy()
+    new_b["id"] = np.arange(90_000, 90_008)
+    res2 = link_records(
+        ray.data.from_pandas(df_a),
+        ray.data.from_pandas(new_b),
+        config,
+        em=res.em,
+    )
+    m2 = res2.matches.to_pandas()
+    got = set(zip(m2["id_a"], m2["id_b"]))
+    expected = {(int(df_a.iloc[i]["id"]), 90_000 + i) for i in range(8)}
+    assert expected <= got
+    assert res2.em is res.em  # no refit happened
