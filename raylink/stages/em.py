@@ -60,6 +60,89 @@ class EMResult:
     pgamma_ku: list[np.ndarray]
     uvals_gamma_jk: list[np.ndarray]
 
+    def to_json(self) -> str:
+        """Serialize the fitted model (for apply-mode linkage across
+        processes: fit once, persist, ``link_records(em=...)`` per
+        ingest batch).  Float64-exact: arrays round-trip through
+        ``float().hex()``."""
+        import json
+
+        def harr(a) -> list[str]:
+            return [float(x).hex() for x in np.asarray(a, dtype=np.float64)]
+
+        pw = self.patterns_w.copy()
+        pw_cols = {}
+        for c in pw.columns:
+            col = pw[c]
+            if col.dtype == "Int64":  # nullable gammas: None-preserving
+                pw_cols[c] = [None if pd.isna(x) else int(x) for x in col]
+            elif np.issubdtype(col.dtype, np.floating):
+                pw_cols[c] = harr(col.to_numpy())
+            else:
+                pw_cols[c] = [int(x) for x in col]
+        return json.dumps(
+            {
+                "p_m": float(self.p_m).hex(),
+                "p_u": float(self.p_u).hex(),
+                "number_of_comparisons": int(self.number_of_comparisons),
+                "number_of_unique_patterns": int(
+                    self.number_of_unique_patterns
+                ),
+                "iter_converge": int(self.iter_converge),
+                "converged": bool(self.converged),
+                "threshold_match": float(self.threshold_match),
+                "u_b": float(self.u_b),
+                "varnames": list(self.varnames),
+                "patterns_w": pw_cols,
+                "pw_int64_cols": [
+                    c for c in pw.columns if pw[c].dtype == "Int64"
+                ],
+                "pgamma_km": [harr(a) for a in self.pgamma_km],
+                "pgamma_ku": [harr(a) for a in self.pgamma_ku],
+                "uvals_gamma_jk": [
+                    [int(x) for x in a] for a in self.uvals_gamma_jk
+                ],
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "EMResult":
+        import json
+
+        d = json.loads(s)
+
+        def uarr(xs) -> np.ndarray:
+            return np.array([float.fromhex(x) for x in xs], dtype=np.float64)
+
+        pw_cols = {}
+        for c, vals in d["patterns_w"].items():
+            if c in d["pw_int64_cols"]:
+                pw_cols[c] = pd.array(
+                    [None if x is None else int(x) for x in vals],
+                    dtype="Int64",
+                )
+            elif vals and isinstance(vals[0], str):
+                pw_cols[c] = uarr(vals)
+            else:
+                pw_cols[c] = np.array(vals, dtype=np.int64)
+        return cls(
+            p_m=float.fromhex(d["p_m"]),
+            p_u=float.fromhex(d["p_u"]),
+            number_of_comparisons=d["number_of_comparisons"],
+            number_of_unique_patterns=d["number_of_unique_patterns"],
+            iter_converge=d["iter_converge"],
+            converged=d["converged"],
+            threshold_match=d["threshold_match"],
+            u_b=d["u_b"],
+            varnames=d["varnames"],
+            patterns_w=pd.DataFrame(pw_cols),
+            pgamma_km=[uarr(a) for a in d["pgamma_km"]],
+            pgamma_ku=[uarr(a) for a in d["pgamma_ku"]],
+            uvals_gamma_jk=[
+                np.array(a, dtype=np.int64) for a in d["uvals_gamma_jk"]
+            ],
+        )
+
     def matched_keys(self, threshold: float | None = None) -> np.ndarray:
         """Pattern keys with zeta_j >= threshold (getMatches.jl:6-14)."""
         t = self.threshold_match if threshold is None else threshold

@@ -124,3 +124,35 @@ def test_em_u_b_weight_bound():
         patterns, counts, (1000, 100), ["a", "b"], pattern_keys=keys, u_b=1e10
     )
     assert np.array_equal(np.sort(r_def.matched_keys()), np.sort(matched))
+
+
+def test_emresult_json_roundtrip_exact():
+    """to_json/from_json is float64-exact: the reloaded model reproduces
+    matched_keys and every parameter bit-for-bit."""
+    import numpy as np
+
+    from raylink.stages.em import EMResult, em_fit
+
+    rng = np.random.default_rng(3)
+    patterns = rng.integers(0, 3, size=(12, 3)).astype(np.uint8)
+    patterns[0, 1] = 3  # a MISSING cell
+    counts = rng.integers(1, 5000, size=12).astype(np.float64)
+    em = em_fit(
+        patterns, counts, (2, 2), ["a", "b", "c"],
+        pattern_keys=np.arange(12, dtype=np.int64),
+    )
+    em2 = EMResult.from_json(em.to_json())
+    assert em2.p_m == em.p_m and em2.p_u == em.p_u
+    assert em2.varnames == em.varnames
+    assert (em2.matched_keys() == em.matched_keys()).all()
+    for x, y in zip(em.pgamma_km, em2.pgamma_km):
+        assert (x == y).all()
+    for x, y in zip(em.pgamma_ku, em2.pgamma_ku):
+        assert (x == y).all()
+    for x, y in zip(em.uvals_gamma_jk, em2.uvals_gamma_jk):
+        assert (x == y).all()
+    pd.testing.assert_frame_equal(
+        em.patterns_w.reset_index(drop=True),
+        em2.patterns_w.reset_index(drop=True),
+        check_dtype=False,
+    )
