@@ -1875,6 +1875,67 @@ def _q_canonical_events(sf_dir: str):
     )
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    """Per-group quantile cut: keep each language's longest 20% of
+    documents (ceil(0.2*n) rows per group, ties broken by doc_id) —
+    raylink/ops/rank.py::keep_top_fraction, one sort exchange."""
+    from raylink.ops.rank import keep_top_fraction
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"]
+    )
+    return keep_top_fraction(
+        docs, "lang", "n_chars", 0.2, ["doc_id"], num_partitions=8
+    )
+
+
+def _q_winsorized_events(sf_dir: str):
+    """Per-type winsorization: clip event values to their type's
+    [P05, P95] band (raylink/ops/quantiles.py::clip_to_group_quantiles —
+    threshold table broadcast, the event stream never shuffles)."""
+    from raylink.ops.quantiles import clip_to_group_quantiles
+
+    def non_null(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.is_valid(t.column("event_type")),
+                pc.is_valid(t.column("value")),
+            )
+        )
+
+    ev = (
+        _read(sf_dir, "events")
+        .select_columns(["event_id", "event_type", "value"])
+        .map_batches(non_null, batch_format="pyarrow")
+    )
+    out = clip_to_group_quantiles(
+        ev, "event_type", "value", 0.05, 0.95, out_col="value_w"
+    )
+
+    def fixed(t: pa.Table) -> pa.Table:
+        v = t.column("value_w").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "value_w_e4": pa.array(
+                    np.floor(v * 10000 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(fixed, batch_format="pyarrow")
+
+
+def _q_doc_top_terms(sf_dir: str):
+    """TF-IDF top-3 terms per document (raylink/ops/tfidf.py — df
+    partials merge vocabulary-sized, broadcast idf, map-only scoring)."""
+    from raylink.ops.tfidf import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (round 3): the driver verifies a bounded PREFIX of
     # this dict (round 2 stopped at 50 entries), so entries that have never
@@ -1884,6 +1945,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # re-lists the 50 entries already verified green in round 2.
     return {
         # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "winsorized_events": _q_winsorized_events,
+        "doc_top_terms": _q_doc_top_terms,
         "user_profile": _q_user_profile,
         "multi_block_pairs": _q_multi_block_pairs,
         "canonical_events": _q_canonical_events,
@@ -1975,6 +2039,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "top_docs_per_lang": """
+            SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                    ) <= CAST(ceil(
+                       0.2 * count(*) OVER (PARTITION BY lang)) AS BIGINT)
+        """,
+        "winsorized_events": """
+            WITH thr AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS lo,
+                       quantile_cont(value, 0.95) AS hi
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                GROUP BY event_type
+            )
+            SELECT e.event_id::BIGINT AS event_id, e.event_type,
+                   CAST(floor(LEAST(GREATEST(e.value, t.lo), t.hi)
+                              * 10000 + 0.5) AS BIGINT) AS value_w_e4
+            FROM events e JOIN thr t USING(event_type)
+            WHERE e.value IS NOT NULL
+        """,
+        "doc_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    coalesce(text, ''), '\\s+'
+                )) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*)::BIGINT AS tf
+                FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM toks WHERE token <> '' GROUP BY token
+            ), n AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+            SELECT tf.doc_id::BIGINT AS doc_id, tf.token, tf.tf,
+                   CAST(floor(tf.tf * ln(n.nd / df.df) * 10000 + 0.5)
+                        AS BIGINT) AS tfidf_e4
+            FROM tf JOIN df USING(token) CROSS JOIN n
+            QUALIFY row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY tf.tf * ln(n.nd / df.df) DESC, tf.token
+            ) <= 3
+        """,
         "user_profile": """
             WITH c AS (
                 SELECT user_id, event_type, count(*)::BIGINT AS cnt

@@ -20,7 +20,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["grouped_quantiles"]
+__all__ = ["grouped_quantiles", "clip_to_group_quantiles"]
 
 
 def grouped_quantiles(
@@ -64,3 +64,58 @@ def grouped_quantiles(
         empty_fn,
         num_partitions,
     )
+
+
+def clip_to_group_quantiles(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out_col: str = "clipped",
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Winsorize: append ``out_col`` = ``val_col`` clipped to its group's
+    [``lo_q``, ``hi_q``] quantile band — the standard per-source outlier
+    treatment before numeric features feed a model (SQL ``LEAST(GREATEST(
+    v, q_lo), q_hi)`` with per-group ``quantile_cont`` thresholds).
+
+    Plan: the threshold table is one row per key (``grouped_quantiles``,
+    a sorted-run scan over (key, value) only), pulled to the driver under
+    ``broadcast_limit`` and shipped once via ``ray.put``; the full rows
+    then stream map-only through a vectorized clip — the big side never
+    shuffles.  Null values stay null (NaN propagates through the clip),
+    matching SQL's NULL arithmetic.
+    """
+    import pandas as pd
+
+    import ray
+
+    thr = grouped_quantiles(
+        ds, key_col, val_col, (lo_q, hi_q), num_partitions
+    )
+    lo_name = f"q{int(round(lo_q * 100)):02d}"
+    hi_name = f"q{int(round(hi_q * 100)):02d}"
+    tdf = thr.limit(broadcast_limit + 1).to_pandas()
+    if len(tdf) > broadcast_limit:
+        raise ValueError(
+            f"threshold table exceeds broadcast_limit={broadcast_limit} "
+            "keys; partition on the key and clip per partition instead"
+        )
+    lo_map = dict(zip(tdf[key_col], tdf[lo_name]))
+    hi_map = dict(zip(tdf[key_col], tdf[hi_name]))
+    thr_ref = ray.put((lo_map, hi_map))
+    cols = list(ds.schema().names)
+
+    def clip(batch: dict[str, np.ndarray]) -> dict:
+        lo_m, hi_m = ray.get(thr_ref)
+        keys = pd.Series(batch[key_col])
+        v = np.asarray(batch[val_col], dtype=np.float64)
+        lo = keys.map(lo_m).to_numpy(dtype=np.float64, na_value=np.nan)
+        hi = keys.map(hi_m).to_numpy(dtype=np.float64, na_value=np.nan)
+        out = {c: batch[c] for c in cols}
+        out[out_col] = np.minimum(np.maximum(v, lo), hi)
+        return out
+
+    return ds.map_batches(clip, batch_format="numpy")

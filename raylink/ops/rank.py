@@ -19,7 +19,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["group_percent_rank", "group_row_number"]
+__all__ = ["group_percent_rank", "group_row_number", "keep_top_fraction"]
 
 
 def group_percent_rank(
@@ -58,6 +58,53 @@ def group_percent_rank(
         out = {c: np.asarray(batch[c])[:0] for c in cols}
         out[out_col] = np.empty(0, dtype=np.int64)
         return out
+
+    return sorted_group_scan(
+        ds, group_col, group_fn, empty_fn, num_partitions
+    )
+
+
+def keep_top_fraction(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    frac: float,
+    tiebreak_cols: list[str] | None = None,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Keep the top ``frac`` fraction of rows per group by ``val_col``
+    (descending) — the quantile-cut curation primitive ("keep each
+    language's best 20% of documents"), where a fixed top-N would over-
+    or under-sample skewed groups.
+
+    Keeps exactly ``ceil(frac * n)`` rows per group (ties broken by
+    ``tiebreak_cols`` ascending, so pass a unique id for determinism) —
+    identical to SQL ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY
+    v DESC, tb) <= ceil(frac * COUNT(*) OVER (PARTITION BY g))``.
+
+    ``val_col`` must be numeric (it is negated for the descending sort).
+    Same machinery and partitioning assumption as the other per-group
+    windows: one sort exchange, one np.lexsort per group run, no per-row
+    Python.
+    """
+    if not (0.0 < frac <= 1.0):
+        raise ValueError("frac must be in (0, 1]")
+    tiebreaks = list(tiebreak_cols or [])
+    cols = list(ds.schema().names)
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        v = np.asarray(batch[val_col])
+        n = len(v)
+        # lexsort: primary key LAST → (-v) desc, then tiebreaks asc
+        keys = [np.asarray(batch[c]) for c in reversed(tiebreaks)]
+        keys.append(-v)
+        idx = np.lexsort(tuple(keys))
+        k = int(np.ceil(frac * n))
+        keep = np.sort(idx[:k])  # restore input order within the group
+        return {c: np.asarray(batch[c])[keep] for c in cols}
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        return {c: np.asarray(batch[c])[:0] for c in cols}
 
     return sorted_group_scan(
         ds, group_col, group_fn, empty_fn, num_partitions

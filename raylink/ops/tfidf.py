@@ -1,0 +1,163 @@
+"""TF-IDF top terms per document: the classic salient-term extractor
+(doc keywords, dedup-explainability, topic drift monitoring).
+
+Two streaming passes over the corpus, no row-level shuffle:
+
+1. **Document frequencies.** Each block explodes its texts to unique
+   (doc, token) pairs and emits per-block partials ``(token, df_n)`` —
+   one row per distinct token per block (the combiner), so only
+   vocabulary-sized partials ever shuffle (``sorted_group_scan`` merge).
+   The merged ``(token, df)`` table is pulled to the driver under
+   ``broadcast_limit`` and shipped once via ``ray.put`` as a sorted
+   token array + idf vector.  Above the limit the right plan is a
+   hash-partitioned token join — refused loudly here, not silently
+   mis-planned.
+2. **Scoring.** Texts stream map-only: per batch, explode tokens with
+   their doc position, count tf per (doc, token) (vectorized pandas
+   groupby), look up idf by ``np.searchsorted`` against the broadcast
+   vocab, and keep each doc's top-``k`` terms by ``tf * ln(N / df)``
+   (ties broken by token ascending) with one ``np.lexsort`` — no
+   per-row Python.
+
+Semantics match the SQL formulation exactly (whitespace ``\\s+``
+tokenization dropping empties, ``N`` = total document count including
+empty docs, natural log): see the ``tfidf_top_terms`` oracle in
+``__ray_entry__.py``.  Scores are emitted as half-up e4 fixed point
+(``floor(score * 1e4 + 0.5)``) so the DuckDB oracle hash-matches; the
+raw double differs only in the last ulp across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.sortedrun import sorted_group_scan
+
+__all__ = ["tfidf_top_terms"]
+
+
+def _explode_tokens(texts: pa.ChunkedArray) -> pd.Series:
+    """Whitespace-split tokens, exploded with the row position as index
+    (pandas ``.str.split()`` drops empty tokens — identical to SQL
+    ``regexp_split_to_array(text, '\\s+')`` + ``token <> ''``)."""
+    s = pd.Series(
+        texts.to_numpy(zero_copy_only=False), dtype="object"
+    ).fillna("")
+    toks = s.str.split().explode()
+    return toks[toks.notna()]
+
+
+def tfidf_top_terms(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Top-``k`` tokens per document by ``tf * ln(N / df)``.
+
+    Output columns: ``id_col`` (passthrough type), ``token`` (string),
+    ``tf`` (int64), ``tfidf_e4`` (int64, half-up e4 fixed point).
+    Documents with no tokens emit no rows (SQL group-by semantics).
+    """
+    proj = docs.select_columns([id_col, text_col])
+
+    # ---- pass 1: df partials (one row per distinct token per block) ----
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = _explode_tokens(t.column(text_col))
+        # unique (doc, token): count each token once per document
+        pairs = toks.groupby([toks.index, toks.values]).size()
+        tok_vals = pairs.index.get_level_values(1).to_numpy()
+        uniq, cnt = np.unique(tok_vals, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq, type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(group: dict[str, np.ndarray]) -> dict:
+        return {
+            "token": np.asarray(group["token"])[:1],
+            "df": np.asarray([np.sum(group["n"])], dtype=np.int64),
+        }
+
+    def empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            "token": np.asarray(batch["token"])[:0],
+            "df": np.empty(0, dtype=np.int64),
+        }
+
+    partials = proj.map_batches(df_partial, batch_format="pyarrow")
+    df_tbl = sorted_group_scan(partials, "token", merge, empty,
+                               num_partitions)
+    dfp = df_tbl.limit(broadcast_limit + 1).to_pandas()
+    if len(dfp) > broadcast_limit:
+        raise ValueError(
+            f"vocabulary exceeds broadcast_limit={broadcast_limit} "
+            "tokens; use a hash-partitioned token join instead"
+        )
+    n_docs = proj.count()
+    vocab = dfp["token"].to_numpy(dtype=object)
+    order = np.argsort(vocab)
+    vocab_sorted = vocab[order]
+    idf_sorted = np.log(
+        float(n_docs) / dfp["df"].to_numpy(dtype=np.float64)[order]
+    )
+    vocab_ref = ray.put((vocab_sorted, idf_sorted))
+
+    # ---- pass 2: map-only scoring + per-doc top-k ----
+    def score(t: pa.Table) -> pa.Table:
+        vocab_s, idf_s = ray.get(vocab_ref)
+        toks = _explode_tokens(t.column(text_col))
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    id_col: t.column(id_col).slice(0, 0),
+                    "token": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "tfidf_e4": pa.array([], type=pa.int64()),
+                }
+            )
+        tf = toks.groupby([toks.index, toks.values]).size()
+        doc_idx = tf.index.get_level_values(0).to_numpy(dtype=np.int64)
+        tok = tf.index.get_level_values(1).to_numpy(dtype=object)
+        tf_n = tf.to_numpy(dtype=np.int64)
+        pos = np.searchsorted(vocab_s, tok)
+        pos = np.clip(pos, 0, len(vocab_s) - 1)
+        known = vocab_s[pos] == tok  # tolerate unseen tokens (incremental)
+        doc_idx, tok, tf_n, pos = (
+            doc_idx[known], tok[known], tf_n[known], pos[known]
+        )
+        sc = tf_n * idf_s[pos]
+        # per-doc top-k: order by (doc, score desc, token asc)
+        o = np.lexsort((tok, -sc, doc_idx))
+        d_sorted = doc_idx[o]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(d_sorted[1:] != d_sorted[:-1]) + 1)
+        )
+        start_of = np.repeat(starts, np.diff(np.append(starts,
+                                                       len(d_sorted))))
+        rank = np.arange(len(d_sorted)) - start_of
+        keep = o[rank < k]
+        keep.sort()  # stable output order: (doc position, token)
+        ids = t.column(id_col).take(pa.array(doc_idx[keep]))
+        return pa.table(
+            {
+                id_col: ids,
+                "token": pa.array(tok[keep].astype(str),
+                                  type=pa.string()),
+                "tf": pa.array(tf_n[keep]),
+                "tfidf_e4": pa.array(
+                    np.floor(sc[keep] * 10000 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return proj.map_batches(score, batch_format="pyarrow")

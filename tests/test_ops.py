@@ -2626,3 +2626,144 @@ def test_grouped_aggregates_random_pandas_equivalence():
             ef = expf.get(k)
             gf = gotcr.loc[k, "fv"]
             assert (ef is None and gf is None) or ef == gf, (seed, k, ef, gf)
+
+
+def test_keep_top_fraction_matches_pandas():
+    import pyarrow as pa
+
+    from raylink.ops.rank import keep_top_fraction
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 6, 300),
+            "v": rng.integers(0, 40, 300),  # heavy ties on purpose
+            "id": np.arange(300, dtype=np.int64),
+        }
+    )
+    got = (
+        keep_top_fraction(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(df, preserve_index=False)
+            ),
+            "g", "v", 0.25, ["id"], num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    # expected: ceil(0.25*n) per group by (v desc, id asc)
+    exp_ids = []
+    for g, sub in df.groupby("g"):
+        k = int(np.ceil(0.25 * len(sub)))
+        exp_ids.extend(
+            sub.sort_values(["v", "id"], ascending=[False, True])
+            .head(k)["id"].tolist()
+        )
+    assert got["id"].tolist() == sorted(exp_ids)
+    # frac=1 keeps everything; bad frac refuses
+    all_ds = keep_top_fraction(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        "g", "v", 1.0, ["id"], num_partitions=4,
+    )
+    assert all_ds.count() == len(df)
+    try:
+        keep_top_fraction(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(df, preserve_index=False)
+            ),
+            "g", "v", 0.0,
+        )
+        raise AssertionError("frac=0 must refuse")
+    except ValueError:
+        pass
+
+
+def test_clip_to_group_quantiles_matches_numpy():
+    import pyarrow as pa
+
+    from raylink.ops.quantiles import clip_to_group_quantiles
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 5, 400),
+            "v": rng.standard_normal(400) * 50,
+            "id": np.arange(400, dtype=np.int64),
+        }
+    )
+    df.loc[df.index[:8], "v"] = np.nan
+    got = (
+        clip_to_group_quantiles(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(df, preserve_index=False)
+            ),
+            "g", "v", 0.05, 0.95, out_col="w", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    for g, sub in df.groupby("g"):
+        vals = sub["v"].dropna().to_numpy()
+        lo, hi = np.quantile(vals, [0.05, 0.95])
+        exp = np.clip(sub["v"].to_numpy(), lo, hi)  # NaN propagates
+        gsub = got[got["g"] == g].sort_values("id")["w"].to_numpy()
+        np.testing.assert_allclose(
+            gsub, exp[np.argsort(sub["id"].to_numpy(), kind="stable")]
+        )
+    assert got["w"].isna().sum() == 8
+
+
+def test_tfidf_top_terms_matches_reference_math():
+    import pyarrow as pa
+
+    from raylink.ops.tfidf import tfidf_top_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "apple banana apple cherry",
+                "banana banana date",
+                "apple  date\tdate date",  # multi-whitespace split
+                "",  # empty doc: no rows, still counted in N
+                None,  # null doc: same
+            ],
+        }
+    )
+    got = (
+        tfidf_top_terms(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(docs, preserve_index=False)
+            ),
+            "doc_id", "text", k=2, num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "token"], ignore_index=True)
+    )
+    # hand-computed: N=5; df: apple 2, banana 2, cherry 1, date 2
+    n = 5.0
+    df_map = {"apple": 2, "banana": 2, "cherry": 1, "date": 2}
+    tf_map = {
+        1: {"apple": 2, "banana": 1, "cherry": 1},
+        2: {"banana": 2, "date": 1},
+        3: {"apple": 1, "date": 3},
+    }
+    exp_rows = []
+    for d, tfs in tf_map.items():
+        scored = sorted(
+            (
+                (-t * np.log(n / df_map[w]), w, t)
+                for w, t in tfs.items()
+            )
+        )[:2]
+        for negs, w, t in scored:
+            exp_rows.append(
+                (d, w, t, int(np.floor(-negs * 10000 + 0.5)))
+            )
+    exp = pd.DataFrame(
+        exp_rows, columns=["doc_id", "token", "tf", "tfidf_e4"]
+    ).sort_values(["doc_id", "token"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "tf": "int64"}), exp
+    )
+    assert set(got["doc_id"]) == {1, 2, 3}
