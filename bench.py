@@ -219,6 +219,9 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "cust_supp_multiblock",
         "user_journeys",
         "user_distinct_types",
+        "top_docs_per_lang",
+        "winsorized_events",
+        "doc_top_terms",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
