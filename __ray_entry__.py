@@ -1927,6 +1927,27 @@ def _q_winsorized_events(sf_dir: str):
     return out.map_batches(fixed, batch_format="pyarrow")
 
 
+def _q_value_histogram(sf_dir: str):
+    """Per-type fixed-bin value histogram ([0,100) in 20 bins, edge
+    clamping) — raylink/ops/histogram.py::grouped_histogram, only
+    histogram-sized partials shuffle."""
+    from raylink.ops.histogram import grouped_histogram
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    return grouped_histogram(ev, "event_type", "value", 0.0, 100.0, 20)
+
+
+def _q_doc_logprob(sf_dir: str):
+    """Mean unigram log-probability per document under the corpus's own
+    token distribution (CCNet-style statistical quality filter) —
+    raylink/ops/tfidf.py::unigram_logprob, broadcast log-prob vector,
+    map-only scoring."""
+    from raylink.ops.tfidf import unigram_logprob
+
+    docs = _read(sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text")
+
+
 def _q_doc_top_terms(sf_dir: str):
     """TF-IDF top-3 terms per document (raylink/ops/tfidf.py — df
     partials merge vocabulary-sized, broadcast idf, map-only scoring)."""
@@ -1948,6 +1969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,
         "doc_top_terms": _q_doc_top_terms,
+        "value_histogram": _q_value_histogram,
+        "doc_logprob": _q_doc_logprob,
         "user_profile": _q_user_profile,
         "multi_block_pairs": _q_multi_block_pairs,
         "canonical_events": _q_canonical_events,
@@ -2061,6 +2084,33 @@ def oracle_sql() -> dict[str, str]:
                               * 10000 + 0.5) AS BIGINT) AS value_w_e4
             FROM events e JOIN thr t USING(event_type)
             WHERE e.value IS NOT NULL
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   LEAST(GREATEST(CAST(floor((value - 0.0) / 5.0)
+                                       AS BIGINT), 0), 19) AS bin,
+                   count(*)::BIGINT AS cnt
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, bin
+        """,
+        "doc_logprob": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    coalesce(text, ''), '\\s+'
+                )) AS token
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, token FROM toks WHERE token <> ''
+            ), c AS (
+                SELECT token, count(*)::DOUBLE AS cnt FROM tk GROUP BY token
+            ), t AS (SELECT sum(cnt) AS tot FROM c)
+            SELECT tk.doc_id::BIGINT AS doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   CAST(floor(sum(ln(c.cnt / t.tot)) / count(*)
+                              * 10000 + 0.5) AS BIGINT) AS logprob_e4
+            FROM tk JOIN c USING(token) CROSS JOIN t
+            GROUP BY tk.doc_id
         """,
         "doc_top_terms": """
             WITH toks AS (

@@ -222,6 +222,8 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "top_docs_per_lang",
         "winsorized_events",
         "doc_top_terms",
+        "value_histogram",
+        "doc_logprob",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -38,7 +38,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["tfidf_top_terms"]
+__all__ = ["tfidf_top_terms", "unigram_logprob"]
 
 
 def _explode_tokens(texts: pa.ChunkedArray) -> pd.Series:
@@ -156,6 +156,109 @@ def tfidf_top_terms(
                 "tf": pa.array(tf_n[keep]),
                 "tfidf_e4": pa.array(
                     np.floor(sc[keep] * 10000 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return proj.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_logprob(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the CCNet-style statistical quality filter
+    (gibberish and boilerplate score far from the corpus mode; no model
+    needed).
+
+    ``score(d) = sum_w tf(d,w) * ln(cnt(w) / T) / n_tokens(d)`` with
+    ``cnt`` the corpus token count and ``T`` the corpus token total.
+
+    Same two-pass shape as :func:`tfidf_top_terms`: block-local token
+    count partials merge at vocabulary size, the log-prob vector
+    broadcasts once, scoring is a map-only pass (``searchsorted`` lookup
+    + one segment-sum per batch).  Documents with no tokens emit no rows
+    (SQL GROUP BY semantics).  Output: (id, n_tokens int64,
+    logprob_e4 int64 — half-up e4 of the mean, always negative).
+    """
+    proj = docs.select_columns([id_col, text_col])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        toks = _explode_tokens(t.column(text_col))
+        uniq, cnt = np.unique(toks.to_numpy(dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq.astype(str), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(group: dict[str, np.ndarray]) -> dict:
+        return {
+            "token": np.asarray(group["token"])[:1],
+            "cnt": np.asarray([np.sum(group["n"])], dtype=np.int64),
+        }
+
+    def empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            "token": np.asarray(batch["token"])[:0],
+            "cnt": np.empty(0, dtype=np.int64),
+        }
+
+    partials = proj.map_batches(cnt_partial, batch_format="pyarrow")
+    cnt_tbl = sorted_group_scan(partials, "token", merge, empty,
+                                num_partitions)
+    cp = cnt_tbl.limit(broadcast_limit + 1).to_pandas()
+    if len(cp) > broadcast_limit:
+        raise ValueError(
+            f"vocabulary exceeds broadcast_limit={broadcast_limit} "
+            "tokens; use a hash-partitioned token join instead"
+        )
+    total = float(cp["cnt"].sum())
+    vocab = cp["token"].to_numpy(dtype=object)
+    order = np.argsort(vocab)
+    vocab_sorted = vocab[order]
+    logp_sorted = np.log(
+        cp["cnt"].to_numpy(dtype=np.float64)[order] / total
+    )
+    vocab_ref = ray.put((vocab_sorted, logp_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_s, logp_s = ray.get(vocab_ref)
+        toks = _explode_tokens(t.column(text_col))
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    id_col: t.column(id_col).slice(0, 0),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "logprob_e4": pa.array([], type=pa.int64()),
+                }
+            )
+        doc_idx = toks.index.to_numpy(dtype=np.int64)
+        tok = toks.to_numpy(dtype=object)
+        pos = np.searchsorted(vocab_s, tok)
+        pos = np.clip(pos, 0, len(vocab_s) - 1)
+        known = vocab_s[pos] == tok  # tolerate unseen (incremental use)
+        doc_idx, pos = doc_idx[known], pos[known]
+        lp = logp_s[pos]
+        # segment sum per doc (doc_idx is nondecreasing: explode order)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(doc_idx[1:] != doc_idx[:-1]) + 1)
+        )
+        sums = np.add.reduceat(lp, starts)
+        n_tok = np.diff(np.append(starts, len(doc_idx))).astype(np.int64)
+        ids = t.column(id_col).take(pa.array(doc_idx[starts]))
+        mean = sums / n_tok
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(n_tok),
+                "logprob_e4": pa.array(
+                    np.floor(mean * 10000 + 0.5).astype(np.int64)
                 ),
             }
         )

@@ -2767,3 +2767,72 @@ def test_tfidf_top_terms_matches_reference_math():
         got.astype({"doc_id": "int64", "tf": "int64"}), exp
     )
     assert set(got["doc_id"]) == {1, 2, 3}
+
+
+def test_grouped_histogram_matches_numpy():
+    import pyarrow as pa
+
+    from raylink.ops.histogram import grouped_histogram
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "v": rng.standard_normal(500) * 30 + 20,  # some out of [0,60)
+        }
+    )
+    df.loc[df.index[:6], "v"] = np.nan
+    got = (
+        grouped_histogram(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(df, preserve_index=False)
+            ),
+            "g", "v", 0.0, 60.0, 12, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "bin"], ignore_index=True)
+    )
+    sub = df.dropna(subset=["v"])
+    exp_bins = np.clip(np.floor((sub["v"] - 0.0) / 5.0).astype(int), 0, 11)
+    exp = (
+        pd.DataFrame({"g": sub["g"], "bin": exp_bins})
+        .groupby(["g", "bin"]).size().rename("cnt").reset_index()
+        .sort_values(["g", "bin"], ignore_index=True)
+    )
+    assert got["g"].tolist() == exp["g"].tolist()
+    assert got["bin"].tolist() == exp["bin"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+    assert int(got["cnt"].sum()) == len(sub)
+
+
+def test_unigram_logprob_matches_hand_math():
+    import pyarrow as pa
+
+    from raylink.ops.tfidf import unigram_logprob
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a b", "b c", ""],  # T=5: a:2 b:2 c:1
+        }
+    )
+    got = (
+        unigram_logprob(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(docs, preserve_index=False)
+            ),
+            "doc_id", "text", num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    lp = {"a": np.log(2 / 5), "b": np.log(2 / 5), "c": np.log(1 / 5)}
+    exp = {
+        1: (3, (2 * lp["a"] + lp["b"]) / 3),
+        2: (2, (lp["b"] + lp["c"]) / 2),
+    }
+    assert got["doc_id"].tolist() == [1, 2]  # empty doc emits no row
+    for _, r in got.iterrows():
+        n, m = exp[r["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["logprob_e4"] == int(np.floor(m * 10000 + 0.5))
