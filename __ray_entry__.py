@@ -1948,6 +1948,15 @@ def _q_doc_logprob(sf_dir: str):
     return unigram_logprob(docs, "doc_id", "text")
 
 
+def _q_trigram_counts(sf_dir: str):
+    """Corpus trigram top-50 (contamination/boilerplate probe table) —
+    raylink/ops/ngrams.py::ngram_counts, n-gram-sized partials only."""
+    from raylink.ops.ngrams import ngram_counts
+
+    docs = _read(sf_dir, "documents")
+    return ngram_counts(docs, "text", n=3, top_k=50)
+
+
 def _q_doc_top_terms(sf_dir: str):
     """TF-IDF top-3 terms per document (raylink/ops/tfidf.py — df
     partials merge vocabulary-sized, broadcast idf, map-only scoring)."""
@@ -1971,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _q_doc_top_terms,
         "value_histogram": _q_value_histogram,
         "doc_logprob": _q_doc_logprob,
+        "trigram_counts": _q_trigram_counts,
         "user_profile": _q_user_profile,
         "multi_block_pairs": _q_multi_block_pairs,
         "canonical_events": _q_canonical_events,
@@ -2084,6 +2094,21 @@ def oracle_sql() -> dict[str, str]:
                               * 10000 + 0.5) AS BIGINT) AS value_w_e4
             FROM events e JOIN thr t USING(event_type)
             WHERE e.value IS NOT NULL
+        """,
+        "trigram_counts": """
+            WITH tok AS (
+                SELECT list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\\s+'),
+                       x -> x <> '') AS arr
+                FROM documents
+            ), grams AS (
+                SELECT arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ngram
+                FROM tok, unnest(generate_series(1, len(arr) - 2)) AS t(i)
+                WHERE len(arr) >= 3
+            )
+            SELECT ngram, count(*)::BIGINT AS cnt
+            FROM grams GROUP BY ngram
+            ORDER BY cnt DESC, ngram LIMIT 50
         """,
         "value_histogram": """
             SELECT event_type,

@@ -224,6 +224,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "doc_top_terms",
         "value_histogram",
         "doc_logprob",
+        "trigram_counts",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -2836,3 +2836,54 @@ def test_unigram_logprob_matches_hand_math():
         n, m = exp[r["doc_id"]]
         assert r["n_tokens"] == n
         assert r["logprob_e4"] == int(np.floor(m * 10000 + 0.5))
+
+
+def test_ngram_counts_matches_python():
+    import pyarrow as pa
+
+    from raylink.ops.ngrams import ngram_counts
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat sat on the mat",
+                "  the cat  sat ",  # messy whitespace, same bigrams
+                "solo",  # shorter than n: contributes nothing
+                None,
+            ],
+        }
+    )
+    got = (
+        ngram_counts(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(docs, preserve_index=False)
+            ),
+            "text", n=2, top_k=None, num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("ngram", ignore_index=True)
+    )
+    from collections import Counter
+
+    exp = Counter()
+    for t in docs["text"]:
+        toks = (t or "").split()
+        exp.update(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+    assert dict(zip(got["ngram"], got["cnt"])) == dict(exp)
+    # n-grams never cross documents
+    assert "mat the" not in set(got["ngram"])
+    # top_k determinism: count desc then ngram asc
+    top = (
+        ngram_counts(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(docs, preserve_index=False)
+            ),
+            "text", n=2, top_k=3, num_partitions=2,
+        )
+        .to_pandas()
+    )
+    ordered = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(top["ngram"], top["cnt"])) == ordered
