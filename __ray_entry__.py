@@ -1948,6 +1948,18 @@ def _q_doc_logprob(sf_dir: str):
     return unigram_logprob(docs, "doc_id", "text")
 
 
+def _q_qty_discount_corr(sf_dir: str):
+    """Per-returnflag Pearson corr(quantity, discount) — integer-moment
+    partials, bit-exact vs the oracle at any parallelism
+    (raylink/ops/normalize.py::grouped_corr)."""
+    from raylink.ops.normalize import grouped_corr
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity", "l_discount"]
+    )
+    return grouped_corr(li, "l_returnflag", "l_quantity", "l_discount")
+
+
 def _q_trigram_counts(sf_dir: str):
     """Corpus trigram top-50 (contamination/boilerplate probe table) —
     raylink/ops/ngrams.py::ngram_counts, n-gram-sized partials only."""
@@ -1981,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "doc_logprob": _q_doc_logprob,
         "trigram_counts": _q_trigram_counts,
+        "qty_discount_corr": _q_qty_discount_corr,
         "user_profile": _q_user_profile,
         "multi_block_pairs": _q_multi_block_pairs,
         "canonical_events": _q_canonical_events,
@@ -2094,6 +2107,31 @@ def oracle_sql() -> dict[str, str]:
                               * 10000 + 0.5) AS BIGINT) AS value_w_e4
             FROM events e JOIN thr t USING(event_type)
             WHERE e.value IS NOT NULL
+        """,
+        "qty_discount_corr": """
+            WITH q AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xq,
+                       CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS yq
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                      AND l_returnflag IS NOT NULL
+            ), m AS (
+                SELECT l_returnflag,
+                       count(*)::DOUBLE AS n,
+                       sum(xq)::DOUBLE AS sx, sum(yq)::DOUBLE AS sy,
+                       sum(xq * xq)::DOUBLE AS sxx,
+                       sum(yq * yq)::DOUBLE AS syy,
+                       sum(xq * yq)::DOUBLE AS sxy
+                FROM q GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(floor((n * sxy - sx * sy)
+                              / (sqrt(n * sxx - sx * sx)
+                                 * sqrt(n * syy - sy * sy))
+                              * 1000000 + 0.5) AS BIGINT) AS corr_e6
+            FROM m
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         """,
         "trigram_counts": """
             WITH tok AS (

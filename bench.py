@@ -225,6 +225,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "value_histogram",
         "doc_logprob",
         "trigram_counts",
+        "qty_discount_corr",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -31,7 +31,7 @@ import numpy as np
 import ray
 import ray.data
 
-__all__ = ["group_standardize"]
+__all__ = ["group_standardize", "grouped_corr"]
 
 
 def group_standardize(
@@ -114,3 +114,94 @@ def group_standardize(
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 100,
+) -> ray.data.Dataset:
+    """Pearson correlation of ``x_col`` and ``y_col`` per group — the
+    drift/association profile ("does discount track quantity per flag?").
+
+    Same integer-moment exactness trick as :func:`group_standardize`:
+    blocks reduce to per-key int64 moments ``(n, Σx, Σy, Σx², Σy², Σxy)``
+    over half-up fixed-point values (associative — identical at any
+    parallelism), and the one float expression
+
+        r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²))
+
+    is evaluated from identical integers in both this engine and the
+    DuckDB oracle, so ``corr_e6`` matches bit-for-bit.  The fixed-point
+    scales cancel in r, so they only need to preserve the caller's
+    precision; the int64 headroom constraint is the module's usual one.
+    Rows with a null in either column are excluded (SQL ``corr``
+    semantics); degenerate groups (n < 2 or zero variance) emit no row.
+
+    Output: (group, n int64, corr_e6 int64).
+    """
+    import pyarrow as pa
+
+    moments = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        g = np.asarray(batch[group_col])
+        x = np.asarray(batch[x_col], dtype=np.float64)
+        y = np.asarray(batch[y_col], dtype=np.float64)
+        ok = ~np.isnan(x) & ~np.isnan(y)
+        if g.dtype == object:
+            ok &= np.array([k is not None for k in g])
+        g, x, y = g[ok], x[ok], y[ok]
+        xq = np.floor(x * x_scale + 0.5).astype(np.int64)
+        yq = np.floor(y * y_scale + 0.5).astype(np.int64)
+        uniq, inv = np.unique(g, return_inverse=True)
+        out = {group_col: uniq}
+        acc = {m: np.zeros(len(uniq), dtype=np.int64) for m in moments}
+        np.add.at(acc["n"], inv, 1)
+        np.add.at(acc["sx"], inv, xq)
+        np.add.at(acc["sy"], inv, yq)
+        np.add.at(acc["sxx"], inv, xq * xq)
+        np.add.at(acc["syy"], inv, yq * yq)
+        np.add.at(acc["sxy"], inv, xq * yq)
+        out.update(acc)
+        return out
+
+    parts = (
+        ds.select_columns([group_col, x_col, y_col])
+        .map_batches(partial, batch_format="numpy")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "corr_e6": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    stats = parts.groupby(group_col)[moments].sum().reset_index()
+    # each SUM casts to double FIRST, then one float expression — the
+    # exact op sequence the oracle's ::DOUBLE casts produce
+    f = {m: stats[m].to_numpy(np.int64).astype(np.float64)
+         for m in moments}
+    num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+    dx = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+    dy = f["n"] * f["syy"] - f["sy"] * f["sy"]
+    keep = (dx > 0) & (dy > 0)
+    r = num[keep] / (np.sqrt(dx[keep]) * np.sqrt(dy[keep]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(stats[group_col].to_numpy()[keep]),
+                "n": pa.array(stats["n"].to_numpy(np.int64)[keep]),
+                "corr_e6": pa.array(
+                    np.floor(r * 1000000 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+    )

@@ -2887,3 +2887,36 @@ def test_ngram_counts_matches_python():
     )
     ordered = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert list(zip(top["ngram"], top["cnt"])) == ordered
+
+
+def test_grouped_corr_matches_numpy_corrcoef():
+    import pyarrow as pa
+
+    from raylink.ops.normalize import grouped_corr
+
+    rng = np.random.default_rng(13)
+    g = rng.choice(["a", "b", "c"], 600)
+    x = rng.integers(0, 500, 600) / 100.0  # exactly e2-representable
+    y = x * 2 + rng.integers(-100, 100, 600) / 100.0  # strong positive
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    df.loc[df.index[:5], "y"] = np.nan
+    # a degenerate group: zero variance in x
+    dg = pd.DataFrame({"g": ["z"] * 4, "x": [1.0] * 4, "y": [1, 2, 3, 4.0]})
+    df = pd.concat([df, dg], ignore_index=True)
+    got = (
+        grouped_corr(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(df, preserve_index=False)
+            ),
+            "g", "x", "y",
+        )
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    assert "z" not in set(got["g"])  # degenerate group emits no row
+    for _, r in got.iterrows():
+        sub = df[(df["g"] == r["g"])].dropna(subset=["x", "y"])
+        exp = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert r["n"] == len(sub)
+        assert abs(r["corr_e6"] / 1e6 - exp) < 2e-6, (r["g"], exp)
+        assert r["corr_e6"] > 800000  # strongly positive by construction
