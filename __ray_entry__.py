@@ -1948,6 +1948,23 @@ def _q_doc_logprob(sf_dir: str):
     return unigram_logprob(docs, "doc_id", "text")
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means-bounded exact-cosine dedup
+    over the embeddings table, min-id keeper (no_oracle by construction:
+    k-means is not SQL-expressible; planted-group collapse is pytest-
+    proven in test_semantic_dedup_collapses_planted_groups)."""
+    from raylink.pipelines.semdedup import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings").select_columns(
+        ["vec_id", "embedding"]
+    )
+    kept, _ = semantic_dedup(
+        emb, "embedding", "vec_id", k=16, threshold=0.98,
+        num_partitions=8,
+    )
+    return kept.select_columns(["vec_id"]).sort("vec_id")
+
+
 def _q_qty_discount_corr(sf_dir: str):
     """Per-returnflag Pearson corr(quantity, discount) — integer-moment
     partials, bit-exact vs the oracle at any parallelism
@@ -1994,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_logprob": _q_doc_logprob,
         "trigram_counts": _q_trigram_counts,
         "qty_discount_corr": _q_qty_discount_corr,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
         "user_profile": _q_user_profile,
         "multi_block_pairs": _q_multi_block_pairs,
         "canonical_events": _q_canonical_events,

@@ -226,6 +226,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "doc_logprob",
         "trigram_counts",
         "qty_discount_corr",
+        "semantic_dedup_embeddings",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

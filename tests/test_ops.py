@@ -2920,3 +2920,58 @@ def test_grouped_corr_matches_numpy_corrcoef():
         assert r["n"] == len(sub)
         assert abs(r["corr_e6"] / 1e6 - exp) < 2e-6, (r["g"], exp)
         assert r["corr_e6"] > 800000  # strongly positive by construction
+
+
+def test_semantic_dedup_collapses_planted_groups():
+    import pyarrow as pa
+
+    from raylink.pipelines.semdedup import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    d = 16
+    # 3 planted duplicate groups (tight cones) + 30 well-separated singles
+    base = rng.standard_normal((3, d)) * 4
+    rows, ids = [], []
+    vid = 0
+    for b in base:
+        for _ in range(4):  # 4 near-copies each
+            rows.append(b + rng.standard_normal(d) * 0.01)
+            ids.append(vid); vid += 1
+    for _ in range(30):
+        rows.append(rng.standard_normal(d) * 4)
+        ids.append(vid); vid += 1
+    df = pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, r)) for r in rows]})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    kept, counters = semantic_dedup(
+        ds, "embedding", "vec_id", k=8, threshold=0.99,
+        keeper="min_id", num_partitions=4,
+    )
+    kept_ids = set(kept.to_pandas()["vec_id"])
+    assert counters["n_vecs"] == 42
+    # each planted group of 4 collapses to exactly its min id
+    for g in range(3):
+        grp = set(range(g * 4, g * 4 + 4))
+        assert kept_ids & grp == {min(grp)}, (g, kept_ids & grp)
+    # all singles survive
+    assert set(range(12, 42)) <= kept_ids
+    assert counters["n_dropped"] == 9
+    assert counters["n_pairs"] >= 9  # >= 3 per group of 4 (transitive)
+
+    # paper keeper: the member farthest from its centroid survives
+    kept2, c2 = semantic_dedup(
+        ds, "embedding", "vec_id", k=8, threshold=0.99,
+        keeper="low_centroid_sim", num_partitions=4,
+    )
+    k2 = set(kept2.to_pandas()["vec_id"])
+    assert c2["n_dropped"] == 9
+    for g in range(3):
+        grp = set(range(g * 4, g * 4 + 4))
+        assert len(k2 & grp) == 1
+
+    # unknown keeper refused
+    try:
+        semantic_dedup(ds, "embedding", "vec_id", keeper="nope")
+        raise AssertionError("must refuse unknown keeper")
+    except ValueError:
+        pass
