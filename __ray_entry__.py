@@ -1948,6 +1948,20 @@ def _q_doc_logprob(sf_dir: str):
     return unigram_logprob(docs, "doc_id", "text")
 
 
+def _q_lang_top_sources(sf_dir: str):
+    """Top-3 sources per language by TOTAL chars (two-level: rank
+    aggregates, not rows) — raylink/ops/topk.py::grouped_weighted_top_k,
+    per-(lang,source) partial sums are all that shuffles."""
+    from raylink.ops.topk import grouped_weighted_top_k
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["lang", "source", "n_chars"]
+    )
+    return grouped_weighted_top_k(
+        docs, "lang", "source", "n_chars", k=3, num_partitions=8
+    )
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): k-means-bounded exact-cosine dedup
     over the embeddings table, min-id keeper (no_oracle by construction:
@@ -2012,6 +2026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_counts": _q_trigram_counts,
         "qty_discount_corr": _q_qty_discount_corr,
         "semantic_dedup_embeddings": _q_semantic_dedup,
+        "lang_top_sources": _q_lang_top_sources,
         "user_profile": _q_user_profile,
         "multi_block_pairs": _q_multi_block_pairs,
         "canonical_events": _q_canonical_events,
@@ -2125,6 +2140,18 @@ def oracle_sql() -> dict[str, str]:
                               * 10000 + 0.5) AS BIGINT) AS value_w_e4
             FROM events e JOIN thr t USING(event_type)
             WHERE e.value IS NOT NULL
+        """,
+        "lang_top_sources": """
+            WITH s AS (
+                SELECT lang, source, sum(n_chars)::BIGINT AS total
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY lang, source
+            )
+            SELECT lang, source, total FROM s
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY total DESC, source
+            ) <= 3
         """,
         "qty_discount_corr": """
             WITH q AS (

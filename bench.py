@@ -227,6 +227,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "trigram_counts",
         "qty_discount_corr",
         "semantic_dedup_embeddings",
+        "lang_top_sources",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -20,7 +20,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["grouped_top_k"]
+__all__ = ["grouped_top_k", "grouped_weighted_top_k"]
 
 
 def _negatable(score: np.ndarray) -> np.ndarray:
@@ -83,3 +83,85 @@ def grouped_top_k(
     return sorted_group_scan(
         partials, key_col, group_fn, empty_fn, num_partitions
     )
+
+
+def grouped_weighted_top_k(
+    ds: ray.data.Dataset,
+    key_col: str,
+    item_col: str,
+    weight_col: str,
+    k: int,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Top ``k`` ITEMS per key by their summed weight — the two-level
+    report shape ("top sources per language by total chars"), where
+    ``grouped_top_k`` ranks raw ROWS this ranks aggregates.
+
+    Combiner-first: each block reduces to per-(key, item) partial sums
+    (one lexsort + reduceat — only these partials shuffle), then one
+    sorted-run scan per key finishes the sums and takes the top ``k``
+    (weight desc, item asc — matching SQL ``row_number() OVER (PARTITION
+    BY key ORDER BY sum DESC, item)``).  Weights must be integers: int64
+    partial sums are associative, so results are identical at any
+    parallelism (float weights would make the sum order-dependent).
+    Null keys/items are excluded (SQL GROUP BY semantics).
+
+    Output: (key, item, total int64).
+    """
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        items = t.column(item_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(np.asarray(w).dtype, np.integer):
+            raise TypeError(
+                f"{weight_col} must be integer-typed for exact "
+                "order-independent sums; fixed-point encode floats first"
+            )
+        ok = np.ones(len(keys), dtype=bool)
+        if keys.dtype == object:
+            ok &= np.array([x is not None for x in keys])
+        if items.dtype == object:
+            ok &= np.array([x is not None for x in items])
+        keys, items, w = keys[ok], items[ok], np.asarray(w)[ok]
+        order = np.lexsort((items, keys))
+        ks, its, ws = keys[order], items[order], w[order]
+        change = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            change[1:] = (ks[1:] != ks[:-1]) | (its[1:] != its[:-1])
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(ws, starts) if len(starts) else ws[:0]
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts]),
+                item_col: pa.array(its[starts]),
+                "n": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    def merge(group: dict[str, np.ndarray]) -> dict:
+        items = np.asarray(group[item_col])
+        n = np.asarray(group["n"])
+        uniq, inv = np.unique(items, return_inverse=True)
+        total = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(total, inv, n)
+        top = np.lexsort((uniq, -total))[:k]
+        return {
+            key_col: np.repeat(np.asarray(group[key_col])[:1], len(top)),
+            item_col: uniq[top],
+            "total": total[top],
+        }
+
+    def empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            key_col: np.asarray(batch[key_col])[:0],
+            item_col: np.asarray(batch[item_col])[:0],
+            "total": np.empty(0, dtype=np.int64),
+        }
+
+    partials = ds.select_columns(
+        [key_col, item_col, weight_col]
+    ).map_batches(partial, batch_format="pyarrow")
+    return sorted_group_scan(partials, key_col, merge, empty,
+                             num_partitions)

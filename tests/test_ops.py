@@ -2975,3 +2975,52 @@ def test_semantic_dedup_collapses_planted_groups():
         raise AssertionError("must refuse unknown keeper")
     except ValueError:
         pass
+
+
+def test_grouped_weighted_top_k_matches_pandas():
+    import pyarrow as pa
+
+    from raylink.ops.topk import grouped_weighted_top_k
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y", None], 500),
+            "item": rng.choice(["a", "b", "c", "d", "e", None], 500),
+            "w": rng.integers(-5, 50, 500),
+        }
+    )
+    got = (
+        grouped_weighted_top_k(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(df, preserve_index=False)
+            ),
+            "k", "item", "w", k=2, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "item"], ignore_index=True)
+    )
+    sub = df.dropna(subset=["k", "item"])
+    sums = sub.groupby(["k", "item"])["w"].sum().reset_index()
+    exp = (
+        sums.sort_values(["k", "w", "item"], ascending=[True, False, True])
+        .groupby("k").head(2)
+        .sort_values(["k", "item"], ignore_index=True)
+    )
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["item"].tolist() == exp["item"].tolist()
+    assert got["total"].tolist() == exp["w"].tolist()
+    # float weights refused
+    try:
+        grouped_weighted_top_k(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(
+                    pd.DataFrame({"k": ["a"], "item": ["b"], "w": [1.5]}),
+                    preserve_index=False,
+                )
+            ),
+            "k", "item", "w", k=1,
+        ).count()
+        raise AssertionError("float weights must refuse")
+    except Exception:
+        pass
