@@ -1974,7 +1974,7 @@ def _q_semantic_dedup(sf_dir: str):
     )
     kept, _ = semantic_dedup(
         emb, "embedding", "vec_id", k=16, threshold=0.98,
-        num_partitions=8,
+        kmeans_iters=4, num_partitions=8,
     )
     return kept.select_columns(["vec_id"]).sort("vec_id")
 

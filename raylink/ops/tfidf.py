@@ -9,9 +9,11 @@ Two streaming passes over the corpus, no row-level shuffle:
    vocabulary-sized partials ever shuffle (``sorted_group_scan`` merge).
    The merged ``(token, df)`` table is pulled to the driver under
    ``broadcast_limit`` and shipped once via ``ray.put`` as a sorted
-   token array + idf vector.  Above the limit the right plan is a
-   hash-partitioned token join — refused loudly here, not silently
-   mis-planned.
+   token array + idf vector.  Above the limit (web-scale vocabularies)
+   the plan switches automatically to a hash-partitioned token join of
+   per-(doc, token) tf rows against the df Dataset, finished by one
+   doc-id sorted-run scan — two token-stream-sized exchanges instead of
+   one broadcast.
 2. **Scoring.** Texts stream map-only: per batch, explode tokens with
    their doc position, count tf per (doc, token) (vectorized pandas
    groupby), look up idf by ``np.searchsorted`` against the broadcast
@@ -98,12 +100,15 @@ def tfidf_top_terms(
     df_tbl = sorted_group_scan(partials, "token", merge, empty,
                                num_partitions)
     dfp = df_tbl.limit(broadcast_limit + 1).to_pandas()
-    if len(dfp) > broadcast_limit:
-        raise ValueError(
-            f"vocabulary exceeds broadcast_limit={broadcast_limit} "
-            "tokens; use a hash-partitioned token join instead"
-        )
     n_docs = proj.count()
+    if len(dfp) > broadcast_limit:
+        # web-scale vocabularies don't broadcast: hash-join the
+        # per-(doc, token) tf rows against the df Dataset instead (the
+        # same above-limit plan stages/tf.py uses), then finish the
+        # per-doc top-k in one sorted-run scan over doc id
+        return _tfidf_via_join(proj, df_tbl, id_col, text_col, k,
+                               n_docs, num_partitions)
+
     vocab = dfp["token"].to_numpy(dtype=object)
     order = np.argsort(vocab)
     vocab_sorted = vocab[order]
@@ -163,6 +168,132 @@ def tfidf_top_terms(
     return proj.map_batches(score, batch_format="pyarrow")
 
 
+def _tf_rows(
+    proj: ray.data.Dataset, id_col: str, text_col: str
+) -> ray.data.Dataset:
+    """Explode documents to per-(doc, token) term-frequency rows —
+    the join-side input when the vocabulary is too big to broadcast."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        toks = _explode_tokens(t.column(text_col))
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    id_col: t.column(id_col).slice(0, 0),
+                    "token": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        tf = toks.groupby([toks.index, toks.values]).size()
+        doc_idx = tf.index.get_level_values(0).to_numpy(dtype=np.int64)
+        tok = tf.index.get_level_values(1).to_numpy(dtype=object)
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(pa.array(doc_idx)),
+                "token": pa.array(tok.astype(str), type=pa.string()),
+                "tf": pa.array(tf.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return proj.map_batches(expand, batch_format="pyarrow")
+
+
+def _logprob_via_join(
+    proj: ray.data.Dataset,
+    cnt_tbl: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    total: float,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Over-broadcast-limit plan for :func:`unigram_logprob` — tf rows ⋈
+    counts by token, per-doc mean finished in one doc-id sorted-run scan.
+    Accumulates ``tf·ln p`` per distinct (doc, token) instead of per
+    occurrence, so the mean can differ from the broadcast path in the
+    last float ulps (both match the oracle at e4)."""
+    import ray as _ray
+
+    nparts = max(16, int(_ray.cluster_resources().get("CPU", 8)))
+    joined = _tf_rows(proj, id_col, text_col).join(
+        cnt_tbl,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("token",),
+    )
+
+    def per_doc(group: dict[str, np.ndarray]) -> dict:
+        tf_n = np.asarray(group["tf"], dtype=np.int64)
+        cnt = np.asarray(group["cnt"], dtype=np.float64)
+        s = float(np.sum(tf_n * np.log(cnt / total)))
+        n = int(np.sum(tf_n))
+        return {
+            id_col: np.asarray(group[id_col])[:1],
+            "n_tokens": np.asarray([n], dtype=np.int64),
+            "logprob_e4": np.asarray(
+                [np.floor(s / n * 10000 + 0.5)], dtype=np.int64
+            ),
+        }
+
+    def empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            id_col: np.asarray(batch[id_col])[:0],
+            "n_tokens": np.empty(0, dtype=np.int64),
+            "logprob_e4": np.empty(0, dtype=np.int64),
+        }
+
+    return sorted_group_scan(joined, id_col, per_doc, empty,
+                             num_partitions)
+
+
+def _tfidf_via_join(
+    proj: ray.data.Dataset,
+    df_tbl: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_docs: int,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Over-broadcast-limit plan: tf rows ⋈ df by token (hash-shuffle
+    join — both sides partition by token), then one doc-id sorted-run
+    scan finishes the per-doc top-k.  Two exchanges of token-stream-sized
+    data instead of one broadcast — the honest cost of a vocabulary that
+    doesn't fit an object-store copy per node."""
+    import ray as _ray
+
+    nparts = max(16, int(_ray.cluster_resources().get("CPU", 8)))
+    joined = _tf_rows(proj, id_col, text_col).join(
+        df_tbl,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("token",),
+    )
+
+    def per_doc(group: dict[str, np.ndarray]) -> dict:
+        tok = np.asarray(group["token"])
+        tf_n = np.asarray(group["tf"], dtype=np.int64)
+        dfn = np.asarray(group["df"], dtype=np.float64)
+        sc = tf_n * np.log(float(n_docs) / dfn)
+        o = np.lexsort((tok, -sc))[:k]
+        return {
+            id_col: np.asarray(group[id_col])[o],
+            "token": tok[o],
+            "tf": tf_n[o],
+            "tfidf_e4": np.floor(sc[o] * 10000 + 0.5).astype(np.int64),
+        }
+
+    def empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            id_col: np.asarray(batch[id_col])[:0],
+            "token": np.asarray(batch["token"])[:0],
+            "tf": np.empty(0, dtype=np.int64),
+            "tfidf_e4": np.empty(0, dtype=np.int64),
+        }
+
+    return sorted_group_scan(joined, id_col, per_doc, empty,
+                             num_partitions)
+
+
 def unigram_logprob(
     docs: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -214,10 +345,12 @@ def unigram_logprob(
                                 num_partitions)
     cp = cnt_tbl.limit(broadcast_limit + 1).to_pandas()
     if len(cp) > broadcast_limit:
-        raise ValueError(
-            f"vocabulary exceeds broadcast_limit={broadcast_limit} "
-            "tokens; use a hash-partitioned token join instead"
-        )
+        # over-limit vocabulary: hash-join tf rows against the count
+        # Dataset (same plan as _tfidf_via_join); the corpus total is a
+        # one-number aggregate
+        total_f = float(cnt_tbl.sum("cnt") or 0)
+        return _logprob_via_join(proj, cnt_tbl, id_col, text_col,
+                                 total_f, num_partitions)
     total = float(cp["cnt"].sum())
     vocab = cp["token"].to_numpy(dtype=object)
     order = np.argsort(vocab)

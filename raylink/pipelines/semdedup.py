@@ -61,6 +61,7 @@ def semantic_dedup(
     keeper: str = "min_id",
     cluster_cap: int = 4000,
     seed: int = 99,
+    kmeans_iters: int = 10,
     num_partitions: int = 16,
     broadcast_limit: int = 2_000_000,
 ) -> tuple[ray.data.Dataset, dict]:
@@ -71,7 +72,9 @@ def semantic_dedup(
     if keeper not in ("min_id", "low_centroid_sim"):
         raise ValueError(f"unknown keeper strategy: {keeper!r}")
 
-    centroids, _ = kmeans_fit(embeds, emb_col, id_col, k=k, seed=seed)
+    centroids, _ = kmeans_fit(
+        embeds, emb_col, id_col, k=k, n_iters=kmeans_iters, seed=seed
+    )
     cu = _normalize_rows(np.asarray(centroids, dtype=np.float64))
     c_ref = ray.put((np.asarray(centroids, dtype=np.float64), cu))
 

@@ -3024,3 +3024,51 @@ def test_grouped_weighted_top_k_matches_pandas():
         raise AssertionError("float weights must refuse")
     except Exception:
         pass
+
+
+def test_tfidf_and_logprob_join_path_matches_broadcast():
+    """Forcing broadcast_limit below the vocabulary exercises the
+    hash-join scale plan; outputs must match the broadcast plan."""
+    import pyarrow as pa
+
+    from raylink.ops.tfidf import tfidf_top_terms, unigram_logprob
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                " ".join(rng.choice(vocab, rng.integers(3, 20)))
+                for _ in range(40)
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+
+    a = (
+        tfidf_top_terms(ds, "doc_id", "text", k=2, num_partitions=2)
+        .to_pandas().sort_values(["doc_id", "token"], ignore_index=True)
+    )
+    b = (
+        tfidf_top_terms(ds, "doc_id", "text", k=2, broadcast_limit=5,
+                        num_partitions=2)
+        .to_pandas().sort_values(["doc_id", "token"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        a.astype({"doc_id": "int64"}), b.astype({"doc_id": "int64"})
+    )
+
+    la = (
+        unigram_logprob(ds, "doc_id", "text", num_partitions=2)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    lb = (
+        unigram_logprob(ds, "doc_id", "text", broadcast_limit=5,
+                        num_partitions=2)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert la["doc_id"].tolist() == lb["doc_id"].tolist()
+    assert la["n_tokens"].tolist() == lb["n_tokens"].tolist()
+    # per-(doc,token) vs per-occurrence accumulation: equal at e4
+    assert (la["logprob_e4"] - lb["logprob_e4"]).abs().max() <= 1
