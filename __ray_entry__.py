@@ -1948,6 +1948,17 @@ def _q_doc_logprob(sf_dir: str):
     return unigram_logprob(docs, "doc_id", "text")
 
 
+def _q_cust_supp_mutual_best(sf_dir: str):
+    """1:1 assignment over the fuzzy customer×supplier link: keep pairs
+    that are the best match for BOTH endpoints (two entity-sized argmax
+    scans + one pair-key join — raylink/ops/matching.py)."""
+    from raylink.ops.matching import mutual_best_pairs
+
+    pairs = _q_cust_supp_simjoin(sf_dir)
+    return mutual_best_pairs(pairs, "id_a", "id_b", "sim_e4",
+                             num_partitions=8)
+
+
 def _q_lang_top_sources(sf_dir: str):
     """Top-3 sources per language by TOTAL chars (two-level: rank
     aggregates, not rows) — raylink/ops/topk.py::grouped_weighted_top_k,
@@ -2027,6 +2038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_discount_corr": _q_qty_discount_corr,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "lang_top_sources": _q_lang_top_sources,
+        "cust_supp_mutual_best": _q_cust_supp_mutual_best,
         "user_profile": _q_user_profile,
         "multi_block_pairs": _q_multi_block_pairs,
         "canonical_events": _q_canonical_events,
@@ -2140,6 +2152,29 @@ def oracle_sql() -> dict[str, str]:
                               * 10000 + 0.5) AS BIGINT) AS value_w_e4
             FROM events e JOIN thr t USING(event_type)
             WHERE e.value IS NOT NULL
+        """,
+        "cust_supp_mutual_best": """
+            WITH p AS (
+                SELECT a.c_custkey::BIGINT AS id_a,
+                       b.s_suppkey::BIGINT AS id_b,
+                       floor(jaro_winkler_similarity(a.c_name, b.s_name)
+                             * 10000 + 0.5)::BIGINT AS sim_e4
+                FROM customer a JOIN supplier b
+                  ON a.c_nationkey = b.s_nationkey
+                WHERE a.c_name IS NOT NULL AND b.s_name IS NOT NULL
+                  AND floor(jaro_winkler_similarity(a.c_name, b.s_name)
+                            * 10000 + 0.5) >= 8000
+            ), ba AS (
+                SELECT id_a, id_b, sim_e4 FROM p
+                QUALIFY row_number() OVER (
+                    PARTITION BY id_a ORDER BY sim_e4 DESC, id_b) = 1
+            ), bb AS (
+                SELECT id_a, id_b FROM p
+                QUALIFY row_number() OVER (
+                    PARTITION BY id_b ORDER BY sim_e4 DESC, id_a) = 1
+            )
+            SELECT ba.id_a, ba.id_b, ba.sim_e4
+            FROM ba JOIN bb USING (id_a, id_b)
         """,
         "lang_top_sources": """
             WITH s AS (

@@ -228,6 +228,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "qty_discount_corr",
         "semantic_dedup_embeddings",
         "lang_top_sources",
+        "cust_supp_mutual_best",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

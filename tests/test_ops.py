@@ -3072,3 +3072,59 @@ def test_tfidf_and_logprob_join_path_matches_broadcast():
     assert la["n_tokens"].tolist() == lb["n_tokens"].tolist()
     # per-(doc,token) vs per-occurrence accumulation: equal at e4
     assert (la["logprob_e4"] - lb["logprob_e4"]).abs().max() <= 1
+
+
+def test_mutual_best_pairs_assignment():
+    import pyarrow as pa
+
+    from raylink.ops.matching import mutual_best_pairs
+
+    # b's best for 1 is 10 (9), a1's best is 10 -> mutual
+    # a2's best is 10 (8) but 10 prefers 1 -> dropped; a2/20 pair (7) is
+    # mutual because 20's best is 2 and 2's best-remaining... NOT how
+    # greedy rounds work: mutual-best is a SINGLE pass — 2's best is 10,
+    # so (2,20) is dropped too (20 keeps nobody).
+    pairs = pd.DataFrame(
+        {
+            "id_a": [1, 1, 2, 2, 3],
+            "id_b": [10, 20, 10, 20, 30],
+            "sim_e4": [9000, 6000, 8000, 7000, 9500],
+        }
+    )
+    got = (
+        mutual_best_pairs(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(pairs, preserve_index=False)
+            ),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("id_a", ignore_index=True)
+    )
+    assert list(zip(got["id_a"], got["id_b"], got["sim_e4"])) == [
+        (1, 10, 9000),
+        (3, 30, 9500),
+    ]
+
+    # tie determinism: equal scores -> lowest partner id wins both sides
+    ties = pd.DataFrame(
+        {
+            "id_a": [5, 5, 6],
+            "id_b": [50, 51, 50],
+            "sim_e4": [9000, 9000, 9000],
+        }
+    )
+    got2 = (
+        mutual_best_pairs(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(ties, preserve_index=False)
+            ),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("id_a", ignore_index=True)
+    )
+    # 5's best: 50 (tie -> lower id); 50's best: 5 (tie -> lower id)
+    assert list(zip(got2["id_a"], got2["id_b"])) == [(5, 50)]
+    # 1:1 property: no endpoint repeats
+    assert got2["id_a"].is_unique and got2["id_b"].is_unique
