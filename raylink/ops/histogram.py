@@ -49,11 +49,15 @@ def grouped_histogram(
         )
         ok = ~np.isnan(v)
         if keys.dtype == object:
-            ok &= np.array([k is not None for k in keys])
+            # dtype=bool: an empty comprehension otherwise infers float64
+            # and bool &= float64 raises
+            ok &= np.array([k is not None for k in keys], dtype=bool)
         keys, v = keys[ok], v[ok]
+        # clip BEFORE the int cast so +/-inf clamps to the edge bins
+        # (inf.astype(int64) is undefined) — LEAST/GREATEST semantics
         bins = np.clip(
-            np.floor((v - lo) / width).astype(np.int64), 0, n_bins - 1
-        )
+            np.floor((v - lo) / width), 0, n_bins - 1
+        ).astype(np.int64)
         # per-block combine on the composite (key, bin)
         order = np.lexsort((bins, keys))
         ks, bs = keys[order], bins[order]

@@ -39,6 +39,9 @@ def _best_per(
 
     def pick(group: dict[str, np.ndarray]) -> dict:
         sc = np.asarray(group[score_col])
+        # unsigned scores wrap under negation (0 would become the best)
+        if sc.dtype.kind == "u":
+            sc = sc.astype(np.float64)
         pt = np.asarray(group[partner])
         w = int(np.lexsort((pt, -sc))[0])
         return {c: np.asarray(group[c])[w : w + 1] for c in group}
@@ -64,10 +67,14 @@ def mutual_best_pairs(
     best_b = _best_per(proj, id_b, id_a, score_col, num_partitions)
 
     def keyed(t: pa.Table) -> pa.Table:
-        a = t.column(id_a).to_numpy(zero_copy_only=False)
-        b = t.column(id_b).to_numpy(zero_copy_only=False)
+        a = t.column(id_a).to_numpy(zero_copy_only=False).astype("U")
+        b = t.column(id_b).to_numpy(zero_copy_only=False).astype("U")
+        # length-prefix the first id so string ids containing the
+        # separator cannot collide ('x' + 'y|z' vs 'x|y' + 'z')
+        lens = np.char.str_len(a).astype("U")
         pk = np.char.add(
-            np.char.add(a.astype("U"), "|"), b.astype("U")
+            np.char.add(np.char.add(lens, ":"), a),
+            np.char.add("|", b),
         ).astype(object)
         return t.append_column("pk", pa.array(pk, type=pa.string()))
 

@@ -153,7 +153,8 @@ def grouped_corr(
         y = np.asarray(batch[y_col], dtype=np.float64)
         ok = ~np.isnan(x) & ~np.isnan(y)
         if g.dtype == object:
-            ok &= np.array([k is not None for k in g])
+            # dtype=bool: an empty comprehension infers float64 otherwise
+            ok &= np.array([k is not None for k in g], dtype=bool)
         g, x, y = g[ok], x[ok], y[ok]
         xq = np.floor(x * x_scale + 0.5).astype(np.int64)
         yq = np.floor(y * y_scale + 0.5).astype(np.int64)

@@ -95,9 +95,12 @@ def keep_top_fraction(
     def group_fn(batch: dict[str, np.ndarray]) -> dict:
         v = np.asarray(batch[val_col])
         n = len(v)
+        # unsigned dtypes wrap under negation (0 would sort as the max) —
+        # same guard as ops/topk.py::_negatable
+        neg = v.astype(np.float64) if v.dtype.kind == "u" else v
         # lexsort: primary key LAST → (-v) desc, then tiebreaks asc
         keys = [np.asarray(batch[c]) for c in reversed(tiebreaks)]
-        keys.append(-v)
+        keys.append(-neg)
         idx = np.lexsort(tuple(keys))
         k = int(np.ceil(frac * n))
         keep = np.sort(idx[:k])  # restore input order within the group

@@ -113,17 +113,24 @@ def grouped_weighted_top_k(
     def partial(t: pa.Table) -> pa.Table:
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
         items = t.column(item_col).to_numpy(zero_copy_only=False)
-        w = t.column(weight_col).to_numpy(zero_copy_only=False)
-        if not np.issubdtype(np.asarray(w).dtype, np.integer):
+        wcol = t.column(weight_col)
+        # the integer contract is on the ARROW type: an int64 column with
+        # nulls converts to float64+NaN, which must not trip the refusal
+        # — null weights are excluded like null keys (SQL sum semantics)
+        if not pa.types.is_integer(wcol.type):
             raise TypeError(
                 f"{weight_col} must be integer-typed for exact "
                 "order-independent sums; fixed-point encode floats first"
             )
-        ok = np.ones(len(keys), dtype=bool)
+        import pyarrow.compute as pc
+
+        ok = pc.is_valid(wcol).to_numpy(zero_copy_only=False)
+        w = wcol.fill_null(0).to_numpy(zero_copy_only=False)
         if keys.dtype == object:
-            ok &= np.array([x is not None for x in keys])
+            # dtype=bool: an empty comprehension infers float64 otherwise
+            ok &= np.array([x is not None for x in keys], dtype=bool)
         if items.dtype == object:
-            ok &= np.array([x is not None for x in items])
+            ok &= np.array([x is not None for x in items], dtype=bool)
         keys, items, w = keys[ok], items[ok], np.asarray(w)[ok]
         order = np.lexsort((items, keys))
         ks, its, ws = keys[order], items[order], w[order]

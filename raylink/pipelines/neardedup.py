@@ -30,7 +30,32 @@ from ..ops.dedup import exact_dedup_edges, minhash_lsh_dedup
 from ..ops.semijoin import semi_anti_join
 from ..stages.cluster import connected_components
 
-__all__ = ["near_dedup_corpus"]
+__all__ = ["near_dedup_corpus", "collapse_to_keepers"]
+
+
+def collapse_to_keepers(
+    ds: ray.data.Dataset,
+    cc: ray.data.Dataset,
+    id_col: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Shared keeper tail for every pairs→clusters dedup pipeline: one
+    sorted scan pairs each ``cc`` node with its component's min id
+    (``exact_dedup_edges`` — no join), non-keepers become the loser set,
+    and one anti-join filters them out of ``ds``."""
+    keepers = exact_dedup_edges(
+        cc, "entity", "node", num_partitions=num_partitions
+    )
+
+    def dropped_ids(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        node = np.asarray(batch["node"])
+        keep = np.asarray(batch["keep_node"])
+        return {id_col: node[node != keep]}
+
+    losers = keepers.map_batches(dropped_ids, batch_format="numpy")
+    return semi_anti_join(
+        ds, losers, id_col, anti=True, num_partitions=num_partitions
+    )
 
 
 def near_dedup_corpus(
@@ -78,22 +103,7 @@ def near_dedup_corpus(
     cc = connected_components(
         edges, nodes, num_partitions=num_partitions
     )
-    # one sorted scan pairs every node with its cluster's min id —
-    # the same no-join keeper shape cluster_exact_dups uses
-    keepers = exact_dedup_edges(
-        cc, "entity", "node", num_partitions=num_partitions
-    )
-
-    def dropped_ids(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        node = np.asarray(batch["node"])
-        keep = np.asarray(batch["keep_node"])
-        lose = node != keep
-        return {id_col: node[lose]}
-
-    losers = keepers.map_batches(dropped_ids, batch_format="numpy")
-    kept = semi_anti_join(
-        docs, losers, id_col, anti=True, num_partitions=num_partitions
-    )
+    kept = collapse_to_keepers(docs, cc, id_col, num_partitions)
     n_kept = kept.count()
     counters["n_kept"] = int(n_kept)
     counters["n_dropped"] = int(n_docs - n_kept)

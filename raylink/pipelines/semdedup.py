@@ -36,12 +36,12 @@ import ray
 import ray.data
 
 from ..ops.ann import _as_matrix
-from ..ops.dedup import exact_dedup_edges
 from ..ops.joins import broadcast_join
 from ..ops.kmeans import kmeans_fit
 from ..ops.semijoin import semi_anti_join
 from ..stages.cluster import connected_components
 from ..stages.sortedrun import sorted_group_scan
+from .neardedup import collapse_to_keepers
 
 __all__ = ["semantic_dedup"]
 
@@ -187,28 +187,45 @@ def semantic_dedup(
         return embeds, counters
 
     edges = pairs.select_columns(["id_a", "id_b"])
-    nodes = embeds.map_batches(
-        lambda t: pa.table({"node": t.column(id_col)}),
+    # CC nodes = distinct PAIR ENDPOINTS only (duplicate-group members,
+    # a small fraction of the corpus) — labeling every input id would
+    # make cc corpus-sized and sink the keeper join below
+    from ..stages.sortedrun import count_by_key
+
+    endpoints = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("id_a").combine_chunks().cast(
+                            t.schema.field("id_a").type
+                        ),
+                        t.column("id_b").combine_chunks().cast(
+                            t.schema.field("id_a").type
+                        ),
+                    ]
+                )
+            }
+        ),
         batch_format="pyarrow",
     )
+    nodes = count_by_key(
+        endpoints, "node", num_partitions
+    ).select_columns(["node"])
     cc = connected_components(edges, nodes, num_partitions=num_partitions)
 
     if keeper == "min_id":
-        keepers = exact_dedup_edges(
-            cc, "entity", "node", num_partitions=num_partitions
-        )
-
-        def dropped(batch: dict[str, np.ndarray]) -> dict:
-            node = np.asarray(batch["node"])
-            keep = np.asarray(batch["keep_node"])
-            return {id_col: node[node != keep]}
-
-        losers = keepers.map_batches(dropped, batch_format="numpy")
+        kept = collapse_to_keepers(embeds, cc, id_col, num_partitions)
+        n_kept = kept.count()
+        counters["n_kept"] = int(n_kept)
+        counters["n_dropped"] = int(n_vecs - n_kept)
+        return kept, counters
     else:
         # paper keeper: the member FARTHEST from its centroid survives.
-        # cc holds only duplicate-group members (a small fraction of the
-        # corpus by assumption — guarded); their centroid sims stream in
-        # via one broadcast join against the assignment table.
+        # cc holds only duplicate-group members (nodes above are pair
+        # endpoints, not the corpus — guarded by broadcast_limit); their
+        # centroid sims stream in via one broadcast join against the
+        # assignment table.
         scored = broadcast_join(
             assigned.select_columns([id_col, "c_sim_e6"]),
             cc,

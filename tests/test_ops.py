@@ -3128,3 +3128,87 @@ def test_mutual_best_pairs_assignment():
     assert list(zip(got2["id_a"], got2["id_b"])) == [(5, 50)]
     # 1:1 property: no endpoint repeats
     assert got2["id_a"].is_unique and got2["id_b"].is_unique
+
+
+def test_review_regressions_empty_blocks_uints_nulls_inf():
+    """Round-3 review fixes: empty blocks must not crash the object-key
+    mask, unsigned values must not wrap under the descending negation,
+    int-with-nulls weights are excluded (not refused), and +/-inf clamps
+    to the edge bins."""
+    import pyarrow as pa
+
+    from raylink.ops.histogram import grouped_histogram
+    from raylink.ops.rank import keep_top_fraction
+    from raylink.ops.topk import grouped_weighted_top_k
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "b"]),
+            "v": pa.array([1.0, float("inf"), float("-inf")]),
+        }
+    )
+    empty = t.slice(0, 0)
+    ds = ray.data.from_arrow([t, empty])  # second block is empty
+    got = (
+        grouped_histogram(ds, "g", "v", 0.0, 10.0, 5, num_partitions=2)
+        .to_pandas().sort_values(["g", "bin"], ignore_index=True)
+    )
+    # +inf -> top bin 4; -inf -> bin 0; 1.0 -> bin 0
+    assert list(zip(got["g"], got["bin"], got["cnt"])) == [
+        ("a", 0, 1), ("a", 4, 1), ("b", 0, 1)
+    ]
+
+    # unsigned value column: 0 must NOT sort as the best row
+    tu = pa.table(
+        {
+            "g": pa.array(["x"] * 3),
+            "v": pa.array(np.array([0, 5, 3], dtype=np.uint64)),
+            "id": pa.array([1, 2, 3]),
+        }
+    )
+    top = keep_top_fraction(
+        ray.data.from_arrow(tu), "g", "v", 0.3, ["id"], num_partitions=2
+    ).to_pandas()
+    assert top["id"].tolist() == [2]  # ceil(0.3*3)=1 row: v=5, not v=0
+
+    # int64 weights WITH nulls: excluded like SQL sum, not refused
+    tw = pa.table(
+        {
+            "k": pa.array(["k"] * 3),
+            "item": pa.array(["i", "i", "j"]),
+            "w": pa.array([10, None, 7], type=pa.int64()),
+        }
+    )
+    wtop = grouped_weighted_top_k(
+        ray.data.from_arrow([tw, tw.slice(0, 0)]), "k", "item", "w",
+        k=2, num_partitions=2,
+    ).to_pandas().sort_values("item", ignore_index=True)
+    assert list(zip(wtop["item"], wtop["total"])) == [("i", 10), ("j", 7)]
+
+
+def test_mutual_best_pairs_separator_collision_safe():
+    import pyarrow as pa
+
+    from raylink.ops.matching import mutual_best_pairs
+
+    # 'x'+'y|z' and 'x|y'+'z' must NOT merge into one pair key
+    pairs = pd.DataFrame(
+        {
+            "id_a": ["x", "x|y", "x", "x|y"],
+            "id_b": ["y|z", "z", "q", "q"],
+            "sim_e4": [9000, 9000, 1000, 1000],
+        }
+    )
+    got = (
+        mutual_best_pairs(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(pairs, preserve_index=False)
+            ),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("id_a", ignore_index=True)
+    )
+    assert list(zip(got["id_a"], got["id_b"])) == [
+        ("x", "y|z"), ("x|y", "z")
+    ]
