@@ -1875,6 +1875,19 @@ def _q_canonical_events(sf_dir: str):
     )
 
 
+def _q_dup_span_docs(sf_dir: str):
+    """Within-corpus duplicated token 8-gram statistics per document (the
+    Lee et al. 2022 exact-substring dedup signal): windows whose 8-gram
+    recurs anywhere in the corpus, counted and expressed as an e4
+    fixed-point fraction."""
+    from raylink.ops.dupspans import duplicate_ngram_stats
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return duplicate_ngram_stats(
+        docs, n=8, text_col="text", id_col="doc_id", num_partitions=16
+    )
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Per-group quantile cut: keep each language's longest 20% of
     documents (ceil(0.2*n) rows per group, ties broken by doc_id) —
@@ -2029,6 +2042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # re-lists the 50 entries already verified green in round 2.
     return {
         # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
+        "dup_span_docs": _q_dup_span_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,
         "doc_top_terms": _q_doc_top_terms,
@@ -2130,6 +2144,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dup_span_docs": r"""
+            WITH tok AS (
+                SELECT doc_id::BIGINT AS doc_id, unnest(arr) AS w,
+                       unnest(generate_series(1, array_length(arr))) AS pos
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\s+') AS arr
+                      FROM documents WHERE trim(text) <> '')
+            ), ng AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w,1) OVER win || ' ' ||
+                       lead(w,2) OVER win || ' ' || lead(w,3) OVER win ||
+                       ' ' || lead(w,4) OVER win || ' ' ||
+                       lead(w,5) OVER win || ' ' || lead(w,6) OVER win ||
+                       ' ' || lead(w,7) OVER win AS g
+                FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+                QUALIFY lead(w,7) OVER win IS NOT NULL
+            ), c AS (SELECT g, count(*) AS cnt FROM ng GROUP BY g),
+            tot AS (SELECT doc_id, count(*)::BIGINT AS n_windows
+                    FROM ng GROUP BY doc_id),
+            dup AS (SELECT ng.doc_id, count(*)::BIGINT AS dup_windows
+                    FROM ng JOIN c USING(g) WHERE c.cnt >= 2
+                    GROUP BY ng.doc_id)
+            SELECT d.doc_id::BIGINT AS doc_id,
+                   COALESCE(tot.n_windows, 0)::BIGINT AS n_windows,
+                   COALESCE(dup.dup_windows, 0)::BIGINT AS dup_windows,
+                   (CASE WHEN COALESCE(tot.n_windows, 0) = 0 THEN 0
+                        ELSE (COALESCE(dup.dup_windows, 0)*20000
+                              + tot.n_windows) // (2*tot.n_windows)
+                    END)::BIGINT AS dup_frac_e4
+            FROM documents d
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
+            LEFT JOIN dup ON d.doc_id = dup.doc_id
+        """,
         "top_docs_per_lang": """
             SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
             FROM documents

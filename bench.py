@@ -229,6 +229,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "semantic_dedup_embeddings",
         "lang_top_sources",
         "cust_supp_mutual_best",
+        "dup_span_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -1,0 +1,201 @@
+"""Within-corpus duplicated-substring statistics (token n-gram level).
+
+The exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+Training Data Makes Language Models Better"): a window of ``n``
+consecutive tokens is *duplicated* when the identical n-gram occurs at
+least ``min_count`` times anywhere in the corpus (including elsewhere in
+the same document).  Per document we report the total window count, the
+duplicated window count, and the duplicated fraction — the curation
+signal used to drop or trim boilerplate-heavy documents.
+
+The reference engine (jw2249a/FastLink.jl) has no corpus-dedup layer at
+all; this module is part of the training-data-pipeline surface that the
+Ray engine adds on top of the reference's record-linkage operators.
+
+Scale design (100 TB): Lee et al. build a monolithic suffix array; here
+the corpus instead streams through three bounded exchanges —
+(1) every token window emits one (gram-hash, doc-id) row and the gram
+table sorts ONCE (`sorted_group_scan`), (2) duplicated-window rows
+pre-count per block before their tiny per-doc partials shuffle
+(`count_by_key`), (3) per-doc totals and dup counts union and merge in
+one final scan keyed by doc id.  No stage holds more than a block in
+memory; the gram hash is 63-bit (SipHash fold), so at ~1e12 windows a
+few birthday collisions may overcount duplicated windows — the same
+accepted trade every hash-based dedup in this repo documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import scan_key63
+from ..stages.sortedrun import count_by_key, sorted_group_scan
+
+__all__ = ["duplicate_ngram_stats"]
+
+
+def _ngram_rows(texts, ids, n: int):
+    """(doc-id, gram-key) row per valid in-document token window, plus the
+    per-doc window totals.  One vectorized pass: explode tokens, build the
+    n-gram strings with ``n-1`` shifted object-array concatenations (the
+    repo's standard window trick, no per-row Python)."""
+    import pandas as pd
+
+    s = pd.Series(texts, dtype="object").fillna("").astype(str)
+    s = s.reset_index(drop=True)
+    e = s.str.split().explode()
+    e = e[e.notna()]
+    flat = e.to_numpy(dtype=object)
+    doc_pos = e.index.to_numpy()
+    tok_counts = np.zeros(len(s), dtype=np.int64)
+    if len(doc_pos):
+        np.add.at(tok_counts, doc_pos, 1)
+    n_windows = np.maximum(tok_counts - n + 1, 0)
+    m = len(flat)
+    if m >= n:
+        k = m - n + 1
+        ng = flat[:k].copy()
+        for j in range(1, n):
+            ng = ng + " "
+            ng = ng + flat[j : k + j]
+        valid = doc_pos[:k] == doc_pos[n - 1 :]
+        gkeys = scan_key63([ng[valid]])
+        gram_ids = np.asarray(ids)[doc_pos[:k][valid]]
+    else:
+        gkeys = np.empty(0, dtype=np.int64)
+        gram_ids = np.asarray(ids)[:0]
+    return gram_ids, gkeys, n_windows
+
+
+def duplicate_ngram_stats(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-document duplicated token-n-gram statistics.
+
+    Output columns: ``(id_col, n_windows, dup_windows, dup_frac_e4)`` —
+    one row per input document (documents shorter than ``n`` tokens get
+    ``n_windows = 0`` and fraction 0).  ``dup_frac_e4`` is the round-half-up
+    fixed-point fraction ``round(dup_windows / n_windows * 1e4)`` computed
+    in pure int64 arithmetic so any parallelism yields bit-identical
+    output.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 marks every window)")
+
+    try:
+        base = ds.schema(fetch_if_missing=True).base_schema
+        id_type = base.field(id_col).type if isinstance(base, pa.Schema) else pa.int64()
+    except Exception:
+        id_type = pa.int64()
+
+    src = ds.select_columns([id_col, text_col])
+
+    def emit_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        gram_ids, gkeys, _ = _ngram_rows(texts, ids, n)
+        return pa.Table.from_arrays(
+            [
+                pa.array(gram_ids, type=id_type, from_pandas=True),
+                pa.array(gkeys, type=pa.int64()),
+            ],
+            names=[id_col, "gkey"],
+        )
+
+    def emit_totals(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        _, _, n_windows = _ngram_rows(texts, ids, n)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=id_type, from_pandas=True),
+                pa.array(n_windows, type=pa.int64()),
+                pa.array(np.zeros(len(ids), dtype=np.int64)),
+            ],
+            names=[id_col, "n_windows", "dup_windows"],
+        )
+
+    grams = src.map_batches(emit_grams, batch_format="pyarrow")
+
+    # pass 1: one row per window occurrence of an at-least-min_count gram
+    def dup_group(group: dict[str, np.ndarray]) -> dict:
+        ids = np.asarray(group[id_col])
+        if len(ids) < min_count:
+            ids = ids[:0]
+        return {id_col: ids}
+
+    def dup_empty(batch: dict[str, np.ndarray]) -> dict:
+        return {id_col: np.asarray(batch[id_col])[:0]}
+
+    dup_rows = sorted_group_scan(
+        grams,
+        "gkey",
+        dup_group,
+        dup_empty,
+        num_partitions=num_partitions,
+        out_schema=pa.schema([(id_col, id_type)]),
+    )
+
+    # pass 2: per-doc duplicated-window counts (block partials shuffle,
+    # never the window rows)
+    dup_counts = count_by_key(dup_rows, id_col, num_partitions=num_partitions)
+
+    def as_dup(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        cnt = batch.column("count()").cast(pa.int64())
+        zeros = pa.array(np.zeros(len(batch), dtype=np.int64))
+        return pa.Table.from_arrays(
+            [ids.cast(id_type), zeros, cnt],
+            names=[id_col, "n_windows", "dup_windows"],
+        )
+
+    dup_tbl = dup_counts.map_batches(as_dup, batch_format="pyarrow")
+    totals = src.map_batches(emit_totals, batch_format="pyarrow")
+
+    # pass 3: merge totals + dup counts per doc, fixed-point fraction
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("n_windows", pa.int64()),
+            ("dup_windows", pa.int64()),
+            ("dup_frac_e4", pa.int64()),
+        ]
+    )
+
+    def merge_group(group: dict[str, np.ndarray]) -> dict:
+        nw = int(np.asarray(group["n_windows"]).sum())
+        dw = int(np.asarray(group["dup_windows"]).sum())
+        frac = (dw * 20000 + nw) // (2 * nw) if nw > 0 else 0
+        return {
+            id_col: np.asarray(group[id_col])[:1],
+            "n_windows": np.array([nw], dtype=np.int64),
+            "dup_windows": np.array([dw], dtype=np.int64),
+            "dup_frac_e4": np.array([frac], dtype=np.int64),
+        }
+
+    def merge_empty(batch: dict[str, np.ndarray]) -> dict:
+        z = np.empty(0, dtype=np.int64)
+        return {
+            id_col: np.asarray(batch[id_col])[:0],
+            "n_windows": z,
+            "dup_windows": z,
+            "dup_frac_e4": z,
+        }
+
+    return sorted_group_scan(
+        totals.union(dup_tbl),
+        id_col,
+        merge_group,
+        merge_empty,
+        num_partitions=max(8, num_partitions // 4),
+        out_schema=out_schema,
+    )

@@ -3212,3 +3212,88 @@ def test_mutual_best_pairs_separator_collision_safe():
     assert list(zip(got["id_a"], got["id_b"])) == [
         ("x", "y|z"), ("x|y", "z")
     ]
+
+
+def test_duplicate_ngram_stats_planted_and_pandas_equivalence():
+    from raylink.ops.dupspans import duplicate_ngram_stats
+
+    # planted: docs 1+2 share one 3-gram ("a b c"); doc 3 repeats its own
+    # 3-gram internally; doc 4 is unique; doc 5 is shorter than n; doc 6
+    # is null text
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "a b c x y",          # windows: "a b c","b c x","c x y"
+                "q a b c r",          # shares "a b c"
+                "z z z z z",          # all windows identical -> all dup
+                "p q r s t",          # unique
+                "u v",                # < n tokens
+                None,
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    out = (
+        duplicate_ngram_stats(ds, n=3, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["n_windows"].tolist() == [3, 3, 3, 3, 0, 0]
+    assert out["dup_windows"].tolist() == [1, 1, 3, 0, 0, 0]
+    assert out["dup_frac_e4"].tolist() == [3333, 3333, 10000, 0, 0, 0]
+
+    # random corpus: pure-pandas recompute must match exactly
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 20)))
+        for _ in range(80)
+    ]
+    rnd = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+    n = 4
+    got = (
+        duplicate_ngram_stats(
+            ray.data.from_pandas(rnd), n=n, num_partitions=4
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    from collections import Counter
+
+    grams_per_doc = {}
+    counts = Counter()
+    for did, t in zip(rnd["doc_id"], rnd["text"]):
+        toks = str(t or "").split()
+        gs = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        grams_per_doc[did] = gs
+        counts.update(gs)
+    exp_rows = []
+    for did in rnd["doc_id"]:
+        gs = grams_per_doc[did]
+        nw = len(gs)
+        dw = sum(1 for g in gs if counts[g] >= 2)
+        frac = (dw * 20000 + nw) // (2 * nw) if nw else 0
+        exp_rows.append((did, nw, dw, frac))
+    exp = pd.DataFrame(
+        exp_rows, columns=["doc_id", "n_windows", "dup_windows", "dup_frac_e4"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+def test_duplicate_ngram_stats_min_count():
+    from raylink.ops.dupspans import duplicate_ngram_stats
+
+    # the shared gram appears exactly twice: dup at min_count=2, not at 3
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c", "a b c"]}
+    )
+    ds = ray.data.from_pandas(docs)
+    out2 = duplicate_ngram_stats(ds, n=3, min_count=2, num_partitions=2)
+    assert sorted(out2.to_pandas()["dup_windows"]) == [1, 1]
+    out3 = duplicate_ngram_stats(ds, n=3, min_count=3, num_partitions=2)
+    assert sorted(out3.to_pandas()["dup_windows"]) == [0, 0]
+    with pytest.raises(ValueError):
+        duplicate_ngram_stats(ds, n=3, min_count=1)
