@@ -1875,6 +1875,15 @@ def _q_canonical_events(sf_dir: str):
     )
 
 
+def _q_bm25_docs(sf_dir: str):
+    """Lexical retrieval: top-15 documents by BM25 (Lucene idf variant)
+    for a fixed 3-term query, scores in e4 fixed point."""
+    from raylink.ops.search import bm25_topk
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return bm25_topk(docs, ["scan", "join", "window"], k=15)
+
+
 def _q_dup_span_docs(sf_dir: str):
     """Within-corpus duplicated token 8-gram statistics per document (the
     Lee et al. 2022 exact-substring dedup signal): windows whose 8-gram
@@ -2042,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # re-lists the 50 entries already verified green in round 2.
     return {
         # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
+        "bm25_docs": _q_bm25_docs,
         "dup_span_docs": _q_dup_span_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,
@@ -2144,6 +2154,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_docs": r"""
+            WITH d AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                       CASE WHEN coalesce(trim(text), '') = ''
+                            THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS arr
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, array_length(arr)::BIGINT AS dl FROM d
+            ), stats AS (
+                SELECT count(*)::DOUBLE AS n,
+                       sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+                FROM dl
+            ), tok AS (
+                SELECT doc_id, unnest(arr) AS w FROM d
+            ), tf AS (
+                SELECT doc_id, w, count(*)::DOUBLE AS tf FROM tok
+                WHERE w IN ('scan', 'join', 'window') GROUP BY doc_id, w
+            ), df AS (
+                SELECT w, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+                WHERE w IN ('scan', 'join', 'window') GROUP BY w
+            ), scored AS (
+                SELECT tf.doc_id,
+                       sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                             / stats.avgdl))) AS s
+                FROM tf
+                JOIN df USING (w) JOIN dl USING (doc_id), stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, floor(s * 10000 + 0.5)::BIGINT AS score_e4
+            FROM scored WHERE floor(s * 10000 + 0.5) > 0
+            ORDER BY score_e4 DESC, doc_id ASC LIMIT 15
+        """,
         "dup_span_docs": r"""
             WITH tok AS (
                 SELECT doc_id::BIGINT AS doc_id, unnest(arr) AS w,

@@ -230,6 +230,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "lang_top_sources",
         "cust_supp_mutual_best",
         "dup_span_docs",
+        "bm25_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -3297,3 +3297,86 @@ def test_duplicate_ngram_stats_min_count():
     assert sorted(out3.to_pandas()["dup_windows"]) == [0, 0]
     with pytest.raises(ValueError):
         duplicate_ngram_stats(ds, n=3, min_count=1)
+
+
+def test_bm25_topk_matches_hand_math():
+    import math
+
+    from raylink.ops.search import bm25_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "cat dog cat",       # tf(cat)=2, dl=3
+                "dog dog mouse",     # tf(dog)=2
+                "bird",              # no query terms
+                None,                # dl=0
+            ],
+        }
+    )
+    out = (
+        bm25_topk(ray.data.from_pandas(docs), ["cat", "dog"], k=3)
+        .to_pandas()
+    )
+    # hand BM25: N=4, avgdl=(3+3+1+0)/4=1.75, df(cat)=1, df(dog)=2
+    k1, b = 1.2, 0.75
+    n, avgdl = 4.0, 1.75
+
+    def score(tfs, dl):
+        s = 0.0
+        for t, tf in tfs.items():
+            df = {"cat": 1.0, "dog": 2.0}[t]
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return math.floor(s * 1e4 + 0.5)
+
+    exp = {
+        1: score({"cat": 2.0, "dog": 1.0}, 3.0),
+        2: score({"dog": 2.0}, 3.0),
+    }
+    got = dict(zip(out["doc_id"], out["score_e4"]))
+    assert got == exp
+    # doc 1 carries the rarer term -> ranked first
+    assert out["doc_id"].tolist()[0] == 1
+
+    with pytest.raises(ValueError):
+        bm25_topk(ray.data.from_pandas(docs), [], k=3)
+
+    # duplicate query terms are counted once
+    out2 = (
+        bm25_topk(ray.data.from_pandas(docs), ["cat", "cat", "dog"], k=3)
+        .to_pandas()
+    )
+    assert dict(zip(out2["doc_id"], out2["score_e4"])) == exp
+
+
+def test_bm25_topk_k_cut_and_parallel_stability():
+    from raylink.ops.search import bm25_topk
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(6)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(vocab, size=rng.integers(1, 15)))
+                for _ in range(60)
+            ],
+        }
+    )
+    a = (
+        bm25_topk(ray.data.from_pandas(docs), ["w0", "w3"], k=7)
+        .to_pandas()
+    )
+    assert len(a) == 7
+    # block-local pruning must not change the global answer
+    b = (
+        bm25_topk(
+            ray.data.from_pandas(docs).repartition(11), ["w0", "w3"], k=7
+        )
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
