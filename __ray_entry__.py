@@ -1875,6 +1875,27 @@ def _q_canonical_events(sf_dir: str):
     )
 
 
+def _q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter decontamination: same probe corpus and token-5-gram
+    semantics as decontaminate_ngrams, but membership goes through a
+    fixed-size (2^26-bit) Bloom filter built distributed from the probe
+    side — the constant-broadcast path for probe corpora too large to
+    ship exactly.  No false negatives by construction; at this sizing the
+    false-positive probability is < 1e-15 per window, so the exact
+    contamination oracle applies."""
+    from raylink.ops.bloom import bloom_from_ngrams, mark_contaminated_bloom
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    probes = (
+        docs.filter(lambda r: bool(str(r["text"] or "").strip()))
+        .sort("doc_id")
+        .limit(3)
+    )
+    words = bloom_from_ngrams(probes, n=5)
+    out = mark_contaminated_bloom(docs, words, n=5)
+    return out.select_columns(["doc_id", "contaminated"])
+
+
 def _q_bm25_docs(sf_dir: str):
     """Lexical retrieval: top-15 documents by BM25 (Lucene idf variant)
     for a fixed 3-term query, scores in e4 fixed point."""
@@ -2052,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
         "bm25_docs": _q_bm25_docs,
+        "bloom_decontaminate_docs": _q_bloom_decontaminate,
         "dup_span_docs": _q_dup_span_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,
@@ -2154,6 +2176,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bloom_decontaminate_docs": r"""
+            -- exact token-5-gram contamination: valid because the Bloom
+            -- sizing (2^26 bits / ~10^2 probe grams) makes a false
+            -- positive on this corpus ~1e-15-improbable and false
+            -- negatives are impossible by construction
+            WITH probes AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents WHERE trim(text) <> ''
+                ORDER BY doc_id LIMIT 3
+            ), pt AS (
+                SELECT doc_id, unnest(arr) AS w,
+                       unnest(generate_series(1, array_length(arr))) AS pos
+                FROM probes
+            ), ng AS (
+                SELECT DISTINCT w || ' ' || lead(w,1) OVER win || ' ' ||
+                       lead(w,2) OVER win || ' ' || lead(w,3) OVER win ||
+                       ' ' || lead(w,4) OVER win AS g
+                FROM pt WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+                QUALIFY lead(w,4) OVER win IS NOT NULL
+            ), d AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                       ' ' || array_to_string(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           ' ') || ' ' AS norm
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   EXISTS(SELECT 1 FROM ng
+                          WHERE contains(d.norm, ' ' || ng.g || ' '))
+                       AS contaminated
+            FROM d
+        """,
         "bm25_docs": r"""
             WITH d AS (
                 SELECT doc_id::BIGINT AS doc_id,

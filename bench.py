@@ -231,6 +231,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "cust_supp_mutual_best",
         "dup_span_docs",
         "bm25_docs",
+        "bloom_decontaminate_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

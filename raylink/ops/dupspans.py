@@ -38,31 +38,15 @@ __all__ = ["duplicate_ngram_stats"]
 
 def _ngram_rows(texts, ids, n: int):
     """(doc-id, gram-key) row per valid in-document token window, plus the
-    per-doc window totals.  One vectorized pass: explode tokens, build the
-    n-gram strings with ``n-1`` shifted object-array concatenations (the
-    repo's standard window trick, no per-row Python)."""
-    import pandas as pd
+    per-doc window totals (shared window kernel:
+    :func:`raylink.ops.text.token_ngram_windows`)."""
+    from .text import token_ngram_windows
 
-    s = pd.Series(texts, dtype="object").fillna("").astype(str)
-    s = s.reset_index(drop=True)
-    e = s.str.split().explode()
-    e = e[e.notna()]
-    flat = e.to_numpy(dtype=object)
-    doc_pos = e.index.to_numpy()
-    tok_counts = np.zeros(len(s), dtype=np.int64)
-    if len(doc_pos):
-        np.add.at(tok_counts, doc_pos, 1)
+    doc_pos, grams, tok_counts = token_ngram_windows(texts, n)
     n_windows = np.maximum(tok_counts - n + 1, 0)
-    m = len(flat)
-    if m >= n:
-        k = m - n + 1
-        ng = flat[:k].copy()
-        for j in range(1, n):
-            ng = ng + " "
-            ng = ng + flat[j : k + j]
-        valid = doc_pos[:k] == doc_pos[n - 1 :]
-        gkeys = scan_key63([ng[valid]])
-        gram_ids = np.asarray(ids)[doc_pos[:k][valid]]
+    if len(grams):
+        gkeys = scan_key63([grams])
+        gram_ids = np.asarray(ids)[doc_pos]
     else:
         gkeys = np.empty(0, dtype=np.int64)
         gram_ids = np.asarray(ids)[:0]

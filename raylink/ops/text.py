@@ -406,6 +406,43 @@ def ngram_set(texts, n: int) -> set[str]:
     return out
 
 
+def token_ngram_windows(texts, n: int):
+    """Every in-document window of ``n`` consecutive whitespace tokens,
+    vectorized (one explode + ``n-1`` shifted object-array concats).
+
+    Returns ``(doc_pos, grams, tok_counts)``: the positional row index of
+    each valid window, the single-space-joined n-gram strings, and the
+    per-row token counts.  Windows never cross document boundaries.  The
+    shared kernel behind :func:`mark_contaminated_ngrams`, the Bloom
+    decontaminator, and the duplicate-span statistics.
+    """
+    import pandas as pd
+
+    s = pd.Series(texts, dtype="object").fillna("").astype(str)
+    s = s.reset_index(drop=True)
+    e = s.str.split().explode()
+    e = e[e.notna()]
+    flat = e.to_numpy(dtype=object)
+    doc_pos = e.index.to_numpy()
+    tok_counts = np.zeros(len(s), dtype=np.int64)
+    if len(doc_pos):
+        np.add.at(tok_counts, doc_pos, 1)
+    m = len(flat)
+    if m < n:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object),
+            tok_counts,
+        )
+    k = m - n + 1
+    ng = flat[:k].copy()
+    for j in range(1, n):
+        ng = ng + " "
+        ng = ng + flat[j : k + j]
+    valid = doc_pos[:k] == doc_pos[n - 1 :]
+    return doc_pos[:k][valid], ng[valid], tok_counts
+
+
 def mark_contaminated_ngrams(
     ds: ray.data.Dataset,
     probe_ngrams: set[str],

@@ -3380,3 +3380,82 @@ def test_bm25_topk_k_cut_and_parallel_stability():
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_bloom_decontamination_matches_exact_and_is_superset():
+    from raylink.ops.bloom import (
+        bloom_fpr,
+        bloom_from_ngrams,
+        mark_contaminated_bloom,
+    )
+    from raylink.ops.text import mark_contaminated_ngrams, ngram_set
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+        for _ in range(120)
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(120, dtype=np.int64), "text": texts}
+    )
+    probe_texts = [t for t in texts[:4] if t.strip()]
+    probes = pd.DataFrame({"text": probe_texts})
+    n = 4
+
+    words = bloom_from_ngrams(ray.data.from_pandas(probes), n=n)
+    got = (
+        mark_contaminated_bloom(ray.data.from_pandas(docs), words, n=n)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    exact = (
+        mark_contaminated_ngrams(
+            ray.data.from_pandas(docs), ngram_set(probe_texts, n), n=n
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # at 2^26 bits / ~80 grams, FP probability is ~0: exact equality
+    assert got["contaminated"].tolist() == exact["contaminated"].tolist()
+    # probe docs with at least one n-token window must be flagged
+    # (no false negatives); shorter probe docs have no windows at all
+    probe_ok = [
+        i for i, t in enumerate(texts[:4]) if len(t.split()) >= n
+    ]
+    assert probe_ok, "test corpus must include a window-bearing probe"
+    assert got.loc[got["doc_id"].isin(probe_ok), "contaminated"].all()
+
+    # deliberately-undersized filter: still a SUPERSET of the exact set
+    tiny = bloom_from_ngrams(
+        ray.data.from_pandas(probes), n=n, m_bits=1024, n_hashes=3
+    )
+    loose = (
+        mark_contaminated_bloom(
+            ray.data.from_pandas(docs), tiny, n=n, n_hashes=3
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert (loose["contaminated"] | ~exact["contaminated"]).all()
+
+    assert 0.0 < bloom_fpr(80, 1024, 3) < 1.0
+    assert bloom_fpr(80, 1 << 26, 4) < 1e-10
+
+    with pytest.raises(ValueError):
+        bloom_from_ngrams(ray.data.from_pandas(probes), n=n, m_bits=100)
+
+
+def test_bloom_distributed_build_matches_single_block():
+    from raylink.ops.bloom import bloom_from_ngrams
+
+    probes = pd.DataFrame(
+        {"text": [f"a b c d{i} e f" for i in range(50)]}
+    )
+    one = bloom_from_ngrams(
+        ray.data.from_pandas(probes), n=3, m_bits=1 << 12
+    )
+    many = bloom_from_ngrams(
+        ray.data.from_pandas(probes).repartition(9), n=3, m_bits=1 << 12
+    )
+    assert np.array_equal(one, many)
