@@ -1875,6 +1875,61 @@ def _q_canonical_events(sf_dir: str):
     )
 
 
+def _q_order_priority_revenue(sf_dir: str):
+    """Big ⋈ big hash-shuffle join (lineitem ⋈ orders on orderkey, both
+    fact-sized) followed by a grouped revenue rollup.  Revenue is scaled
+    to integer cents per ROW before the join so the sums are bit-exact
+    at any parallelism."""
+    from ray.data.aggregate import Count, Sum
+
+    from raylink.ops.joins import hash_join
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def scale(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = p.astype(np.float64) * (1.0 - d.astype(np.float64)) * 100.0
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_c": pa.array(np.floor(rev + 0.5).astype(np.int64)),
+            }
+        )
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"]
+    )
+    j = hash_join(
+        li.map_batches(scale, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=16,
+    )
+    out = (
+        j.select_columns(["o_orderpriority", "rev_c"])
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("rev_c", alias_name="revenue_c"),
+            Count(alias_name="n_items"),
+        )
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_c": t.column("revenue_c").cast(pa.int64()),
+                "n_items": t.column("n_items").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_bloom_decontaminate(sf_dir: str):
     """Bloom-filter decontamination: same probe corpus and token-5-gram
     semantics as decontaminate_ngrams, but membership goes through a
@@ -2074,6 +2129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
+        "order_priority_revenue": _q_order_priority_revenue,
         "dup_span_docs": _q_dup_span_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,
@@ -2176,6 +2232,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_priority_revenue": r"""
+            SELECT o.o_orderpriority,
+                   sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                             + 0.5)::BIGINT)::BIGINT AS revenue_c,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
         "bloom_decontaminate_docs": r"""
             -- exact token-5-gram contamination: valid because the Bloom
             -- sizing (2^26 bits / ~10^2 probe grams) makes a false

@@ -232,6 +232,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "dup_span_docs",
         "bm25_docs",
         "bloom_decontaminate_docs",
+        "order_priority_revenue",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -52,7 +52,7 @@ from .ops.canonical import (  # noqa: F401
     grouped_mode,
     grouped_nunique,
 )
-from .ops.joins import broadcast_join  # noqa: F401
+from .ops.joins import broadcast_join, hash_join  # noqa: F401
 from .ops.multiblock import multi_rule_pairs, multi_rule_pairs_link  # noqa: F401
 from .ops.lag import group_lag, group_rolling_sum, group_running_sum  # noqa: F401
 from .ops.pack import pack_sequences  # noqa: F401

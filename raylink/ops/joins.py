@@ -35,7 +35,7 @@ import pandas as pd
 import ray
 import ray.data
 
-__all__ = ["broadcast_join"]
+__all__ = ["broadcast_join", "hash_join"]
 
 
 def broadcast_join(
@@ -89,3 +89,46 @@ def broadcast_join(
         return out.reset_index(drop=True)
 
     return left.map_batches(merge, batch_format="pandas")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = 64,
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Big ⋈ big distributed equi-join — the shuffle plan.
+
+    The counterpart to :func:`broadcast_join` for the case its guard
+    exists for: BOTH sides too large to materialize anywhere.  Delegates
+    to Ray Data's native hash-shuffle join (both sides repartition by
+    key hash; each of ``num_partitions`` aggregators joins one key
+    range), normalized to this repo's join conventions:
+
+    - ``how`` is ``"inner"`` / ``"left"`` (SQL names, as in
+      :func:`broadcast_join`), mapped to Ray's ``inner`` /
+      ``left_outer``;
+    - NULL keys never match (verified Ray behaviour; pinned by the
+      regression test, since pandas-level joins get this wrong);
+    - duplicate keys multiply rows — a true join, not a lookup;
+    - overlapping non-key right columns get ``suffix``.
+
+    Size ``num_partitions`` so one key range's worth of BOTH sides fits
+    an aggregator's heap (rows_total / num_partitions ≲ a few hundred MB);
+    skewed hot keys belong in :func:`broadcast_join` (fact ⋈ hot-dim) or
+    need salting upstream.
+    """
+    how_map = {"inner": "inner", "left": "left_outer"}
+    if how not in how_map:
+        raise ValueError(f"how must be one of {sorted(how_map)}: {how!r}")
+    return left.join(
+        right,
+        join_type=how_map[how],
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+        right_suffix=suffix,
+    )

@@ -3459,3 +3459,57 @@ def test_bloom_distributed_build_matches_single_block():
         ray.data.from_pandas(probes).repartition(9), n=3, m_bits=1 << 12
     )
     assert np.array_equal(one, many)
+
+
+def test_hash_join_sql_semantics():
+    import duckdb
+
+    from raylink.ops.joins import hash_join
+
+    l = pd.DataFrame(
+        {"k": pd.array([1, 2, 2, None, 4], dtype="Int64"),
+         "lv": ["a", "b", "c", "d", "e"]}
+    )
+    r = pd.DataFrame(
+        {"k": pd.array([2, 2, None, 5], dtype="Int64"),
+         "rv": [10, 20, 30, 40]}
+    )
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+
+    inner = (
+        hash_join(
+            ray.data.from_pandas(l), ray.data.from_pandas(r),
+            on="k", num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["lv", "rv"], ignore_index=True)
+    )
+    exp = con.execute(
+        "SELECT l.k, l.lv, r.rv FROM l JOIN r USING (k) ORDER BY lv, rv"
+    ).df()
+    assert inner["lv"].tolist() == exp["lv"].tolist()
+    assert [int(v) for v in inner["rv"]] == [int(v) for v in exp["rv"]]
+
+    left = (
+        hash_join(
+            ray.data.from_pandas(l), ray.data.from_pandas(r),
+            on="k", how="left", num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["lv", "rv"], ignore_index=True)
+    )
+    expl = con.execute(
+        "SELECT l.lv, r.rv FROM l LEFT JOIN r USING (k) ORDER BY lv, rv"
+    ).df()
+    assert left["lv"].tolist() == expl["lv"].tolist()
+    got_rv = [None if pd.isna(v) else int(v) for v in left["rv"]]
+    exp_rv = [None if pd.isna(v) else int(v) for v in expl["rv"]]
+    assert got_rv == exp_rv
+
+    with pytest.raises(ValueError):
+        hash_join(
+            ray.data.from_pandas(l), ray.data.from_pandas(r),
+            on="k", how="full",
+        )
