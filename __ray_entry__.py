@@ -1875,6 +1875,67 @@ def _q_canonical_events(sf_dir: str):
     )
 
 
+def _q_event_value_bands(sf_dir: str):
+    """Containment (interval) join: events against a table of
+    OVERLAPPING value bands (`lo <= value < hi`), then a per-band
+    rollup.  Exercises the bucket-partitioned interval-join plan — each
+    point visits one bucket, each range replicates only to the buckets
+    it overlaps."""
+    from ray.data.aggregate import Count, Sum
+
+    from raylink.ops.intervaljoin import interval_join
+
+    bands = ray.data.from_items(
+        [
+            {"label": "low", "lo": 0.0, "hi": 25.0},
+            {"label": "mid", "lo": 10.0, "hi": 80.0},
+            {"label": "high", "lo": 75.0, "hi": 200.0},
+            {"label": "tail", "lo": 200.0, "hi": 500.0},
+        ]
+    )
+    ev = _read(sf_dir, "events").select_columns(["value"])
+    joined = interval_join(
+        ev,
+        bands,
+        point_col="value",
+        bucket_width=20.0,
+        range_cols=["label"],
+        num_partitions=8,
+    )
+
+    def scale(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "value_e4": pa.array(
+                    np.floor(np.asarray(v, dtype=np.float64) * 1e4 + 0.5)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    out = (
+        joined.map_batches(scale, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_e4", alias_name="sum_value_e4"),
+        )
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "sum_value_e4": t.column("sum_value_e4").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_order_priority_revenue(sf_dir: str):
     """Big ⋈ big hash-shuffle join (lineitem ⋈ orders on orderkey, both
     fact-sized) followed by a grouped revenue rollup.  Revenue is scaled
@@ -2130,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
         "order_priority_revenue": _q_order_priority_revenue,
+        "event_value_bands": _q_event_value_bands,
         "dup_span_docs": _q_dup_span_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,
@@ -2232,6 +2294,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "event_value_bands": r"""
+            WITH bands(label, lo, hi) AS (VALUES
+                ('low',  0.0,  25.0),
+                ('mid',  10.0, 80.0),
+                ('high', 75.0, 200.0),
+                ('tail', 200.0, 500.0))
+            SELECT b.label, count(*)::BIGINT AS n_events,
+                   sum(floor(e.value * 10000 + 0.5)::BIGINT)::BIGINT
+                       AS sum_value_e4
+            FROM events e
+            JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.label
+        """,
         "order_priority_revenue": r"""
             SELECT o.o_orderpriority,
                    sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100

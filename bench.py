@@ -233,6 +233,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "bm25_docs",
         "bloom_decontaminate_docs",
         "order_priority_revenue",
+        "event_value_bands",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

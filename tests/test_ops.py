@@ -3513,3 +3513,69 @@ def test_hash_join_sql_semantics():
             ray.data.from_pandas(l), ray.data.from_pandas(r),
             on="k", how="full",
         )
+
+
+def test_interval_join_matches_duckdb_theta_join():
+    import duckdb
+
+    from raylink.ops.intervaljoin import interval_join
+
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(300, dtype=np.int64),
+            "v": np.round(rng.uniform(-50, 150, 300), 3),
+        }
+    )
+    # overlapping, nested, empty, inverted, null, bucket-edge ranges
+    rgs = pd.DataFrame(
+        {
+            "rid": np.arange(9, dtype=np.int64),
+            "lo": [-60.0, -10.0, 0.0, 5.0, 40.0, 40.0, 80.0, 10.0, None],
+            "hi": [-40.0, 20.0, 10.0, 5.0, 60.0, 120.0, 80.0, 8.0, 50.0],
+        }
+    )
+    got = (
+        interval_join(
+            ray.data.from_pandas(pts),
+            ray.data.from_pandas(rgs),
+            point_col="v",
+            point_cols=["pid", "v"],
+            range_cols=["rid"],
+            bucket_width=10.0,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["pid", "rid"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("pts", pts)
+    con.register("rgs", rgs)
+    exp = con.execute(
+        "SELECT p.pid, p.v, r.lo, r.hi, r.rid FROM pts p "
+        "JOIN rgs r ON p.v >= r.lo AND p.v < r.hi "
+        "ORDER BY pid, rid"
+    ).df()
+    assert got["pid"].tolist() == exp["pid"].tolist()
+    assert got["rid"].astype("int64").tolist() == exp["rid"].tolist()
+    assert np.allclose(got["v"].astype(float), exp["v"])
+
+    # a point on an exclusive hi boundary (v == hi) must not match
+    assert not (
+        (got["v"].astype(float) == got["hi"].astype(float)).any()
+    )
+
+
+def test_interval_join_guards():
+    from raylink.ops.intervaljoin import interval_join
+
+    pts = ray.data.from_pandas(pd.DataFrame({"v": [1.0]}))
+    rgs = ray.data.from_pandas(
+        pd.DataFrame({"lo": [0.0], "hi": [1e9]})
+    )
+    with pytest.raises(ValueError):
+        interval_join(pts, rgs, "v", bucket_width=0)
+    with pytest.raises(Exception, match="max_span_buckets|spans"):
+        interval_join(
+            pts, rgs, "v", bucket_width=1.0, max_span_buckets=10
+        ).materialize()
