@@ -24,13 +24,25 @@ import sys
 
 
 def _ensure_ray(num_cpus: int | None) -> None:
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"include_dashboard": False}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(address="local", **kwargs)
+        # under `ray job submit` the job agent exports RAY_ADDRESS and the
+        # driver must CONNECT to the cluster, not start a local instance;
+        # standalone runs (no RAY_ADDRESS, or the sandbox's "local") keep
+        # the single-process behaviour
+        address = os.environ.get("RAY_ADDRESS") or "local"
+        if address == "local":
+            kwargs = {"include_dashboard": False}
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
+            ray.init(address="local", **kwargs)
+        else:
+            # cluster-resource flags (num_cpus, dashboard) belong to the
+            # cluster lifecycle, not a connecting driver
+            ray.init(address=address)
 
 
 def cmd_run(args: argparse.Namespace) -> int:
