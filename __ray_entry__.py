@@ -1875,6 +1875,50 @@ def _q_canonical_events(sf_dir: str):
     )
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Snapshot diff between two derived corpus versions: the 'old'
+    snapshot drops every 10th doc (-> added) and edits every 7th
+    (-> changed, unless the text is null — null stays null both sides,
+    SQL concat semantics).  Only (id, value-hash) rows shuffle."""
+    from raylink.ops.diff import snapshot_diff
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = pd.Series(
+            t.column("text").to_numpy(zero_copy_only=False), dtype="object"
+        )
+        keep = ids % 10 != 0
+        edited = txt.where(
+            (ids % 7 != 0) | txt.isna(), txt + " v2"
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[keep], type=pa.int64()),
+                pa.array(edited[keep], type=pa.string(), from_pandas=True),
+            ],
+            names=["doc_id", "text"],
+        )
+
+    old = docs.map_batches(mk_old, batch_format="pyarrow")
+    return snapshot_diff(old, docs, num_partitions=8)
+
+
+def _q_extract_docs(sf_dir: str):
+    """Vectorized regex capture: the numeric suffix of each document's
+    source tag (null where the pattern misses)."""
+    from raylink.ops.text import extract_pattern
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    out = extract_pattern(
+        docs, r"src([0-9]+)", col="source", out_col="src_num"
+    )
+    return out.select_columns(["doc_id", "src_num"])
+
+
 def _q_event_value_bands(sf_dir: str):
     """Containment (interval) join: events against a table of
     OVERLAPPING value bands (`lo <= value < hi`), then a per-band
@@ -2192,6 +2236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
         "order_priority_revenue": _q_order_priority_revenue,
         "event_value_bands": _q_event_value_bands,
+        "corpus_diff_docs": _q_corpus_diff,
+        "extract_docs": _q_extract_docs,
         "dup_span_docs": _q_dup_span_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,
@@ -2294,6 +2340,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "corpus_diff_docs": r"""
+            WITH old AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 0
+            ), new AS (
+                SELECT doc_id::BIGINT AS doc_id, text FROM documents
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id)::BIGINT AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text IS NOT DISTINCT FROM n.text
+                            THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
+        "extract_docs": r"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   NULLIF(regexp_extract(source, 'src([0-9]+)', 1), '')
+                       AS src_num
+            FROM documents
+        """,
         "event_value_bands": r"""
             WITH bands(label, lo, hi) AS (VALUES
                 ('low',  0.0,  25.0),

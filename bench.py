@@ -234,6 +234,8 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "bloom_decontaminate_docs",
         "order_priority_revenue",
         "event_value_bands",
+        "corpus_diff_docs",
+        "extract_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -21,6 +21,8 @@ __all__ = [
     "token_frequency_scores",
     "redact_text",
     "repetition_scores",
+    "token_ngram_windows",
+    "extract_pattern",
 ]
 
 
@@ -486,6 +488,43 @@ def mark_contaminated_ngrams(
             flagged[np.unique(doc_pos[:k][valid][hits])] = True
         out = batch.reset_index(drop=True)
         out[out_col] = flagged
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def extract_pattern(
+    ds: ray.data.Dataset,
+    pattern: str,
+    col: str = "text",
+    out_col: str = "extracted",
+    group: int = 1,
+) -> ray.data.Dataset:
+    """Vectorized regex capture: first match of ``pattern``'s capture
+    ``group`` per row, null when the pattern (or the input) is missing —
+    the structured-field-extraction primitive (ids out of URLs, versions
+    out of headers, numbers out of logs).
+
+    Map-only; the regex compiles ONCE per worker process via the
+    module-level pandas machinery (``str.extract`` caches compiled
+    patterns), so the corpus streams through at C speed.  Stick to the
+    RE2-compatible subset (no backreferences/lookbehind) if the result
+    must match a ``regexp_extract`` SQL oracle.
+    """
+    import re as _re
+
+    compiled = _re.compile(pattern)
+    if compiled.groups < group or group < 1:
+        raise ValueError(
+            f"pattern has {compiled.groups} capture group(s); "
+            f"requested group {group}"
+        )
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[col].astype("object")
+        ext = s.str.extract(compiled, expand=True)[group - 1]
+        out = batch.copy()
+        out[out_col] = ext.where(ext.notna(), None).astype("object")
         return out
 
     return ds.map_batches(fn, batch_format="pandas")

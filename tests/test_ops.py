@@ -3579,3 +3579,117 @@ def test_interval_join_guards():
         interval_join(
             pts, rgs, "v", bucket_width=1.0, max_span_buckets=10
         ).materialize()
+
+
+def test_snapshot_diff_classification_and_guards():
+    from raylink.ops.diff import snapshot_diff
+
+    old = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["a", "b", None, "d", None],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": [2, 3, 4, 5, 6],
+            "text": ["b", "c", None, "e2", "new"],
+        }
+    )
+    # 1: removed; 2: unchanged; 3: null->c changed; 4: d->null changed;
+    # 5: null->e2 changed... wait old 4='d' new 4=None -> changed;
+    # old 5=None new 5='e2' -> changed; 6: added
+    got = (
+        snapshot_diff(
+            ray.data.from_pandas(old),
+            ray.data.from_pandas(new),
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    exp = {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "changed",
+        5: "changed",
+        6: "added",
+    }
+    assert dict(zip(got["doc_id"], got["status"])) == exp
+
+    # null -> null must be unchanged
+    got2 = (
+        snapshot_diff(
+            ray.data.from_pandas(
+                pd.DataFrame({"doc_id": [9], "text": [None]})
+            ),
+            ray.data.from_pandas(
+                pd.DataFrame({"doc_id": [9], "text": [None]})
+            ),
+            num_partitions=2,
+        )
+        .to_pandas()
+    )
+    assert got2["status"].tolist() == ["unchanged"]
+
+    # exact-value mode agrees with hashed mode here
+    got3 = (
+        snapshot_diff(
+            ray.data.from_pandas(old),
+            ray.data.from_pandas(new),
+            hash_values=False,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert dict(zip(got3["doc_id"], got3["status"])) == exp
+
+    # duplicate ids within one snapshot must refuse
+    dup = pd.DataFrame({"doc_id": [1, 1], "text": ["x", "y"]})
+    with pytest.raises(Exception, match="duplicate id"):
+        snapshot_diff(
+            ray.data.from_pandas(dup),
+            ray.data.from_pandas(new),
+            num_partitions=2,
+        ).materialize()
+
+
+def test_extract_pattern_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.text import extract_pattern
+
+    df = pd.DataFrame(
+        {
+            "i": np.arange(6, dtype=np.int64),
+            "s": [
+                "v=12 rest",
+                "no match",
+                None,
+                "v=7",
+                "x v=003 y",
+                "",
+            ],
+        }
+    )
+    got = (
+        extract_pattern(
+            ray.data.from_pandas(df), r"v=([0-9]+)", col="s", out_col="num"
+        )
+        .to_pandas()
+        .sort_values("i", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT i, NULLIF(regexp_extract(s, 'v=([0-9]+)', 1), '') AS num "
+        "FROM t ORDER BY i"
+    ).df()
+    assert [
+        None if pd.isna(v) else v for v in got["num"]
+    ] == [None if pd.isna(v) else v for v in exp["num"]]
+
+    with pytest.raises(ValueError):
+        extract_pattern(ray.data.from_pandas(df), r"v=[0-9]+", col="s")
