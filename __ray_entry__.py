@@ -1875,6 +1875,70 @@ def _q_canonical_events(sf_dir: str):
     )
 
 
+def _q_validate_events(sf_dir: str):
+    """Data-quality expectations over events: five declarative rules →
+    one violation-count row each (the per-ingest pipeline gate)."""
+    from raylink.ops.validate import expect_rules
+
+    ev = _read(sf_dir, "events")
+    return expect_rules(
+        ev,
+        [
+            {"column": "event_id", "kind": "not_null"},
+            {"column": "event_id", "kind": "unique"},
+            {"column": "value", "kind": "range", "lo": 0.0, "hi": 100.0},
+            {
+                "column": "event_type",
+                "kind": "in_set",
+                "values": ["click", "view", "purchase"],
+            },
+            {"column": "props", "kind": "regex", "pattern": r"\{.*\}"},
+        ],
+        num_partitions=8,
+    )
+
+
+def _q_apply_changes_docs(sf_dir: str):
+    """CDC merge: apply a derived change batch (deletes every 13th doc,
+    re-labels every 9th, inserts a brand-new id for every 97th) onto
+    the documents snapshot."""
+    from raylink.ops.cdc import apply_changes
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dels = ids[ids % 13 == 0]
+        ups = ids[(ids % 9 == 0) & (ids % 13 != 0)]
+        news = ids[ids % 97 == 0] + 1_000_000
+        out_ids = np.concatenate([dels, ups, news])
+        ops = np.concatenate(
+            [
+                np.full(len(dels), "delete", dtype=object),
+                np.full(len(ups), "upsert", dtype=object),
+                np.full(len(news), "upsert", dtype=object),
+            ]
+        )
+        langs = np.concatenate(
+            [
+                np.full(len(dels), None, dtype=object),
+                np.full(len(ups), "xx", dtype=object),
+                np.full(len(news), "nw", dtype=object),
+            ]
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_ids, type=pa.int64()),
+                pa.array(langs, type=pa.string(), from_pandas=True),
+                pa.array(ops, type=pa.string()),
+            ],
+            names=["doc_id", "lang", "op"],
+        )
+
+    changes = docs.map_batches(mk_changes, batch_format="pyarrow")
+    return apply_changes(docs, changes, id_col="doc_id", num_partitions=8)
+
+
 def _q_corpus_diff(sf_dir: str):
     """Snapshot diff between two derived corpus versions: the 'old'
     snapshot drops every 10th doc (-> added) and edits every 7th
@@ -2238,6 +2302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_bands": _q_event_value_bands,
         "corpus_diff_docs": _q_corpus_diff,
         "extract_docs": _q_extract_docs,
+        "validate_events": _q_validate_events,
+        "apply_changes_docs": _q_apply_changes_docs,
         "dup_span_docs": _q_dup_span_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,
@@ -2340,6 +2406,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "validate_events": r"""
+            SELECT 'event_id:not_null' AS rule,
+                   count(*) FILTER (WHERE event_id IS NULL)::BIGINT
+                       AS violations
+            FROM events
+            UNION ALL
+            SELECT 'event_id:unique',
+                   COALESCE((SELECT sum(c) FROM (
+                       SELECT count(*) AS c FROM events
+                       WHERE event_id IS NOT NULL
+                       GROUP BY event_id HAVING count(*) > 1)), 0)::BIGINT
+            UNION ALL
+            SELECT 'value:range',
+                   count(*) FILTER (
+                       WHERE value IS NOT NULL
+                         AND NOT (value >= 0.0 AND value <= 100.0)
+                   )::BIGINT
+            FROM events
+            UNION ALL
+            SELECT 'event_type:in_set',
+                   count(*) FILTER (
+                       WHERE event_type IS NOT NULL AND event_type NOT IN
+                           ('click', 'view', 'purchase')
+                   )::BIGINT
+            FROM events
+            UNION ALL
+            SELECT 'props:regex',
+                   count(*) FILTER (
+                       WHERE props IS NOT NULL
+                         AND NOT regexp_full_match(props, '\{.*\}')
+                   )::BIGINT
+            FROM events
+        """,
+        "apply_changes_docs": r"""
+            WITH ch AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN 'delete'
+                            ELSE 'upsert' END AS op,
+                       'xx' AS lang
+                FROM documents WHERE doc_id % 13 = 0 OR doc_id % 9 = 0
+                UNION ALL
+                SELECT doc_id::BIGINT + 1000000, 'upsert', 'nw'
+                FROM documents WHERE doc_id % 97 = 0
+            )
+            SELECT d.doc_id::BIGINT AS doc_id, d.lang
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = d.doc_id)
+            UNION ALL
+            SELECT ch.doc_id, ch.lang FROM ch WHERE ch.op = 'upsert'
+        """,
         "corpus_diff_docs": r"""
             WITH old AS (
                 SELECT doc_id::BIGINT AS doc_id,

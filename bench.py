@@ -236,6 +236,8 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "event_value_bands",
         "corpus_diff_docs",
         "extract_docs",
+        "validate_events",
+        "apply_changes_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -3693,3 +3693,122 @@ def test_extract_pattern_matches_duckdb():
 
     with pytest.raises(ValueError):
         extract_pattern(ray.data.from_pandas(df), r"v=[0-9]+", col="s")
+
+
+def test_expect_rules_all_kinds():
+    from raylink.ops.validate import expect_rules
+
+    df = pd.DataFrame(
+        {
+            "id": pd.array([1, 2, 2, None, 5], dtype="Int64"),
+            "v": [5.0, -1.0, 50.0, 200.0, None],
+            "cat": ["a", "b", "z", None, "a"],
+            "s": ["x1", "x2", "nope", None, "x9"],
+        }
+    )
+    out = (
+        expect_rules(
+            ray.data.from_pandas(df),
+            [
+                {"column": "id", "kind": "not_null"},
+                {"column": "id", "kind": "unique"},
+                {"column": "v", "kind": "range", "lo": 0.0, "hi": 100.0},
+                {"column": "cat", "kind": "in_set", "values": ["a", "b"]},
+                {"column": "s", "kind": "regex", "pattern": r"x[0-9]"},
+            ],
+            num_partitions=3,
+        )
+        .to_pandas()
+        .set_index("rule")["violations"]
+        .to_dict()
+    )
+    assert out == {
+        "id:not_null": 1,
+        "id:unique": 2,   # the two rows sharing value 2
+        "v:range": 2,     # -1 and 200 (null skips)
+        "cat:in_set": 1,  # "z" (null skips)
+        "s:regex": 1,     # "nope" (null skips)
+    }
+
+    with pytest.raises(ValueError):
+        expect_rules(ray.data.from_pandas(df), [])
+    with pytest.raises(ValueError):
+        expect_rules(
+            ray.data.from_pandas(df), [{"column": "id", "kind": "nope"}]
+        )
+    with pytest.raises(ValueError, match="duplicate rules"):
+        expect_rules(
+            ray.data.from_pandas(df),
+            [
+                {"column": "id", "kind": "not_null"},
+                {"column": "id", "kind": "not_null"},
+            ],
+        )
+
+
+def test_apply_changes_merge_semantics():
+    from raylink.ops.cdc import apply_changes
+
+    base = pd.DataFrame(
+        {
+            "doc_id": np.arange(1, 7, dtype=np.int64),
+            "lang": ["en", "fr", "de", "es", "it", "pt"],
+        }
+    )
+    changes = pd.DataFrame(
+        {
+            "doc_id": np.array([2, 4, 9, 5], dtype=np.int64),
+            "lang": [None, "xx", "nw", None],
+            "op": ["delete", "upsert", "upsert", "delete"],
+        }
+    )
+    got = (
+        apply_changes(
+            ray.data.from_pandas(base),
+            ray.data.from_pandas(changes),
+            id_col="doc_id",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    exp = {1: "en", 3: "de", 4: "xx", 6: "pt", 9: "nw"}
+    assert dict(zip(got["doc_id"], got["lang"])) == exp
+
+    # deleting an absent id is a no-op
+    noop = pd.DataFrame(
+        {"doc_id": [99], "lang": [None], "op": ["delete"]}
+    )
+    got2 = apply_changes(
+        ray.data.from_pandas(base),
+        ray.data.from_pandas(noop),
+        id_col="doc_id",
+        num_partitions=2,
+    ).to_pandas()
+    assert len(got2) == len(base)
+
+    # ambiguity refused: two change rows for one id / bad op / missing col
+    dup = pd.DataFrame(
+        {"doc_id": [2, 2], "lang": ["a", "b"], "op": ["upsert", "upsert"]}
+    )
+    with pytest.raises(Exception, match="multiple change rows"):
+        apply_changes(
+            ray.data.from_pandas(base),
+            ray.data.from_pandas(dup),
+            id_col="doc_id",
+            num_partitions=2,
+        ).materialize()
+    badop = pd.DataFrame({"doc_id": [2], "lang": ["a"], "op": ["merge"]})
+    with pytest.raises(Exception, match="unknown change op"):
+        apply_changes(
+            ray.data.from_pandas(base),
+            ray.data.from_pandas(badop),
+            id_col="doc_id",
+            num_partitions=2,
+        ).materialize()
+    with pytest.raises(ValueError, match="missing base columns"):
+        apply_changes(
+            ray.data.from_pandas(base),
+            ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "op": ["delete"]})),
+            id_col="doc_id",
+        )
