@@ -1875,6 +1875,59 @@ def _q_canonical_events(sf_dir: str):
     )
 
 
+def _q_refresh_docs(sf_dir: str):
+    """Composed corpus refresh (CDC merge -> exact dedup): every 13th
+    doc deleted, every 9th re-written to one shared placeholder text
+    (so the dedup stage must collapse them to the min id), a brand-new
+    doc inserted for every 97th; output is the refreshed snapshot."""
+    from raylink.pipelines.refresh import refresh_corpus
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "lang"]
+    )
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dels = ids[ids % 13 == 0]
+        ups = ids[(ids % 9 == 0) & (ids % 13 != 0)]
+        news = ids[ids % 97 == 0] + 1_000_000
+        out_ids = np.concatenate([dels, ups, news])
+        ops = np.concatenate(
+            [
+                np.full(len(dels), "delete", dtype=object),
+                np.full(len(ups), "upsert", dtype=object),
+                np.full(len(news), "upsert", dtype=object),
+            ]
+        )
+        texts = np.concatenate(
+            [
+                np.full(len(dels), None, dtype=object),
+                np.full(len(ups), "REFRESH PLACEHOLDER", dtype=object),
+                np.array([f"new doc {i}" for i in news], dtype=object),
+            ]
+        )
+        langs = np.concatenate(
+            [
+                np.full(len(dels), None, dtype=object),
+                np.full(len(ups), "xx", dtype=object),
+                np.full(len(news), "nw", dtype=object),
+            ]
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_ids, type=pa.int64()),
+                pa.array(texts, type=pa.string(), from_pandas=True),
+                pa.array(langs, type=pa.string(), from_pandas=True),
+                pa.array(ops, type=pa.string()),
+            ],
+            names=["doc_id", "text", "lang", "op"],
+        )
+
+    changes = docs.map_batches(mk_changes, batch_format="pyarrow")
+    res = refresh_corpus(docs, changes, num_partitions=8)
+    return res["snapshot"].select_columns(["doc_id", "lang"])
+
+
 def _q_validate_events(sf_dir: str):
     """Data-quality expectations over events: five declarative rules →
     one violation-count row each (the per-ingest pipeline gate)."""
@@ -2304,6 +2357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs": _q_extract_docs,
         "validate_events": _q_validate_events,
         "apply_changes_docs": _q_apply_changes_docs,
+        "refresh_docs": _q_refresh_docs,
         "dup_span_docs": _q_dup_span_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,
@@ -2406,6 +2460,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "refresh_docs": r"""
+            WITH ch AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN 'delete'
+                            ELSE 'upsert' END AS op,
+                       'REFRESH PLACEHOLDER' AS text, 'xx' AS lang
+                FROM documents WHERE doc_id % 13 = 0 OR doc_id % 9 = 0
+                UNION ALL
+                SELECT doc_id::BIGINT + 1000000, 'upsert',
+                       'new doc ' || (doc_id + 1000000)::VARCHAR, 'nw'
+                FROM documents WHERE doc_id % 97 = 0
+            ), merged AS (
+                SELECT d.doc_id::BIGINT AS doc_id, d.text, d.lang
+                FROM documents d
+                WHERE NOT EXISTS (SELECT 1 FROM ch
+                                  WHERE ch.doc_id = d.doc_id)
+                UNION ALL
+                SELECT doc_id, text, lang FROM ch WHERE op = 'upsert'
+            ), keepers AS (
+                SELECT min(doc_id) AS doc_id FROM merged GROUP BY text
+            )
+            SELECT m.doc_id, m.lang FROM merged m JOIN keepers USING (doc_id)
+        """,
         "validate_events": r"""
             SELECT 'event_id:not_null' AS rule,
                    count(*) FILTER (WHERE event_id IS NULL)::BIGINT

@@ -238,6 +238,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "extract_docs",
         "validate_events",
         "apply_changes_docs",
+        "refresh_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

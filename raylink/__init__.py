@@ -88,3 +88,4 @@ from .ops.text import extract_pattern  # noqa: F401
 from .ops.validate import expect_rules  # noqa: F401
 from .ops.cdc import apply_changes  # noqa: F401
 from .pipelines.semdedup import semantic_dedup  # noqa: F401
+from .pipelines.refresh import refresh_corpus  # noqa: F401

@@ -3812,3 +3812,52 @@ def test_apply_changes_merge_semantics():
             ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "op": ["delete"]})),
             id_col="doc_id",
         )
+
+
+def test_refresh_corpus_composition_and_resume(tmp_path):
+    from raylink.pipelines.refresh import refresh_corpus
+
+    base = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "text": [f"doc {i}" for i in range(9)] + ["doc 0"],  # 9 dups 0
+            "lang": ["en"] * 10,
+        }
+    )
+    changes = pd.DataFrame(
+        {
+            "doc_id": np.array([3, 4, 20], dtype=np.int64),
+            "text": [None, "doc 1", "fresh"],
+            "lang": [None, "xx", "nw"],
+            "op": ["delete", "upsert", "upsert"],
+        }
+    )
+    res = refresh_corpus(
+        ray.data.from_pandas(base),
+        ray.data.from_pandas(changes),
+        rules=[{"column": "doc_id", "kind": "not_null"},
+               {"column": "text", "kind": "unique"}],
+        num_partitions=3,
+        checkpoint_dir=str(tmp_path / "ck"),
+        input_fingerprint="t1",
+    )
+    snap = res["snapshot"].to_pandas().sort_values("doc_id", ignore_index=True)
+    # doc 3 deleted; doc 4's text becomes 'doc 1' -> loses to doc 1;
+    # doc 9 duplicates doc 0 -> dropped; 20 added
+    assert snap["doc_id"].tolist() == [0, 1, 2, 5, 6, 7, 8, 20]
+    val = res["validation"].to_pandas().set_index("rule")["violations"]
+    assert val["doc_id:not_null"] == 0
+    assert val["text:unique"] == 0  # post-dedup: no duplicate text left
+
+    # resume from the checkpoint must be byte-identical
+    res2 = refresh_corpus(
+        ray.data.from_pandas(base),
+        ray.data.from_pandas(changes),
+        num_partitions=3,
+        checkpoint_dir=str(tmp_path / "ck"),
+        input_fingerprint="t1",
+    )
+    snap2 = (
+        res2["snapshot"].to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(snap, snap2)
