@@ -89,3 +89,4 @@ from .ops.validate import expect_rules  # noqa: F401
 from .ops.cdc import apply_changes  # noqa: F401
 from .pipelines.semdedup import semantic_dedup  # noqa: F401
 from .pipelines.refresh import refresh_corpus  # noqa: F401
+from .sources.sinks import write_partitioned  # noqa: F401

@@ -138,3 +138,68 @@ def test_read_text_docs_line_and_file(tmp_path):
     blobs = read_binary_docs(str(d)).to_pandas()
     assert len(blobs) == 2 and set(blobs.columns) == {"path", "payload"}
     assert b"only doc in b" in set(blobs["payload"])
+
+
+def test_write_partitioned_layout_resume_and_guards(tmp_path):
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from raylink.sources.sinks import write_partitioned
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(30, dtype=np.int64),
+            "lang": ["en", "fr", "de"] * 10,
+            "text": [f"t{i}" for i in range(30)],
+        }
+    )
+    out = str(tmp_path / "out")
+    res = write_partitioned(
+        ray.data.from_pandas(df), out, by="lang", input_fingerprint="f1"
+    )
+    assert res["written"] == ["de", "en", "fr"] and res["skipped"] == []
+    assert res["rows"] == {"de": 10, "en": 10, "fr": 10}
+    back = pd.read_parquet(out).sort_values("doc_id", ignore_index=True)
+    assert len(back) == 30
+    assert sorted(os.listdir(out)) >= ["lang=de", "lang=en", "lang=fr"]
+
+    # full resume: nothing rewritten
+    res2 = write_partitioned(
+        ray.data.from_pandas(df), out, by="lang", input_fingerprint="f1"
+    )
+    assert res2["written"] == [] and res2["skipped"] == ["de", "en", "fr"]
+
+    # crashed-run simulation: drop one partition's marker + corrupt it
+    os.remove(os.path.join(out, "lang=fr", "_DONE"))
+    for f in os.listdir(os.path.join(out, "lang=fr")):
+        os.remove(os.path.join(out, "lang=fr", f))
+    res3 = write_partitioned(
+        ray.data.from_pandas(df), out, by="lang", input_fingerprint="f1"
+    )
+    assert res3["written"] == ["fr"] and sorted(res3["skipped"]) == ["de", "en"]
+    back3 = pd.read_parquet(out).sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        back3[["doc_id", "text"]], df[["doc_id", "text"]]
+    )
+    meta = json.load(open(os.path.join(out, "lang=fr", "_DONE")))
+    assert meta == {"fingerprint": "f1", "rows": 10}
+
+    # fingerprint drift refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fingerprint"):
+        write_partitioned(
+            ray.data.from_pandas(df), out, by="lang", input_fingerprint="f2"
+        )
+
+    # null partition keys refused
+    dfn = df.copy()
+    dfn.loc[0, "lang"] = None
+    with _pytest.raises(ValueError, match="null"):
+        write_partitioned(
+            ray.data.from_pandas(dfn), str(tmp_path / "o2"), by="lang"
+        )
