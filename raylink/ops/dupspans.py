@@ -75,11 +75,9 @@ def duplicate_ngram_stats(
     if min_count < 2:
         raise ValueError("min_count must be >= 2 (1 marks every window)")
 
-    try:
-        base = ds.schema(fetch_if_missing=True).base_schema
-        id_type = base.field(id_col).type if isinstance(base, pa.Schema) else pa.int64()
-    except Exception:
-        id_type = pa.int64()
+    from .lag import _arrow_schema
+
+    id_type = _arrow_schema(ds).field(id_col).type
 
     src = ds.select_columns([id_col, text_col])
 
@@ -96,9 +94,16 @@ def duplicate_ngram_stats(
         )
 
     def emit_totals(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(text_col).to_numpy(zero_copy_only=False)
-        _, _, n_windows = _ngram_rows(texts, ids, n)
+        # totals need only token counts — skip the n-gram string
+        # construction (it would double the corpus's most expensive
+        # CPU stage just to throw the grams away)
+        s = pd.Series(texts, dtype="object").fillna("").astype(str)
+        tok_counts = s.str.split().str.len().to_numpy(dtype=np.int64)
+        n_windows = np.maximum(tok_counts - n + 1, 0)
         return pa.Table.from_arrays(
             [
                 pa.array(ids, type=id_type, from_pandas=True),

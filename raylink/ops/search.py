@@ -73,6 +73,11 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    from .lag import _arrow_schema
+
+    # pin the id type once: an all-pruned block would otherwise emit a
+    # null-typed id column and break schema unification downstream
+    id_type = _arrow_schema(ds).field(id_col).type
     src = ds.select_columns([id_col, text_col])
 
     # pass 1: corpus statistics — one bounded row per block
@@ -96,7 +101,7 @@ def bm25_topk(
     if n_docs == 0:
         return ray.data.from_arrow(
             pa.Table.from_pydict({id_col: [], "score_e4": []}).cast(
-                pa.schema([(id_col, pa.int64()), ("score_e4", pa.int64())])
+                pa.schema([(id_col, id_type), ("score_e4", pa.int64())])
             )
         )
     avgdl = sum_dl / n_docs
@@ -124,7 +129,7 @@ def bm25_topk(
             keep = keep[order[:k]]
         return pa.Table.from_arrays(
             [
-                pa.array(ids[keep], from_pandas=True),
+                pa.array(ids[keep], type=id_type, from_pandas=True),
                 pa.array(score_e4[keep], type=pa.int64()),
             ],
             names=[id_col, "score_e4"],

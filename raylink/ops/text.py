@@ -470,22 +470,12 @@ def mark_contaminated_ngrams(
     probe_ref = _ray.put(pd.Index(sorted(probe_ngrams)))
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[text_col].fillna("").astype(str).reset_index(drop=True)
-        e = s.str.split().explode()
-        e = e[e.notna()]
-        flat = e.to_numpy(dtype=object)
-        doc_pos = e.index.to_numpy()  # positional row of each token
-        m = len(flat)
+        texts = batch[text_col].to_numpy(dtype=object)
+        doc_pos, grams, _ = token_ngram_windows(texts, n)
         flagged = np.zeros(len(batch), dtype=bool)
-        if m >= n:
-            k = m - n + 1
-            ng = flat[:k].copy()
-            for j in range(1, n):
-                ng = ng + " "
-                ng = ng + flat[j : k + j]
-            valid = doc_pos[:k] == doc_pos[n - 1 :]
-            hits = pd.Series(ng[valid]).isin(_ray.get(probe_ref)).to_numpy()
-            flagged[np.unique(doc_pos[:k][valid][hits])] = True
+        if len(grams):
+            hits = pd.Series(grams).isin(_ray.get(probe_ref)).to_numpy()
+            flagged[np.unique(doc_pos[hits])] = True
         out = batch.reset_index(drop=True)
         out[out_col] = flagged
         return out

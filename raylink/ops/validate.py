@@ -56,11 +56,17 @@ def expect_rules(
 
     if not rules:
         raise ValueError("rules must be non-empty")
+    # never mutate the caller's dicts (they may be logged / persisted);
+    # compile patterns into private copies
+    prepared = []
     for r in rules:
         if r.get("kind") not in _KINDS:
             raise ValueError(f"unknown rule kind: {r.get('kind')!r}")
+        r = dict(r)
         if r["kind"] == "regex":
             r["_compiled"] = _re.compile(r["pattern"])
+        prepared.append(r)
+    rules = prepared
     names = [_rule_name(r) for r in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rules: {names}")

@@ -38,7 +38,12 @@ _MARKER = "_DONE"
 
 
 def _partition_dir(path: str, by: str, value) -> str:
-    return os.path.join(path, f"{by}={value}")
+    # pyarrow's hive writer URI-encodes partition values (space -> %20,
+    # '/' -> %2F, ...) — markers and crash cleanup MUST target the same
+    # directory names, verified equal to quote(safe="")
+    from urllib.parse import quote
+
+    return os.path.join(path, f"{by}={quote(str(value), safe='')}")
 
 
 def write_partitioned(

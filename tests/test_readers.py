@@ -203,3 +203,37 @@ def test_write_partitioned_layout_resume_and_guards(tmp_path):
         write_partitioned(
             ray.data.from_pandas(dfn), str(tmp_path / "o2"), by="lang"
         )
+
+
+def test_write_partitioned_uri_encoded_values(tmp_path):
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from raylink.sources.sinks import write_partitioned
+
+    # values pyarrow's hive writer URI-encodes: markers + crash cleanup
+    # must land in the SAME directories as the data files
+    df = pd.DataFrame(
+        {
+            "k": ["en US", "fr/ca", "100%"] * 4,
+            "v": np.arange(12, dtype=np.int64),
+        }
+    )
+    out = str(tmp_path / "enc")
+    res = write_partitioned(
+        ray.data.from_pandas(df), out, by="k", input_fingerprint="f1"
+    )
+    assert sorted(res["written"]) == ["100%", "en US", "fr/ca"]
+    for d in ("k=en%20US", "k=fr%2Fca", "k=100%25"):
+        files = os.listdir(os.path.join(out, d))
+        assert "_DONE" in files and any(f.endswith(".parquet") for f in files)
+    # crashed-run rewrite of an encoded partition must not duplicate rows
+    os.remove(os.path.join(out, "k=en%20US", "_DONE"))
+    write_partitioned(
+        ray.data.from_pandas(df), out, by="k", input_fingerprint="f1"
+    )
+    back = pd.read_parquet(out)
+    assert len(back) == 12 and sorted(back["v"]) == list(range(12))
