@@ -2343,10 +2343,12 @@ def _q_doc_top_terms(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (round 3): the driver verifies a bounded PREFIX of
     # this dict (round 2 stopped at 50 entries), so entries that have never
-    # appeared in a CORRECTNESS_r*.json come FIRST. Block 1 below is the 29
-    # queries added late in round 2 that CORRECTNESS_r02.json never reached
-    # (redact_docs .. near_dedup_docs), plus any round-3 additions; block 2
-    # re-lists the 50 entries already verified green in round 2.
+    # appeared in a CORRECTNESS_r*.json come FIRST. Block 1 below is every
+    # round-3 addition (bm25_docs .. refresh_docs and the session-2 ops)
+    # plus the 29 late-round-2 queries CORRECTNESS_r02.json never reached
+    # (redact_docs .. near_dedup_docs); block 2 re-lists the 50 entries
+    # already verified green in round 2. 105 total, 89 with full DuckDB
+    # oracles (the rest approximate/EM/k-means by construction).
     return {
         # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
         "bm25_docs": _q_bm25_docs,
