@@ -1875,6 +1875,17 @@ def _q_canonical_events(sf_dir: str):
     )
 
 
+def _q_approx_value_quantiles(sf_dir: str):
+    """Single-pass approximate quantiles of events.value from a
+    deterministic bottom-k-by-SipHash row sample (mergeable sketch; no
+    sort exchange).  Approximate by construction -> rows-only here;
+    bench.py grades max |approx - exact| quantile error."""
+    from raylink.ops.sketch import approx_quantiles
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "value"])
+    return approx_quantiles(ev, "value", "event_id", k=4096)
+
+
 def _q_refresh_docs(sf_dir: str):
     """Composed corpus refresh (CDC merge -> exact dedup): every 13th
     doc deleted, every 9th re-written to one shared placeholder text
@@ -2360,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_events": _q_validate_events,
         "apply_changes_docs": _q_apply_changes_docs,
         "refresh_docs": _q_refresh_docs,
+        "approx_value_quantiles": _q_approx_value_quantiles,
         "dup_span_docs": _q_dup_span_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,

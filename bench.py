@@ -239,6 +239,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "validate_events",
         "apply_changes_docs",
         "refresh_docs",
+        "approx_value_quantiles",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -518,6 +519,21 @@ def run_quality_grades(sf_dir: str) -> dict:
         for _, r in hll.iterrows()
     ]
     out["hll_max_rel_error"] = round(float(max(errs)), 4)
+
+    # --- sampled approx quantiles vs exact --------------------------------
+    from raylink.ops.sketch import approx_quantiles
+
+    evq = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "value"],
+    )
+    aq = approx_quantiles(evq, "value", "event_id", k=4096)
+    # error in QUANTILE units: |F(approx) - q| via the exact ECDF
+    vals = np.sort(evq.to_pandas()["value"].to_numpy(dtype=np.float64))
+    ranks = np.searchsorted(vals, aq["value"].to_numpy()) / max(len(vals), 1)
+    out["approx_quantile_max_rank_err"] = round(
+        float(np.max(np.abs(ranks - aq["q_e4"].to_numpy() / 1e4))), 4
+    )
 
     # --- minhash est_jaccard vs exact shingle jaccard --------------------
     # the exact value uses the op's own shingle definition (5-byte crc32
@@ -871,6 +887,24 @@ def main() -> None:
                 ref_tf = cand
         ref_tf["all_walls"] = tf_walls
         queries["ref_workload_tf"] = ref_tf["wall_seconds"]
+        # partitioned-sink throughput: documents hive-partitioned by lang
+        # into a fresh dir (write path + per-partition markers timed)
+        import shutil as _sh
+
+        import ray.data as _rd
+
+        from raylink.sources.sinks import write_partitioned
+
+        sink_dir = "/tmp/raylink_bench/sink_docs"
+        _sh.rmtree(sink_dir, ignore_errors=True)
+        t0 = time.time()
+        write_partitioned(
+            _rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+            sink_dir,
+            by="lang",
+            input_fingerprint="bench",
+        )
+        queries["sink_partitioned_docs"] = round(time.time() - t0, 3)
         grades = run_quality_grades(SF_DIR)
     total = headline["wall_seconds"] + sum(queries.values())
     result = {

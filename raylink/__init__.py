@@ -68,7 +68,7 @@ from .ops.sample import (  # noqa: F401
 )
 from .ops.semijoin import semi_anti_join  # noqa: F401
 from .ops.simjoin import similarity_link_join, similarity_self_join  # noqa: F401
-from .ops.sketch import approx_distinct, frequent_items  # noqa: F401
+from .ops.sketch import approx_distinct, approx_quantiles, frequent_items  # noqa: F401
 from .ops.transitions import transition_counts  # noqa: F401
 from .ops.window import hopping_window_agg, tumbling_window_agg  # noqa: F401
 from .ops.rank import keep_top_fraction  # noqa: F401

@@ -26,7 +26,7 @@ import ray.data
 from ..functions.hashing import hash64_array
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["approx_distinct", "grouped_approx_distinct", "frequent_items"]
+__all__ = ["approx_distinct", "grouped_approx_distinct", "frequent_items", "approx_quantiles"]
 
 
 def _registers(values: np.ndarray, p: int) -> np.ndarray:
@@ -278,3 +278,68 @@ def frequent_items(
             f"{ceiling}; raise capacity (= {capacity})"
         )
     return out.head(k)
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    id_col: str,
+    qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    k: int = 4096,
+) -> pd.DataFrame:
+    """Approximate quantiles from a mergeable k-row uniform sample.
+
+    The quantile member of the sketch family (HLL distinct, Misra-Gries
+    heavy hitters): each block keeps its bottom-``k`` rows by SipHash of
+    the id — a DETERMINISTIC uniform row sample, identical at any
+    parallelism — and the driver merges the per-block bottom-k sets
+    (``k`` rows each, never raw data) into the global bottom-k before
+    reading the quantiles off the sampled values.  Standard error is
+    ~``1/(2*sqrt(k))`` quantile units (~0.8 percentile points at the
+    default k), graded against the exact quantiles in ``bench.py``.
+
+    Exact grouped quantiles (one sort) live in ``ops/quantiles.py``;
+    this is the single-pass path for when the sort exchange is the
+    bottleneck.  Null values are excluded (SQL aggregate semantics);
+    rows with null ids are refused — the sample would not be stable.
+    """
+    from ..functions.hashing import hash64_array
+
+    if not 1 <= k:
+        raise ValueError("k must be positive")
+
+    def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        ids = np.asarray(batch[id_col])
+        vals = np.asarray(batch[value_col], dtype=np.float64)
+        if pd.isna(ids).any():
+            raise ValueError(
+                f"null ids in {id_col!r}: the deterministic sample "
+                "requires a total id population"
+            )
+        keep = ~np.isnan(vals)
+        ids, vals = ids[keep], vals[keep]
+        h = hash64_array(ids)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            h, vals = h[idx], vals[idx]
+        return {"h": h.astype(np.uint64), "v": vals}
+
+    parts = (
+        ds.select_columns([id_col, value_col])
+        .map_batches(partial, batch_format="numpy", batch_size=None)
+        .to_pandas()
+    )
+    h = parts["h"].to_numpy(dtype=np.uint64)
+    v = parts["v"].to_numpy(dtype=np.float64)
+    if len(h) > k:
+        idx = np.argpartition(h, k)[:k]
+        v = v[idx]
+    if len(v) == 0:
+        return pd.DataFrame({"q_e4": [], "value": []}).astype(
+            {"q_e4": "int64", "value": "float64"}
+        )
+    v.sort()
+    out_q = [int(round(q * 1e4)) for q in qs]
+    # nearest-rank on the sample (deterministic, matches np 'lower')
+    est = [float(np.quantile(v, q, method="lower")) for q in qs]
+    return pd.DataFrame({"q_e4": out_q, "value": est})

@@ -3861,3 +3861,38 @@ def test_refresh_corpus_composition_and_resume(tmp_path):
         res2["snapshot"].to_pandas().sort_values("doc_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(snap, snap2)
+
+
+def test_approx_quantiles_accuracy_and_determinism():
+    from raylink.ops.sketch import approx_quantiles
+
+    rng = np.random.default_rng(2)
+    n = 50_000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.normal(100, 15, n),
+        }
+    )
+    df.loc[5, "v"] = np.nan  # nulls excluded
+    got = approx_quantiles(
+        ray.data.from_pandas(df), "v", "id", qs=(0.25, 0.5, 0.75), k=4096
+    )
+    exact = np.nanquantile(df["v"], [0.25, 0.5, 0.75])
+    # sample error ~1/(2*sqrt(k)) quantile units -> well under 2 value
+    # units of this distribution at k=4096
+    assert np.all(np.abs(got["value"].to_numpy() - exact) < 2.0)
+    assert got["q_e4"].tolist() == [2500, 5000, 7500]
+
+    # identical at any parallelism (deterministic hash sample)
+    got11 = approx_quantiles(
+        ray.data.from_pandas(df).repartition(11), "v", "id",
+        qs=(0.25, 0.5, 0.75), k=4096,
+    )
+    pd.testing.assert_frame_equal(got, got11)
+
+    # null ids refused
+    dfn = df.copy().astype({"id": "object"})
+    dfn.loc[0, "id"] = None
+    with pytest.raises(Exception, match="null ids"):
+        approx_quantiles(ray.data.from_pandas(dfn), "v", "id")
