@@ -2003,6 +2003,52 @@ def _q_apply_changes_docs(sf_dir: str):
     return apply_changes(docs, changes, id_col="doc_id", num_partitions=8)
 
 
+def _q_event_type_bands(sf_dir: str):
+    """KEYED interval join: per-event-type value bands (`p.event_type =
+    b.event_type AND lo <= value < hi`) — each type's ranges replicate
+    only to that type's buckets (key hash mixed into the co-location
+    key, exact equality re-verified in-cell)."""
+    from ray.data.aggregate import Count
+
+    from raylink.ops.intervaljoin import interval_join
+
+    bands = ray.data.from_items(
+        [
+            {"event_type": "click", "label": "c_lo", "lo": 0.0, "hi": 40.0},
+            {"event_type": "click", "label": "c_hi", "lo": 30.0, "hi": 500.0},
+            {"event_type": "view", "label": "v_all", "lo": 0.0, "hi": 500.0},
+            {"event_type": "error", "label": "e_mid", "lo": 10.0, "hi": 90.0},
+        ]
+    )
+    ev = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    joined = interval_join(
+        ev,
+        bands,
+        point_col="value",
+        point_cols=["value"],
+        range_cols=["label"],
+        keys=["event_type"],
+        bucket_width=50.0,
+        num_partitions=8,
+    )
+    out = (
+        joined.select_columns(["event_type", "label"])
+        .groupby(["event_type", "label"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "label": t.column("label"),
+                "n_events": t.column("n_events").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_corpus_diff(sf_dir: str):
     """Snapshot diff between two derived corpus versions: the 'old'
     snapshot drops every 10th doc (-> added) and edits every 7th
@@ -2368,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_bands": _q_event_value_bands,
         "corpus_diff_docs": _q_corpus_diff,
         "extract_docs": _q_extract_docs,
+        "event_type_bands": _q_event_type_bands,
         "validate_events": _q_validate_events,
         "apply_changes_docs": _q_apply_changes_docs,
         "refresh_docs": _q_refresh_docs,
@@ -2546,6 +2593,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = d.doc_id)
             UNION ALL
             SELECT ch.doc_id, ch.lang FROM ch WHERE ch.op = 'upsert'
+        """,
+        "event_type_bands": r"""
+            WITH bands(event_type, label, lo, hi) AS (VALUES
+                ('click', 'c_lo', 0.0, 40.0),
+                ('click', 'c_hi', 30.0, 500.0),
+                ('view',  'v_all', 0.0, 500.0),
+                ('error', 'e_mid', 10.0, 90.0))
+            SELECT e.event_type, b.label, count(*)::BIGINT AS n_events
+            FROM events e
+            JOIN bands b ON e.event_type = b.event_type
+                        AND e.value >= b.lo AND e.value < b.hi
+            GROUP BY e.event_type, b.label
         """,
         "corpus_diff_docs": r"""
             WITH old AS (

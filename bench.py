@@ -240,6 +240,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "apply_changes_docs",
         "refresh_docs",
         "approx_value_quantiles",
+        "event_type_bands",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -44,6 +44,7 @@ def interval_join(
     bucket_width: float = 1.0,
     point_cols: list[str] | None = None,
     range_cols: list[str] | None = None,
+    keys: list[str] | None = None,
     num_partitions: int = 64,
     max_span_buckets: int = 4096,
     max_ranges_per_bucket: int = 65536,
@@ -55,6 +56,14 @@ def interval_join(
     by ``lo_col``, ``hi_col`` and any ``range_cols``.  Rows with a null
     point or null/empty/inverted bounds never match (SQL comparison
     semantics).  ``bucket_width`` must be positive.
+
+    ``keys`` adds equality columns (present under the same names on
+    BOTH sides): a pair matches only when every key is equal AND the
+    point is contained — the per-entity-bands case (``JOIN ON p.k = r.k
+    AND v >= lo AND v < hi``).  The co-location key mixes the key hash
+    into the bucket, so each entity's ranges replicate only to that
+    entity's buckets; exact key equality is re-verified in-cell (hash
+    collisions cannot create false pairs).  Null keys never match.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
@@ -62,6 +71,12 @@ def interval_join(
     if point_col not in point_cols:
         point_cols = [point_col] + point_cols
     range_cols = list(range_cols or [])
+    keys = list(keys or [])
+    for k in keys:
+        if k not in point_cols:
+            point_cols.append(k)
+        if k in range_cols:
+            raise ValueError(f"key column {k!r} must not repeat in range_cols")
 
     # unified block schema: tag + bucket + both sides' columns
     from .lag import _arrow_schema
@@ -83,11 +98,37 @@ def interval_join(
     def _pad(tbl_len: int, fields) -> list[pa.Array]:
         return [pa.nulls(tbl_len, type=t) for _, t in fields]
 
+    def _mix_keys(batch: pa.Table, keep: np.ndarray, bucket: np.ndarray):
+        """Fold the equality-key hash into the bucket id (equality-only
+        group key; exact key equality re-checked in-cell)."""
+        if not keys:
+            return bucket, keep
+        import pandas as pd
+
+        from ..functions.hashing import combine_hashes, hash64_array
+
+        kv = [
+            np.asarray(
+                batch.column(k).to_numpy(zero_copy_only=False), dtype=object
+            )[keep]
+            for k in keys
+        ]
+        nn = ~np.logical_or.reduce([pd.isna(a) for a in kv])
+        h = hash64_array(kv[0])
+        for a in kv[1:]:
+            h = combine_hashes(h, hash64_array(a))
+        mixed = combine_hashes(h, bucket.astype(np.uint64))
+        mixed = (mixed & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        return mixed[nn], keep[nn]
+
     def tag_points(batch: pa.Table) -> pa.Table:
         v = batch.column(point_col).to_numpy(zero_copy_only=False)
         v = np.asarray(v, dtype=np.float64)
         keep = np.flatnonzero(np.isfinite(v))
         bucket = np.floor(v[keep] / w).astype(np.int64)
+        if keys:
+            bucket, keep2 = _mix_keys(batch, keep, bucket)
+            keep = keep2
         arrays = [
             pa.array(bucket),
             pa.array(np.ones(len(keep), dtype=np.int8)),
@@ -126,13 +167,50 @@ def interval_join(
             np.concatenate(([0], np.cumsum(span[:-1]))) if len(span) else [],
             span,
         )
-        bucket = b_lo[rep] + offsets
+        bucket = (b_lo[rep] + offsets).astype(np.int64)
+        rep_rows = keep[rep]
+        if keys:
+            import pandas as pd
+
+            from ..functions.hashing import combine_hashes, hash64_array
+
+            kv = [
+                np.asarray(
+                    batch.column(k).to_numpy(zero_copy_only=False),
+                    dtype=object,
+                )[rep_rows]
+                for k in keys
+            ]
+            # null keys never match (SQL equi-join) — drop before mixing
+            nn = ~np.logical_or.reduce([pd.isna(a) for a in kv])
+            rep, rep_rows, bucket = rep[nn], rep_rows[nn], bucket[nn]
+            h = hash64_array(kv[0][nn])
+            for a in kv[1:]:
+                h = combine_hashes(h, hash64_array(a[nn]))
+            bucket = (
+                combine_hashes(h, bucket.astype(np.uint64))
+                & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+            ).astype(np.int64)
         arrays = [
-            pa.array(bucket.astype(np.int64)),
-            pa.array(np.zeros(len(rep), dtype=np.int8)),
+            pa.array(bucket),
+            pa.array(np.zeros(len(rep_rows), dtype=np.int8)),
         ]
-        arrays.extend(_pad(len(rep), p_fields))
-        take = pa.array(keep[rep], type=pa.int64())
+        if keys:
+            # key columns live in p_fields; fill them from the RANGE side
+            p_arrays = []
+            for c, t in p_fields:
+                if c in keys:
+                    p_arrays.append(
+                        batch.column(c)
+                        .take(pa.array(rep_rows, type=pa.int64()))
+                        .cast(t)
+                    )
+                else:
+                    p_arrays.append(pa.nulls(len(rep_rows), type=t))
+            arrays.extend(p_arrays)
+        else:
+            arrays.extend(_pad(len(rep_rows), p_fields))
+        take = pa.array(rep_rows, type=pa.int64())
         arrays.append(pa.array(lo_k[rep], type=pa.float64()))
         arrays.append(pa.array(hi_k[rep], type=pa.float64()))
         for c, t in r_fields[2:]:
@@ -160,8 +238,15 @@ def interval_join(
         hi = np.asarray(group[hi_col], dtype=np.float64)[~is_pt]
         hits_p: list[np.ndarray] = []
         hits_r: list[np.ndarray] = []
+        if keys:
+            pk = [np.asarray(group[k], dtype=object)[is_pt] for k in keys]
+            rk = [np.asarray(group[k], dtype=object)[~is_pt] for k in keys]
         for j in range(n_r):  # vectorized over points; ranges/bucket few
-            m = np.flatnonzero((v >= lo[j]) & (v < hi[j]))
+            cond = (v >= lo[j]) & (v < hi[j])
+            if keys:
+                for a, b in zip(pk, rk):
+                    cond &= a == b[j]
+            m = np.flatnonzero(cond)
             if len(m):
                 hits_p.append(m)
                 hits_r.append(np.full(len(m), j, dtype=np.int64))

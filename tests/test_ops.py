@@ -3896,3 +3896,68 @@ def test_approx_quantiles_accuracy_and_determinism():
     dfn.loc[0, "id"] = None
     with pytest.raises(Exception, match="null ids"):
         approx_quantiles(ray.data.from_pandas(dfn), "v", "id")
+
+
+def test_interval_join_with_equality_keys():
+    import duckdb
+
+    from raylink.ops.intervaljoin import interval_join
+
+    rng = np.random.default_rng(9)
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(400, dtype=np.int64),
+            "ent": rng.choice(["a", "b", "c", None], 400).astype(object),
+            "v": np.round(rng.uniform(0, 100, 400), 2),
+        }
+    )
+    rgs = pd.DataFrame(
+        {
+            "rid": np.arange(6, dtype=np.int64),
+            "ent": ["a", "a", "b", "c", None, "b"],
+            "lo": [0.0, 50.0, 20.0, 0.0, 0.0, 95.0],
+            "hi": [30.0, 90.0, 80.0, 100.0, 100.0, 100.0],
+        }
+    )
+    got = (
+        interval_join(
+            ray.data.from_pandas(pts),
+            ray.data.from_pandas(rgs),
+            point_col="v",
+            point_cols=["pid", "v"],
+            range_cols=["rid"],
+            keys=["ent"],
+            bucket_width=10.0,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["pid", "rid"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("pts", pts)
+    con.register("rgs", rgs)
+    exp = con.execute(
+        "SELECT p.pid, r.rid FROM pts p JOIN rgs r "
+        "ON p.ent = r.ent AND p.v >= r.lo AND p.v < r.hi "
+        "ORDER BY pid, rid"
+    ).df()
+    assert got["pid"].tolist() == exp["pid"].tolist()
+    assert got["rid"].astype("int64").tolist() == exp["rid"].tolist()
+    # key column rides through on every output row
+    assert got["ent"].notna().all()
+
+    # un-keyed call still matches the plain theta join
+    got2 = interval_join(
+        ray.data.from_pandas(pts.dropna(subset=["ent"])),
+        ray.data.from_pandas(rgs),
+        point_col="v",
+        point_cols=["pid"],
+        range_cols=["rid"],
+        bucket_width=10.0,
+        num_partitions=4,
+    ).to_pandas()
+    exp2 = con.execute(
+        "SELECT count(*) FROM (SELECT 1 FROM pts p, rgs r "
+        "WHERE p.ent IS NOT NULL AND p.v >= r.lo AND p.v < r.hi)"
+    ).fetchone()[0]
+    assert len(got2) == exp2
