@@ -2081,6 +2081,16 @@ def _q_corpus_diff(sf_dir: str):
     return snapshot_diff(old, docs, num_partitions=8)
 
 
+def _q_normalize_docs(sf_dir: str):
+    """Canonical text normalization (NFC + lower + whitespace collapse)
+    — the pre-pass that makes byte-level variants collide in dedup."""
+    from raylink.ops.text import normalize_text
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = normalize_text(docs, col="text", out_col="text_norm")
+    return out.select_columns(["doc_id", "text_norm"])
+
+
 def _q_extract_docs(sf_dir: str):
     """Vectorized regex capture: the numeric suffix of each document's
     source tag (null where the pattern misses)."""
@@ -2414,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_bands": _q_event_value_bands,
         "corpus_diff_docs": _q_corpus_diff,
         "extract_docs": _q_extract_docs,
+        "normalize_docs": _q_normalize_docs,
         "event_type_bands": _q_event_type_bands,
         "validate_events": _q_validate_events,
         "apply_changes_docs": _q_apply_changes_docs,
@@ -2593,6 +2604,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = d.doc_id)
             UNION ALL
             SELECT ch.doc_id, ch.lang FROM ch WHERE ch.op = 'upsert'
+        """,
+        "normalize_docs": r"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\s+', ' ', 'g')) AS text_norm
+            FROM documents
         """,
         "event_type_bands": r"""
             WITH bands(event_type, label, lo, hi) AS (VALUES

@@ -241,6 +241,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "refresh_docs",
         "approx_value_quantiles",
         "event_type_bands",
+        "normalize_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -23,6 +23,7 @@ __all__ = [
     "repetition_scores",
     "token_ngram_windows",
     "extract_pattern",
+    "normalize_text",
 ]
 
 
@@ -515,6 +516,47 @@ def extract_pattern(
         ext = s.str.extract(compiled, expand=True)[group - 1]
         out = batch.copy()
         out[out_col] = ext.where(ext.notna(), None).astype("object")
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def normalize_text(
+    ds: ray.data.Dataset,
+    col: str = "text",
+    out_col: str = "text_norm",
+    form: str = "NFC",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+) -> ray.data.Dataset:
+    """Canonical text normalization for dedup/compare keys: Unicode
+    normalization (NFC by default — é composed vs decomposed become one
+    byte sequence), lowercasing, and whitespace-run collapse+trim.
+    Nulls stay null.
+
+    Map-only, vectorized pandas ``.str`` kernels; the standard
+    pre-pass before exact dedup or fingerprinting so byte-level
+    variants of the same text collide.  Matches DuckDB's
+    ``nfc_normalize`` / ``lower`` / ``regexp_replace(...,'\\s+',' ','g')``
+    exactly (the ``normalize_docs`` oracle).
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown Unicode normalization form: {form!r}")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd
+
+        s = batch[col].astype("object")
+        mask = s.notna()
+        t = s[mask].astype(str).str.normalize(form)
+        if lowercase:
+            t = t.str.lower()
+        if collapse_whitespace:
+            t = t.str.replace(r"\s+", " ", regex=True).str.strip()
+        out = batch.copy()
+        res = pd.Series([None] * len(batch), dtype="object", index=s.index)
+        res[mask] = t
+        out[out_col] = res
         return out
 
     return ds.map_batches(fn, batch_format="pandas")

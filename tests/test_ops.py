@@ -3961,3 +3961,32 @@ def test_interval_join_with_equality_keys():
         "WHERE p.ent IS NOT NULL AND p.v >= r.lo AND p.v < r.hi)"
     ).fetchone()[0]
     assert len(got2) == exp2
+
+
+def test_normalize_text_unicode_case_whitespace():
+    import unicodedata
+
+    from raylink.ops.text import normalize_text
+
+    composed = "café"                 # é precomposed
+    decomposed = "café"              # e + combining acute
+    df = pd.DataFrame(
+        {
+            "i": np.arange(5, dtype=np.int64),
+            "text": [composed, decomposed, "  A   B\tC  ", None, ""],
+        }
+    )
+    out = (
+        normalize_text(ray.data.from_pandas(df), col="text")
+        .to_pandas()
+        .sort_values("i", ignore_index=True)
+    )
+    norm = out["text_norm"].tolist()
+    # NFC makes the two café spellings identical
+    assert norm[0] == norm[1] == unicodedata.normalize("NFC", composed)
+    assert norm[2] == "a b c"
+    assert norm[3] is None or pd.isna(norm[3])
+    assert norm[4] == ""
+
+    with pytest.raises(ValueError):
+        normalize_text(ray.data.from_pandas(df), form="XYZ")
