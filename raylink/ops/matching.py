@@ -62,7 +62,11 @@ def mutual_best_pairs(
     """Pairs that are the argmax for BOTH endpoints — a deterministic
     1:1 assignment (every surviving ``id_a`` and ``id_b`` appears at most
     once).  Output: (id_a, id_b, score_col)."""
-    proj = pairs.select_columns([id_a, id_b, score_col])
+    # PIN the projection: the two per-endpoint argmax passes each sort
+    # this dataset, and without materialization each sort would
+    # re-execute the whole upstream (e.g. the fuzzy join that produced
+    # the candidates) — the lazy-recompute trap the multiblock ops hit
+    proj = pairs.select_columns([id_a, id_b, score_col]).materialize()
     best_a = _best_per(proj, id_a, id_b, score_col, num_partitions)
     best_b = _best_per(proj, id_b, id_a, score_col, num_partitions)
 
