@@ -70,7 +70,11 @@ def refresh_corpus(
         )
 
     if checkpoint_dir is None:
-        snapshot = build_deduped(build_merged())
+        # pin the merge result: the dedup edge scan AND the keeper
+        # semi-join both consume it, and lazily each would re-run the
+        # merge's resolution maps (the checkpointed path pins via the
+        # stage commit instead)
+        snapshot = build_deduped(build_merged().materialize())
     else:
         import hashlib as _hl
         import json as _json
