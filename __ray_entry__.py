@@ -2414,7 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 addition (bm25_docs .. refresh_docs and the session-2 ops)
     # plus the 29 late-round-2 queries CORRECTNESS_r02.json never reached
     # (redact_docs .. near_dedup_docs); block 2 re-lists the 50 entries
-    # already verified green in round 2. 105 total, 89 with full DuckDB
+    # already verified green in round 2. 108 total, 91 with full DuckDB
     # oracles (the rest approximate/EM/k-means by construction).
     return {
         # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
@@ -2606,9 +2606,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT ch.doc_id, ch.lang FROM ch WHERE ch.op = 'upsert'
         """,
         "normalize_docs": r"""
+            -- the explicit whitespace class mirrors the engine exactly:
+            -- RE2's \s is ASCII-only, so Unicode whitespace (NBSP, line
+            -- separator, CJK space) is spelled out on both sides
             SELECT doc_id::BIGINT AS doc_id,
                    trim(regexp_replace(lower(nfc_normalize(text)),
-                                       '\s+', ' ', 'g')) AS text_norm
+                        '[\t\n\x0B\x0C\r\x1C-\x1F \x{85}\x{A0}\x{1680}' ||
+                        '\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}' ||
+                        '\x{205F}\x{3000}]+', ' ', 'g'), ' ') AS text_norm
             FROM documents
         """,
         "event_type_bands": r"""

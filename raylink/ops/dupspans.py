@@ -30,46 +30,23 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import hash64_array
 from ..stages.sortedrun import count_by_key, sorted_group_scan
 
 __all__ = ["duplicate_ngram_stats"]
 
 
 def _ngram_rows(texts, ids, n: int):
-    """(doc-id, gram-key) row per valid in-document token window.
+    """(doc-id, gram-key) row per valid in-document token window —
+    the shared hashed-window kernel
+    (:func:`raylink.ops.text.token_window_hashes`), folded to the
+    repo-wide non-negative int63 scan-key domain."""
+    from .text import token_window_hashes
 
-    The window key hashes the TOKEN-HASH sequence (one SipHash pass over
-    the tokens, then ``n-1`` vectorized order-dependent combines over
-    shifted views) instead of materializing joined n-gram strings —
-    measured 3-4× cheaper on the corpus's hottest stage, with the same
-    collision guarantee (identical token sequences collide by
-    construction, distinct ones at ~2^-63)."""
-    import pandas as pd
-
-    from ..functions.hashing import combine_hashes
-
-    s = pd.Series(texts, dtype="object").fillna("").astype(str)
-    s = s.reset_index(drop=True)
-    e = s.str.split().explode()
-    e = e[e.notna()]
-    doc_pos = e.index.to_numpy()
-    tok_counts = np.zeros(len(s), dtype=np.int64)
-    if len(doc_pos):
-        np.add.at(tok_counts, doc_pos, 1)
+    doc_pos, h, tok_counts = token_window_hashes(texts, n)
     n_windows = np.maximum(tok_counts - n + 1, 0)
-    m = len(doc_pos)
-    if m >= n:
-        th = hash64_array(e.to_numpy(dtype=object))
-        k = m - n + 1
-        h = th[:k].copy()
-        for j in range(1, n):
-            h = combine_hashes(h, th[j : k + j])
-        valid = doc_pos[:k] == doc_pos[n - 1 :]
-        gkeys = (
-            h[valid] & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
-        ).astype(np.int64)
-        gram_ids = np.asarray(ids)[doc_pos[:k][valid]]
+    if len(h):
+        gkeys = (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        gram_ids = np.asarray(ids)[doc_pos]
     else:
         gkeys = np.empty(0, dtype=np.int64)
         gram_ids = np.asarray(ids)[:0]

@@ -83,6 +83,16 @@ def interval_join(
 
     p_base = _arrow_schema(points)
     r_base = _arrow_schema(ranges)
+    for k in keys:
+        pt, rt = p_base.field(k).type, r_base.field(k).type
+        if pt != rt:
+            # hash-based co-location cannot see cross-type equality
+            # (hash(5) != hash(5.0) even though 5 == 5.0): refuse loudly
+            # instead of silently dropping every cross-type match
+            raise ValueError(
+                f"key column {k!r} has different types on the two sides "
+                f"({pt} vs {rt}); cast one side before joining"
+            )
     p_fields = [(c, p_base.field(c).type) for c in point_cols]
     r_fields = [(lo_col, pa.float64()), (hi_col, pa.float64())] + [
         (c, r_base.field(c).type) for c in range_cols
@@ -98,11 +108,13 @@ def interval_join(
     def _pad(tbl_len: int, fields) -> list[pa.Array]:
         return [pa.nulls(tbl_len, type=t) for _, t in fields]
 
-    def _mix_keys(batch: pa.Table, keep: np.ndarray, bucket: np.ndarray):
-        """Fold the equality-key hash into the bucket id (equality-only
-        group key; exact key equality re-checked in-cell)."""
-        if not keys:
-            return bucket, keep
+    def _mix_keys(batch: pa.Table, rows: np.ndarray, bucket: np.ndarray):
+        """THE one hash-mix for both sides: drop null-key rows (SQL
+        equi-join), fold the equality-key hash into the bucket id
+        (equality-only group key; exact key equality re-checked
+        in-cell).  Returns ``(mixed_bucket, rows, survivor_mask)`` —
+        both sides MUST keep using this same function or keyed points
+        and ranges silently stop co-locating."""
         import pandas as pd
 
         from ..functions.hashing import combine_hashes, hash64_array
@@ -110,16 +122,17 @@ def interval_join(
         kv = [
             np.asarray(
                 batch.column(k).to_numpy(zero_copy_only=False), dtype=object
-            )[keep]
+            )[rows]
             for k in keys
         ]
         nn = ~np.logical_or.reduce([pd.isna(a) for a in kv])
-        h = hash64_array(kv[0])
+        rows, bucket = rows[nn], bucket[nn]
+        h = hash64_array(kv[0][nn])
         for a in kv[1:]:
-            h = combine_hashes(h, hash64_array(a))
+            h = combine_hashes(h, hash64_array(a[nn]))
         mixed = combine_hashes(h, bucket.astype(np.uint64))
         mixed = (mixed & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
-        return mixed[nn], keep[nn]
+        return mixed, rows, nn
 
     def tag_points(batch: pa.Table) -> pa.Table:
         v = batch.column(point_col).to_numpy(zero_copy_only=False)
@@ -127,8 +140,7 @@ def interval_join(
         keep = np.flatnonzero(np.isfinite(v))
         bucket = np.floor(v[keep] / w).astype(np.int64)
         if keys:
-            bucket, keep2 = _mix_keys(batch, keep, bucket)
-            keep = keep2
+            bucket, keep, _ = _mix_keys(batch, keep, bucket)
         arrays = [
             pa.array(bucket),
             pa.array(np.ones(len(keep), dtype=np.int8)),
@@ -170,27 +182,8 @@ def interval_join(
         bucket = (b_lo[rep] + offsets).astype(np.int64)
         rep_rows = keep[rep]
         if keys:
-            import pandas as pd
-
-            from ..functions.hashing import combine_hashes, hash64_array
-
-            kv = [
-                np.asarray(
-                    batch.column(k).to_numpy(zero_copy_only=False),
-                    dtype=object,
-                )[rep_rows]
-                for k in keys
-            ]
-            # null keys never match (SQL equi-join) — drop before mixing
-            nn = ~np.logical_or.reduce([pd.isna(a) for a in kv])
-            rep, rep_rows, bucket = rep[nn], rep_rows[nn], bucket[nn]
-            h = hash64_array(kv[0][nn])
-            for a in kv[1:]:
-                h = combine_hashes(h, hash64_array(a[nn]))
-            bucket = (
-                combine_hashes(h, bucket.astype(np.uint64))
-                & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
-            ).astype(np.int64)
+            bucket, rep_rows, nn = _mix_keys(batch, rep_rows, bucket)
+            rep = rep[nn]
         arrays = [
             pa.array(bucket),
             pa.array(np.zeros(len(rep_rows), dtype=np.int8)),

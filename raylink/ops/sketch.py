@@ -308,6 +308,20 @@ def approx_quantiles(
     if not 1 <= k:
         raise ValueError("k must be positive")
 
+    def bottom_k(h: np.ndarray, v: np.ndarray):
+        """Tie-aware bottom-k by (hash, value): duplicate ids produce
+        equal hashes, and a plain argpartition cut would then depend on
+        row order — breaking the any-parallelism determinism contract.
+        Ordering ties by value makes the selection a pure function of
+        the (hash, value) multiset."""
+        if len(h) <= k:
+            return h, v
+        t = np.partition(h, k - 1)[k - 1]
+        cand = h <= t
+        hc, vc = h[cand], v[cand]
+        order = np.lexsort((vc, hc))[:k]
+        return hc[order], vc[order]
+
     def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         ids = np.asarray(batch[id_col])
         vals = np.asarray(batch[value_col], dtype=np.float64)
@@ -318,10 +332,7 @@ def approx_quantiles(
             )
         keep = ~np.isnan(vals)
         ids, vals = ids[keep], vals[keep]
-        h = hash64_array(ids)
-        if len(h) > k:
-            idx = np.argpartition(h, k)[:k]
-            h, vals = h[idx], vals[idx]
+        h, vals = bottom_k(hash64_array(ids), vals)
         return {"h": h.astype(np.uint64), "v": vals}
 
     parts = (
@@ -331,9 +342,7 @@ def approx_quantiles(
     )
     h = parts["h"].to_numpy(dtype=np.uint64)
     v = parts["v"].to_numpy(dtype=np.float64)
-    if len(h) > k:
-        idx = np.argpartition(h, k)[:k]
-        v = v[idx]
+    _, v = bottom_k(h, v)
     if len(v) == 0:
         return pd.DataFrame({"q_e4": [], "value": []}).astype(
             {"q_e4": "int64", "value": "float64"}

@@ -3990,3 +3990,62 @@ def test_normalize_text_unicode_case_whitespace():
 
     with pytest.raises(ValueError):
         normalize_text(ray.data.from_pandas(df), form="XYZ")
+
+
+def test_review_round2_regressions():
+    import duckdb
+
+    # 1. keyed interval join refuses cross-type key columns loudly
+    from raylink.ops.intervaljoin import interval_join
+
+    pts = ray.data.from_pandas(
+        pd.DataFrame({"v": [5.0], "ent": [5.0]})
+    )
+    rgs = ray.data.from_pandas(
+        pd.DataFrame({"ent": np.array([5], dtype=np.int64),
+                      "lo": [0.0], "hi": [10.0]})
+    )
+    with pytest.raises(ValueError, match="different types"):
+        interval_join(pts, rgs, point_col="v", keys=["ent"],
+                      bucket_width=10.0)
+
+    # 2. normalize_text matches the RE2 oracle on UNICODE whitespace
+    import re
+
+    from raylink.ops.text import normalize_text
+
+    ws_all = "".join(
+        chr(c) for c in range(0x3200) if re.fullmatch(r"\s", chr(c))
+    )
+    df = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a\xa0b\x0bc", "q" + ws_all + "r"]}
+    )
+    got = (
+        normalize_text(ray.data.from_pandas(df), col="text")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(r"""
+        SELECT trim(regexp_replace(lower(nfc_normalize(text)),
+            '[\t\n\x0B\x0C\r\x1C-\x1F \x{85}\x{A0}\x{1680}' ||
+            '\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+            ' ', 'g'), ' ') AS t FROM documents ORDER BY doc_id""").df()
+    assert got["text_norm"].tolist() == exp["t"].tolist() == ["a b c", "q r"]
+
+    # 3. approx_quantiles is row-order independent even with duplicate
+    # ids (ties at the bottom-k cut resolve by value)
+    from raylink.ops.sketch import approx_quantiles
+
+    rng = np.random.default_rng(4)
+    ids = np.arange(3000, dtype=np.int64)
+    ids[1500] = ids[7]  # duplicate id, different value
+    df2 = pd.DataFrame({"id": ids, "v": rng.uniform(0, 100, 3000)})
+    a = approx_quantiles(ray.data.from_pandas(df2), "v", "id", k=256)
+    b = approx_quantiles(
+        ray.data.from_pandas(df2.iloc[::-1].reset_index(drop=True))
+        .repartition(7),
+        "v", "id", k=256,
+    )
+    pd.testing.assert_frame_equal(a, b)
