@@ -2429,7 +2429,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_events": _q_validate_events,
         "apply_changes_docs": _q_apply_changes_docs,
         "refresh_docs": _q_refresh_docs,
-        "approx_value_quantiles": _q_approx_value_quantiles,
         "dup_span_docs": _q_dup_span_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "winsorized_events": _q_winsorized_events,
@@ -2438,7 +2437,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_logprob": _q_doc_logprob,
         "trigram_counts": _q_trigram_counts,
         "qty_discount_corr": _q_qty_discount_corr,
-        "semantic_dedup_embeddings": _q_semantic_dedup,
         "lang_top_sources": _q_lang_top_sources,
         "cust_supp_mutual_best": _q_cust_supp_mutual_best,
         "user_profile": _q_user_profile,
@@ -2455,8 +2453,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": _q_split_docs,
         "pivot_events": _q_pivot_events,
         "label_centroids": _q_label_centroids,
-        "kmeans_embeddings": _q_kmeans_embeddings,
-        "pca_embeddings": _q_pca_embeddings,
         "rank_docs": _q_rank_docs,
         "sample_docs_k": _q_sample_docs_k,
         "lag_events": _q_lag_events,
@@ -2470,12 +2466,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": _q_hopping_window_events,
         "supplier_simjoin": _q_supplier_simjoin,
         "cust_supp_simjoin": _q_cust_supp_simjoin,
-        "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
         "new_docs_unseen": _q_new_docs_unseen,
+        "event_row_numbers": _q_event_row_numbers,
+        # --- block 1 tail: never-verified entries that either have
+        # no SQL oracle (approx/EM/k-means by construction — a
+        # rows-only driver row proves little) or whose oracle
+        # machinery is already covered by a hash-green sibling
+        # (weighted/budget sampling share the verified MINSTD hash) —
+        # kept AFTER every oracled never-verified entry so a bounded
+        # driver prefix spends its budget where it proves the most ---
+        "approx_value_quantiles": _q_approx_value_quantiles,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "pca_embeddings": _q_pca_embeddings,
+        "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
+        "near_dedup_docs": _q_near_dedup_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "budget_sample_docs": _q_budget_sample_docs,
-        "event_row_numbers": _q_event_row_numbers,
-        "near_dedup_docs": _q_near_dedup_docs,
         # --- block 2: verified green in CORRECTNESS_r02.json ---
         "block_keys": _q_block_keys,
         "block_pair_counts": _q_block_pair_counts,
