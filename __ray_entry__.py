@@ -2081,6 +2081,22 @@ def _q_corpus_diff(sf_dir: str):
     return snapshot_diff(old, docs, num_partitions=8)
 
 
+def _q_range_sum_events(sf_dir: str):
+    """Time-RANGE rolling sum: per user, the sum of event values in the
+    trailing 1-hour window (SQL RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW, peer-inclusive), e4 fixed point."""
+    from raylink.ops.lag import group_rolling_sum_range
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    out = group_rolling_sum_range(
+        ev, "user_id", "ts", "value", window_us=3_600_000_000,
+        num_partitions=8,
+    )
+    return out.select_columns(["event_id", "range_sum_e4"])
+
+
 def _q_normalize_docs(sf_dir: str):
     """Canonical text normalization (NFC + lower + whitespace collapse)
     — the pre-pass that makes byte-level variants collide in dedup."""
@@ -2425,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff_docs": _q_corpus_diff,
         "extract_docs": _q_extract_docs,
         "normalize_docs": _q_normalize_docs,
+        "range_sum_events": _q_range_sum_events,
         "event_type_bands": _q_event_type_bands,
         "validate_events": _q_validate_events,
         "apply_changes_docs": _q_apply_changes_docs,
@@ -2611,6 +2628,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = d.doc_id)
             UNION ALL
             SELECT ch.doc_id, ch.lang FROM ch WHERE ch.op = 'upsert'
+        """,
+        "range_sum_events": r"""
+            SELECT event_id::BIGINT AS event_id,
+                   SUM(floor(value * 10000 + 0.5)::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW)::BIGINT AS range_sum_e4
+            FROM events
         """,
         "normalize_docs": r"""
             -- the explicit whitespace class mirrors the engine exactly:

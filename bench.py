@@ -242,6 +242,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "approx_value_quantiles",
         "event_type_bands",
         "normalize_docs",
+        "range_sum_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -54,7 +54,12 @@ from .ops.canonical import (  # noqa: F401
 )
 from .ops.joins import broadcast_join, hash_join  # noqa: F401
 from .ops.multiblock import multi_rule_pairs, multi_rule_pairs_link  # noqa: F401
-from .ops.lag import group_lag, group_rolling_sum, group_running_sum  # noqa: F401
+from .ops.lag import (  # noqa: F401
+    group_lag,
+    group_rolling_sum,
+    group_rolling_sum_range,
+    group_running_sum,
+)
 from .ops.pack import pack_sequences  # noqa: F401
 from .ops.strcat import grouped_concat  # noqa: F401
 from .ops.sample import (  # noqa: F401

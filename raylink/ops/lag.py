@@ -39,7 +39,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["group_lag", "group_running_sum", "group_rolling_sum"]
+__all__ = ["group_lag", "group_running_sum", "group_rolling_sum", "group_rolling_sum_range"]
 
 
 def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
@@ -231,6 +231,93 @@ def group_rolling_sum(
     def empty_fn(batch: dict[str, np.ndarray]) -> dict:
         out = {c: np.asarray(batch[c])[:0] for c in cols}
         out[out_col] = np.empty(0, dtype=np.int64)
+        return out
+
+    return sorted_group_scan(
+        ds, group_col, group_fn, empty_fn, num_partitions,
+        out_schema=out_schema,
+    )
+
+
+def group_rolling_sum_range(
+    ds: ray.data.Dataset,
+    group_col: str,
+    ts_col: str,
+    val_col: str,
+    window_us: int,
+    out_col: str = "range_sum_e4",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Append the per-group TIME-range rolling sum — SQL
+    ``SUM(floor(v*10000+0.5)::BIGINT) OVER (PARTITION BY group ORDER BY
+    ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)`` — the
+    value-based frame :func:`group_rolling_sum` (ROWS-k) cannot
+    express: each row sums every group row with
+    ``ts in [ts_i - window_us, ts_i]``, INCLUDING later-ordered peers
+    that share ``ts_i`` exactly (SQL RANGE peer semantics, pinned by
+    the oracle).  An all-null frame yields NULL, matching ``SUM``.
+
+    One sort exchange; per group the frame bounds come from two
+    ``searchsorted`` passes over the epoch-microsecond timestamps and
+    the sums from one cumsum difference — O(n log n) in the group, no
+    per-row Python.  Rows with a null timestamp are refused loudly
+    (SQL leaves their frame undefined-ish; an explicit filter upstream
+    beats a silent convention).
+    """
+    if window_us < 0:
+        raise ValueError(f"window_us must be >= 0, got {window_us}")
+    cols = list(ds.schema().names)
+    base = _arrow_schema(ds)
+    out_schema = pa.schema(list(base) + [pa.field(out_col, pa.int64())])
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        import pandas as pd
+
+        raw = np.asarray(batch[ts_col])
+        # NaT converts to INT64_MIN through the integral path — catch
+        # BEFORE conversion so a null timestamp cannot silently become
+        # an ancient epoch
+        bad = (
+            np.isnat(raw).any()
+            if np.issubdtype(raw.dtype, np.datetime64)
+            else pd.isna(raw).any()
+        )
+        if bad:
+            raise ValueError(
+                f"null timestamps in {ts_col!r}: filter them before a "
+                "RANGE window (SQL peer frames are undefined for NULL "
+                "ordering keys)"
+            )
+        ts_raw, ts_int = _as_numeric(raw)
+        if not ts_int:
+            ts_raw = ts_raw.astype(np.int64)
+        idx = np.argsort(ts_raw, kind="stable")
+        out = {c: np.asarray(batch[c])[idx] for c in cols}
+        ts = ts_raw[idx]
+        v, integral = _as_numeric(out[val_col])
+        if integral:
+            e4 = _fixed_e4(v, True)
+            nn = np.ones(len(v), dtype=np.int64)
+        else:
+            isnan = np.isnan(v)
+            e4 = _fixed_e4(np.where(isnan, 0.0, v), False)
+            e4[isnan] = 0
+            nn = (~isnan).astype(np.int64)
+        c = np.concatenate(([0], np.cumsum(e4)))
+        cn = np.concatenate(([0], np.cumsum(nn)))
+        # frame = [ts_i - window, ts_i] inclusive of ALL equal-ts peers
+        lo = np.searchsorted(ts, ts - window_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        sums = c[hi] - c[lo]
+        counts = cn[hi] - cn[lo]
+        res = sums.astype(object)
+        res[counts == 0] = None
+        out[out_col] = res
+        return out
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        out = {c: np.asarray(batch[c])[:0] for c in cols}
+        out[out_col] = np.empty(0, dtype=object)
         return out
 
     return sorted_group_scan(

@@ -4049,3 +4049,60 @@ def test_review_round2_regressions():
         "v", "id", k=256,
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_group_rolling_sum_range_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.lag import group_rolling_sum_range
+
+    # ties (peer rows), gaps larger than the window, NaN values
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 00:00:00", "2026-01-01 00:30:00",
+            "2026-01-01 00:30:00", "2026-01-01 02:00:00",  # gap > 1h
+            "2026-01-01 02:30:00",
+            "2026-01-01 00:10:00", "2026-01-01 00:50:00",
+        ]
+    )
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(7, dtype=np.int64),
+            "u": [1, 1, 1, 1, 1, 2, 2],
+            "ts": ts,
+            "v": [1.0, 2.0, 4.0, 8.0, 16.0, np.nan, 5.0],
+        }
+    )
+    got = (
+        group_rolling_sum_range(
+            ray.data.from_pandas(df), "u", "ts", "v",
+            window_us=3_600_000_000, num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("eid", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT eid, SUM(floor(v*10000+0.5)::BIGINT) OVER (
+            PARTITION BY u ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )::BIGINT AS s FROM t ORDER BY eid""").df()
+    g = [None if pd.isna(x) else int(x) for x in got["range_sum_e4"]]
+    e = [None if pd.isna(x) else int(x) for x in exp["s"]]
+    assert g == e
+    # peers: the two 00:30 rows (eid 1, 2) must BOTH include each other
+    assert g[1] == g[2] == 10000 + 20000 + 40000
+
+    # null timestamps refused loudly
+    dfn = df.copy()
+    dfn.loc[0, "ts"] = pd.NaT
+    with pytest.raises(Exception, match="timestamp"):
+        group_rolling_sum_range(
+            ray.data.from_pandas(dfn), "u", "ts", "v",
+            window_us=3_600_000_000,
+        ).materialize()
+    with pytest.raises(ValueError):
+        group_rolling_sum_range(
+            ray.data.from_pandas(df), "u", "ts", "v", window_us=-1
+        )
