@@ -2081,6 +2081,17 @@ def _q_corpus_diff(sf_dir: str):
     return snapshot_diff(old, docs, num_partitions=8)
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """GPT-2-style pre-token counts per document (the BPE-ish regex
+    counter next to the whitespace counter; explicit ASCII classes so
+    Python re and DuckDB RE2 tokenize byte-identically)."""
+    from raylink.ops.text import with_bpe_token_counts
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = with_bpe_token_counts(docs)
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def _q_range_sum_events(sf_dir: str):
     """Time-RANGE rolling sum: per user, the sum of event values in the
     trailing 1-hour window (SQL RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
@@ -2442,6 +2453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs": _q_extract_docs,
         "normalize_docs": _q_normalize_docs,
         "range_sum_events": _q_range_sum_events,
+        "bpe_token_counts": _q_bpe_token_counts,
         "event_type_bands": _q_event_type_bands,
         "validate_events": _q_validate_events,
         "apply_changes_docs": _q_apply_changes_docs,
@@ -2628,6 +2640,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = d.doc_id)
             UNION ALL
             SELECT ch.doc_id, ch.lang FROM ch WHERE ch.op = 'upsert'
+        """,
+        "bpe_token_counts": r"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\x0B\x0C]+'
+                       || '|[ \t\n\r\x0B\x0C]+'))::BIGINT AS n_bpe_tokens
+            FROM documents
         """,
         "range_sum_events": r"""
             SELECT event_id::BIGINT AS event_id,

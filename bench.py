@@ -243,6 +243,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "event_type_bands",
         "normalize_docs",
         "range_sum_events",
+        "bpe_token_counts",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -89,7 +89,7 @@ from .ops.search import bm25_topk  # noqa: F401
 from .ops.bloom import bloom_from_ngrams, mark_contaminated_bloom  # noqa: F401
 from .ops.intervaljoin import interval_join  # noqa: F401
 from .ops.diff import snapshot_diff  # noqa: F401
-from .ops.text import extract_pattern, normalize_text  # noqa: F401
+from .ops.text import extract_pattern, normalize_text, with_bpe_token_counts  # noqa: F401
 from .ops.validate import expect_rules  # noqa: F401
 from .ops.cdc import apply_changes  # noqa: F401
 from .pipelines.semdedup import semantic_dedup  # noqa: F401

@@ -25,6 +25,8 @@ __all__ = [
     "token_window_hashes",
     "extract_pattern",
     "normalize_text",
+    "with_bpe_token_counts",
+    "BPE_PRETOKEN_PATTERN",
 ]
 
 
@@ -611,3 +613,45 @@ def normalize_text(
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# GPT-2-style pre-tokenizer, RE2-compatible subset: letter runs, digit
+# runs, punctuation runs (each absorbing one leading space), whitespace
+# runs.  Explicit ASCII whitespace class — NOT \s — so the engine
+# (Python re, Unicode \s) and the SQL oracle (RE2, ASCII \s) tokenize
+# byte-identically; non-ASCII whitespace lands in the punctuation class
+# on BOTH sides.
+BPE_PRETOKEN_PATTERN = (
+    r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\x0b\x0c]+"
+    r"|[ \t\n\r\x0b\x0c]+"
+)
+
+
+def with_bpe_token_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> ray.data.Dataset:
+    """Per-document count of BPE-style PRE-tokens (the GPT-2 pretokenizer
+    shape: a subword tokenizer splits within these, never across them) —
+    the standard cheap proxy for real tokenizer counts when sizing
+    training mixes, next to the whitespace counter
+    (:func:`with_token_counts`).  Null text counts 0.
+
+    Map-only; one compiled-regex ``str.findall``-length pass per batch.
+    """
+    import re as _re
+
+    compiled = _re.compile(BPE_PRETOKEN_PATTERN)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(
+            batch.column(text_col).to_numpy(zero_copy_only=False),
+            dtype="object",
+        ).fillna("")
+        n = s.str.count(compiled).to_numpy(dtype=np.int64)
+        return batch.append_column(out_col, pa.array(n, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

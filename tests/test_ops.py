@@ -4106,3 +4106,43 @@ def test_group_rolling_sum_range_matches_duckdb():
         group_rolling_sum_range(
             ray.data.from_pandas(df), "u", "ts", "v", window_us=-1
         )
+
+
+def test_with_bpe_token_counts_matches_duckdb_and_findall():
+    import re
+
+    import duckdb
+
+    from raylink.ops.text import BPE_PRETOKEN_PATTERN, with_bpe_token_counts
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "Hello, world! 42 foo_bar  x",
+                "a\tb\nc\xa0d",       # tabs/newlines ASCII-ws; NBSP -> punct
+                None,
+                "",
+                "CamelCase123!!!",
+            ],
+        }
+    )
+    got = (
+        with_bpe_token_counts(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")["n_bpe_tokens"]
+        .tolist()
+    )
+    exp_py = [
+        len(re.findall(BPE_PRETOKEN_PATTERN, t or "")) for t in df["text"]
+    ]
+    assert got == exp_py
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp_sql = con.execute(
+        "SELECT len(regexp_extract_all(coalesce(text,''), ?))::BIGINT "
+        "FROM documents ORDER BY doc_id",
+        [BPE_PRETOKEN_PATTERN],
+    ).df().iloc[:, 0].tolist()
+    assert got == exp_sql
+    assert got[0] == 10 and got[2] == 0 and got[3] == 0
