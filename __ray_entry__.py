@@ -2479,7 +2479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": _q_curate_docs,
         "zscore_events": _q_zscore_events,
         "docs_above_median": _q_docs_above_median,
-        "split_docs": _q_split_docs,
+        "event_row_numbers": _q_event_row_numbers,
         "pivot_events": _q_pivot_events,
         "label_centroids": _q_label_centroids,
         "rank_docs": _q_rank_docs,
@@ -2496,7 +2496,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_simjoin": _q_supplier_simjoin,
         "cust_supp_simjoin": _q_cust_supp_simjoin,
         "new_docs_unseen": _q_new_docs_unseen,
-        "event_row_numbers": _q_event_row_numbers,
         # --- block 1 tail: never-verified entries that either have
         # no SQL oracle (approx/EM/k-means by construction — a
         # rows-only driver row proves little) or whose oracle
@@ -2510,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca_embeddings,
         "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
         "near_dedup_docs": _q_near_dedup_docs,
+        "split_docs": _q_split_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "budget_sample_docs": _q_budget_sample_docs,
         # --- block 2: verified green in CORRECTNESS_r02.json ---
