@@ -289,8 +289,17 @@ def group_rolling_sum_range(
                 "ordering keys)"
             )
         ts_raw, ts_int = _as_numeric(raw)
-        if not ts_int:
+        if ts_int and ts_raw.dtype.kind == "u":
+            # unsigned wraps under `ts - window` (stays unsigned):
+            # move to int64, refusing the values that cannot
+            if len(ts_raw) and int(ts_raw.max()) >= 2**63:
+                raise ValueError(
+                    f"{ts_col!r} has uint64 values beyond int64 range"
+                )
             ts_raw = ts_raw.astype(np.int64)
+        # float timestamps stay float: truncating to int64 would merge
+        # distinct fractional instants into RANGE peers (searchsorted
+        # and the window arithmetic work identically on float64)
         idx = np.argsort(ts_raw, kind="stable")
         out = {c: np.asarray(batch[c])[idx] for c in cols}
         ts = ts_raw[idx]
@@ -310,9 +319,12 @@ def group_rolling_sum_range(
         hi = np.searchsorted(ts, ts, side="right")
         sums = c[hi] - c[lo]
         counts = cn[hi] - cn[lo]
-        res = sums.astype(object)
-        res[counts == 0] = None
-        out[out_col] = res
+        if (counts == 0).any():  # only NULL-bearing groups pay the
+            res = sums.astype(object)  # object-array boxing
+            res[counts == 0] = None
+            out[out_col] = res
+        else:
+            out[out_col] = sums
         return out
 
     def empty_fn(batch: dict[str, np.ndarray]) -> dict:

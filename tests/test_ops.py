@@ -4146,3 +4146,77 @@ def test_with_bpe_token_counts_matches_duckdb_and_findall():
     ).df().iloc[:, 0].tolist()
     assert got == exp_sql
     assert got[0] == 10 and got[2] == 0 and got[3] == 0
+
+
+def test_rolling_range_float_and_unsigned_ts():
+    from raylink.ops.lag import group_rolling_sum_range
+
+    # float timestamps keep their fractional identity (no peer merge)
+    df = pd.DataFrame(
+        {
+            "eid": [0, 1],
+            "u": [1, 1],
+            "ts": [0.4, 0.6],
+            "v": [1.0, 2.0],
+        }
+    )
+    got = (
+        group_rolling_sum_range(
+            ray.data.from_pandas(df), "u", "ts", "v", window_us=0,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("eid")["range_sum_e4"]
+        .tolist()
+    )
+    assert got == [10000, 20000]  # NOT peers
+
+    # unsigned timestamps don't wrap under ts - window
+    df2 = pd.DataFrame(
+        {
+            "eid": [0, 1],
+            "u": [1, 1],
+            "ts": np.array([10, 20], dtype=np.uint64),
+            "v": [1.0, 2.0],
+        }
+    )
+    got2 = (
+        group_rolling_sum_range(
+            ray.data.from_pandas(df2), "u", "ts", "v", window_us=100,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("eid")["range_sum_e4"]
+        .tolist()
+    )
+    assert got2 == [10000, 30000]
+
+
+def test_bpe_oracle_literal_matches_engine_pattern():
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["Hello, world! 42", "a\xa0b\tc", None],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    # run the ACTUAL oracle SQL (its hand-written pattern literal) so a
+    # drift between it and BPE_PRETOKEN_PATTERN fails here, not at the
+    # driver gate
+    exp = con.execute(
+        entrymod.oracle_sql()["bpe_token_counts"] + " ORDER BY doc_id"
+    ).df()["n_bpe_tokens"].tolist()
+    from raylink.ops.text import with_bpe_token_counts
+
+    got = (
+        with_bpe_token_counts(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")["n_bpe_tokens"]
+        .tolist()
+    )
+    assert got == exp
