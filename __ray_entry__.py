@@ -2081,6 +2081,36 @@ def _q_corpus_diff(sf_dir: str):
     return snapshot_diff(old, docs, num_partitions=8)
 
 
+def _q_decayed_events(sf_dir: str):
+    """Per-user exponentially-decayed event-value sum (1-hour half
+    life) — an iterative aggregate with no reliable SQL spelling (the
+    O(n²) theta-join oracle drifts in float ulps), so rows-only here;
+    bench.py grades max relative error vs the brute-force sum
+    (~1e-12).  Emitted in e4 fixed point for a stable schema."""
+    from raylink.ops.lag import group_decayed_sum
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    out = group_decayed_sum(
+        ev, "user_id", "ts", "value", half_life_us=3.6e9,
+        num_partitions=8,
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        s = t.column("decayed_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "decayed_e4": pa.array(
+                    np.floor(np.asarray(s) * 1e4 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_bpe_token_counts(sf_dir: str):
     """GPT-2-style pre-token counts per document (the BPE-ish regex
     counter next to the whitespace counter; explicit ASCII classes so
@@ -2509,6 +2539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca_embeddings,
         "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
         "near_dedup_docs": _q_near_dedup_docs,
+        "decayed_events": _q_decayed_events,
         "split_docs": _q_split_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "budget_sample_docs": _q_budget_sample_docs,

@@ -244,6 +244,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "normalize_docs",
         "range_sum_events",
         "bpe_token_counts",
+        "decayed_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -523,6 +524,41 @@ def run_quality_grades(sf_dir: str) -> dict:
         for _, r in hll.iterrows()
     ]
     out["hll_max_rel_error"] = round(float(max(errs)), 4)
+
+    # --- decayed sum vs brute force ---------------------------------------
+    from raylink.ops.lag import group_decayed_sum
+
+    evd = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    dec = (
+        group_decayed_sum(
+            evd, "user_id", "ts", "value", half_life_us=3.6e9
+        )
+        .select_columns(["event_id", "user_id", "ts", "value", "decayed_sum"])
+        .to_pandas()
+    )
+    rel_errs = []
+    for _, grp in dec.groupby("user_id"):
+        t = grp["ts"].to_numpy("datetime64[us]").astype(np.int64).astype(float)
+        v = grp["value"].to_numpy(dtype=np.float64)
+        s = grp["decayed_sum"].to_numpy(dtype=np.float64)
+        order = np.argsort(t, kind="stable")
+        t, v, s = t[order], v[order], s[order]
+        # brute force is O(n^2): grade a STRICT-timestamp prefix per
+        # group (every frame member of a kept row is also kept; the cut
+        # sits strictly between timestamps so tie runs stay whole)
+        if len(t) > 1500:
+            cut_ts = t[1500]
+            keep = t < cut_ts
+            t, v, s = t[keep], v[keep], s[keep]
+        w = 0.5 ** ((t[:, None] - t[None, :]) / 3.6e9)
+        w[t[:, None] < t[None, :]] = 0.0
+        brute = w @ v
+        denom = np.maximum(np.abs(brute), 1e-9)
+        rel_errs.append(np.max(np.abs(s - brute) / denom))
+    out["decayed_sum_max_rel_err"] = float(f"{max(rel_errs):.2e}")
 
     # --- sampled approx quantiles vs exact --------------------------------
     from raylink.ops.sketch import approx_quantiles

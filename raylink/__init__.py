@@ -58,6 +58,7 @@ from .ops.lag import (  # noqa: F401
     group_lag,
     group_rolling_sum,
     group_rolling_sum_range,
+    group_decayed_sum,
     group_running_sum,
 )
 from .ops.pack import pack_sequences  # noqa: F401

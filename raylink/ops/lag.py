@@ -39,7 +39,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["group_lag", "group_running_sum", "group_rolling_sum", "group_rolling_sum_range"]
+__all__ = ["group_lag", "group_running_sum", "group_rolling_sum", "group_rolling_sum_range", "group_decayed_sum"]
 
 
 def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
@@ -330,6 +330,108 @@ def group_rolling_sum_range(
     def empty_fn(batch: dict[str, np.ndarray]) -> dict:
         out = {c: np.asarray(batch[c])[:0] for c in cols}
         out[out_col] = np.empty(0, dtype=object)
+        return out
+
+    return sorted_group_scan(
+        ds, group_col, group_fn, empty_fn, num_partitions,
+        out_schema=out_schema,
+    )
+
+
+def group_decayed_sum(
+    ds: ray.data.Dataset,
+    group_col: str,
+    ts_col: str,
+    val_col: str,
+    half_life_us: float,
+    out_col: str = "decayed_sum",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-group exponentially-decayed sum — the recency-weighted
+    engagement/activity score::
+
+        s_i = sum_{j: ts_j <= ts_i} v_j * 0.5 ** ((ts_i - ts_j) / half_life)
+
+    peer-inclusive on exact timestamp ties (rows sharing ``ts_i`` see
+    each other, the RANGE-frame convention).  An ITERATIVE aggregate —
+    SQL's only exact spelling is an O(n²) theta self-join, and a
+    recurrence evaluated in a different order drifts in the last float
+    ulps, so this op ships with a brute-force parity test and a bench
+    grade instead of a hash oracle.
+
+    One sort exchange; within each group the recurrence is vectorized
+    with segmented renormalization: weights ``exp((t - t_base)/tau)``
+    stay in float64 range by restarting the base whenever the segment
+    span exceeds ~80·tau (the carry across a restart decays through a
+    directly-computed ``exp(-gap/tau)``, which only ever UNDERFLOWS to
+    the mathematically-correct 0).  Output is deterministic at any
+    parallelism.  Null timestamps are refused; null values contribute 0
+    but still emit their row.
+    """
+    if half_life_us <= 0:
+        raise ValueError("half_life_us must be positive")
+    tau = float(half_life_us) / np.log(2.0)
+    cols = list(ds.schema().names)
+    base = _arrow_schema(ds)
+    out_schema = pa.schema(list(base) + [pa.field(out_col, pa.float64())])
+    _SPAN = 80.0  # exp(80) ~ 5.5e34: comfortably inside float64
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        import pandas as pd
+
+        raw = np.asarray(batch[ts_col])
+        bad = (
+            np.isnat(raw).any()
+            if np.issubdtype(raw.dtype, np.datetime64)
+            else pd.isna(raw).any()
+        )
+        if bad:
+            raise ValueError(f"null timestamps in {ts_col!r}")
+        ts_raw, ts_int = _as_numeric(raw)
+        ts_f = ts_raw.astype(np.float64)
+        idx = np.argsort(ts_f, kind="stable")
+        out = {c: np.asarray(batch[c])[idx] for c in cols}
+        t = ts_f[idx]
+        v = np.asarray(
+            pd.to_numeric(pd.Series(out[val_col]), errors="coerce"),
+            dtype=np.float64,
+        )
+        v = np.nan_to_num(v, nan=0.0)
+        n = len(t)
+        s = np.empty(n, dtype=np.float64)
+        # segment starts: restart the weight base when the span from the
+        # current base exceeds _SPAN * tau
+        starts = [0]
+        base_t = t[0] if n else 0.0
+        for i in range(1, n):
+            if (t[i] - base_t) / tau > _SPAN:
+                starts.append(i)
+                base_t = t[i]
+        starts.append(n)
+        carry = 0.0  # decayed sum just after the previous segment's end
+        carry_t = -np.inf
+        for a, b in zip(starts[:-1], starts[1:]):
+            seg_t, seg_v = t[a:b], v[a:b]
+            w = np.exp((seg_t - seg_t[0]) / tau)
+            c = np.cumsum(seg_v * w)
+            # peer-inclusive: each row reads the cumsum at the END of
+            # its tie run
+            hi = np.searchsorted(seg_t, seg_t, side="right") - 1
+            with np.errstate(under="ignore"):
+                decay_in = (
+                    np.exp(-(seg_t - carry_t) / tau)
+                    if np.isfinite(carry_t)
+                    else np.zeros(b - a)
+                )
+                s[a:b] = c[hi] / w + carry * decay_in
+            carry = float(s[b - 1])
+            carry_t = float(seg_t[-1])
+        out[out_col] = s
+        return out
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        out = {c: np.asarray(batch[c])[:0] for c in cols}
+        out[out_col] = np.empty(0, dtype=np.float64)
         return out
 
     return sorted_group_scan(

@@ -4220,3 +4220,70 @@ def test_bpe_oracle_literal_matches_engine_pattern():
         .tolist()
     )
     assert got == exp
+
+
+def test_group_decayed_sum_matches_bruteforce():
+    from raylink.ops.lag import group_decayed_sum
+
+    rng = np.random.default_rng(12)
+    n = 400
+    # spans far beyond 80*tau to force segmented renormalization, plus
+    # exact-timestamp ties
+    ts = np.sort(rng.integers(0, 10_000_000, n)).astype(np.int64)
+    ts[50] = ts[49]
+    ts[300] = ts[299]
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "u": rng.integers(0, 3, n),
+            "ts": ts,
+            "v": rng.uniform(-2, 5, n),
+        }
+    )
+    half_life = 1000.0  # tau*80 << span -> many segments
+    got = (
+        group_decayed_sum(
+            ray.data.from_pandas(df), "u", "ts", "v",
+            half_life_us=half_life, num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("eid", ignore_index=True)
+    )
+    # brute force: s_i = sum_{t_j <= t_i, same group} v_j * 0.5^(dt/hl)
+    exp = np.zeros(n)
+    for g in df["u"].unique():
+        m = df["u"] == g
+        t_g = df.loc[m, "ts"].to_numpy(dtype=np.float64)
+        v_g = df.loc[m, "v"].to_numpy()
+        idx = df.index[m].to_numpy()
+        for i, (ti, _) in enumerate(zip(t_g, v_g)):
+            w = np.where(t_g <= ti, 0.5 ** ((ti - t_g) / half_life), 0.0)
+            exp[idx[i]] = float((v_g * w).sum())
+    got_s = got.sort_values("eid")["decayed_sum"].to_numpy()
+    assert np.allclose(got_s, exp, rtol=1e-9, atol=1e-12)
+
+    # deterministic at other parallelism / input order
+    got2 = (
+        group_decayed_sum(
+            ray.data.from_pandas(df.iloc[::-1].reset_index(drop=True))
+            .repartition(7),
+            "u", "ts", "v", half_life_us=half_life, num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values("eid", ignore_index=True)
+    )
+    assert np.array_equal(
+        got["decayed_sum"].to_numpy(), got2["decayed_sum"].to_numpy()
+    )
+
+    with pytest.raises(ValueError):
+        group_decayed_sum(
+            ray.data.from_pandas(df), "u", "ts", "v", half_life_us=0
+        )
+    dfn = df.copy()
+    dfn["ts"] = pd.to_datetime(dfn["ts"], unit="us")
+    dfn.loc[0, "ts"] = pd.NaT
+    with pytest.raises(Exception, match="null timestamps"):
+        group_decayed_sum(
+            ray.data.from_pandas(dfn), "u", "ts", "v", half_life_us=1e6
+        ).materialize()
