@@ -2081,6 +2081,21 @@ def _q_corpus_diff(sf_dir: str):
     return snapshot_diff(old, docs, num_partitions=8)
 
 
+def _q_event_quartiles(sf_dir: str):
+    """SQL NTILE(4): equal-frequency value-quartile labels per event
+    type (deterministic via the event_id tiebreaker)."""
+    from raylink.ops.rank import group_ntile
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "event_type", "value"]
+    )
+    out = group_ntile(
+        ev, "event_type", ["value", "event_id"], k=4,
+        out_col="quartile", num_partitions=8,
+    )
+    return out.select_columns(["event_id", "quartile"])
+
+
 def _q_decayed_events(sf_dir: str):
     """Per-user exponentially-decayed event-value sum (1-hour half
     life) — an iterative aggregate with no reliable SQL spelling (the
@@ -2484,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": _q_normalize_docs,
         "range_sum_events": _q_range_sum_events,
         "bpe_token_counts": _q_bpe_token_counts,
+        "event_quartiles": _q_event_quartiles,
         "event_type_bands": _q_event_type_bands,
         "validate_events": _q_validate_events,
         "apply_changes_docs": _q_apply_changes_docs,
@@ -2671,6 +2687,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = d.doc_id)
             UNION ALL
             SELECT ch.doc_id, ch.lang FROM ch WHERE ch.op = 'upsert'
+        """,
+        "event_quartiles": r"""
+            SELECT event_id::BIGINT AS event_id,
+                   NTILE(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id)::BIGINT
+                       AS quartile
+            FROM events
         """,
         "bpe_token_counts": r"""
             SELECT doc_id::BIGINT AS doc_id,

@@ -245,6 +245,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "range_sum_events",
         "bpe_token_counts",
         "decayed_events",
+        "event_quartiles",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -77,7 +77,7 @@ from .ops.simjoin import similarity_link_join, similarity_self_join  # noqa: F40
 from .ops.sketch import approx_distinct, approx_quantiles, frequent_items  # noqa: F401
 from .ops.transitions import transition_counts  # noqa: F401
 from .ops.window import hopping_window_agg, tumbling_window_agg  # noqa: F401
-from .ops.rank import keep_top_fraction  # noqa: F401
+from .ops.rank import group_ntile, keep_top_fraction  # noqa: F401
 from .ops.quantiles import clip_to_group_quantiles, grouped_quantiles  # noqa: F401
 from .ops.tfidf import tfidf_top_terms, unigram_logprob  # noqa: F401
 from .ops.histogram import grouped_histogram  # noqa: F401

@@ -14,12 +14,13 @@ single float division rounds identically in both engines).
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["group_percent_rank", "group_row_number", "keep_top_fraction"]
+__all__ = ["group_ntile", "group_percent_rank", "group_row_number", "keep_top_fraction"]
 
 
 def group_percent_rank(
@@ -144,4 +145,62 @@ def group_row_number(
 
     return sorted_group_scan(
         ds, group_col, group_fn, empty_fn, num_partitions
+    )
+
+
+def group_ntile(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    k: int,
+    out_col: str = "ntile",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Append SQL ``NTILE(k) OVER (PARTITION BY group ORDER BY
+    order_cols)`` — equal-frequency bucket labels (quartiles, deciles)
+    per group, the categorical form of the quantile features next to
+    :func:`keep_top_fraction` / percent rank.  Exact SQL semantics: the
+    first ``n % k`` buckets get ``ceil(n/k)`` rows, the rest
+    ``floor(n/k)``; pass a unique tiebreaker in ``order_cols`` or tied
+    rows land in engine-dependent buckets (same caveat as SQL).
+
+    One sort exchange; per group one lexsort + integer arithmetic.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = list(ds.schema().names)
+    from .lag import _arrow_schema
+
+    out_schema = pa.schema(
+        list(_arrow_schema(ds)) + [pa.field(out_col, pa.int64())]
+    )
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        idx = np.lexsort(
+            tuple(np.asarray(batch[c]) for c in reversed(order_cols))
+        )
+        out = {c: np.asarray(batch[c])[idx] for c in cols}
+        n = len(idx)
+        small, n_big = divmod(n, k)
+        big = small + 1
+        i = np.arange(n)
+        cut = n_big * big
+        bucket = np.where(
+            i < cut,
+            i // max(big, 1),
+            n_big + (i - cut) // max(small, 1) if small else n_big,
+        )
+        out[out_col] = (bucket + 1).astype(np.int64)
+        return out
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        out = {c: np.asarray(batch[c])[:0] for c in cols}
+        out[out_col] = np.empty(0, dtype=np.int64)
+        return out
+
+    from ..stages.sortedrun import sorted_group_scan
+
+    return sorted_group_scan(
+        ds, group_col, group_fn, empty_fn, num_partitions,
+        out_schema=out_schema,
     )

@@ -4287,3 +4287,38 @@ def test_group_decayed_sum_matches_bruteforce():
         group_decayed_sum(
             ray.data.from_pandas(dfn), "u", "ts", "v", half_life_us=1e6
         ).materialize()
+
+
+def test_group_ntile_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.rank import group_ntile
+
+    rng = np.random.default_rng(6)
+    # group sizes that do NOT divide k evenly (the big/small bucket split)
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(23, dtype=np.int64),
+            "g": [0] * 7 + [1] * 10 + [2] * 3 + [3] * 2 + [4] * 1,
+            "v": rng.uniform(0, 10, 23),
+        }
+    )
+    for k in (1, 3, 4, 7):
+        got = (
+            group_ntile(
+                ray.data.from_pandas(df), "g", ["v", "eid"], k=k,
+                num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values("eid")["ntile"]
+            .tolist()
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            f"SELECT NTILE({k}) OVER (PARTITION BY g ORDER BY v, eid) "
+            "FROM t ORDER BY eid"
+        ).df().iloc[:, 0].tolist()
+        assert got == exp, k
+    with pytest.raises(ValueError):
+        group_ntile(ray.data.from_pandas(df), "g", ["v"], k=0)
