@@ -2524,7 +2524,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _q_repetition_docs,
         "curate_docs": _q_curate_docs,
         "zscore_events": _q_zscore_events,
-        "docs_above_median": _q_docs_above_median,
         "event_row_numbers": _q_event_row_numbers,
         "pivot_events": _q_pivot_events,
         "label_centroids": _q_label_centroids,
@@ -2556,6 +2555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
         "near_dedup_docs": _q_near_dedup_docs,
         "decayed_events": _q_decayed_events,
+        "docs_above_median": _q_docs_above_median,
         "split_docs": _q_split_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "budget_sample_docs": _q_budget_sample_docs,
