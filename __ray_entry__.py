@@ -2486,7 +2486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 addition (bm25_docs .. refresh_docs and the session-2 ops)
     # plus the 29 late-round-2 queries CORRECTNESS_r02.json never reached
     # (redact_docs .. near_dedup_docs); block 2 re-lists the 50 entries
-    # already verified green in round 2. 108 total, 91 with full DuckDB
+    # already verified green in round 2. 112 total, 94 with full DuckDB
     # oracles (the rest approximate/EM/k-means by construction).
     return {
         # --- block 1: never driver-verified (round-2 sessions 2-3 + round 3) ---
@@ -2541,13 +2541,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_simjoin": _q_supplier_simjoin,
         "cust_supp_simjoin": _q_cust_supp_simjoin,
         "new_docs_unseen": _q_new_docs_unseen,
-        # --- block 1 tail: never-verified entries that either have
-        # no SQL oracle (approx/EM/k-means by construction — a
-        # rows-only driver row proves little) or whose oracle
-        # machinery is already covered by a hash-green sibling
-        # (weighted/budget sampling share the verified MINSTD hash) —
-        # kept AFTER every oracled never-verified entry so a bounded
-        # driver prefix spends its budget where it proves the most ---
+        # --- block 1 tail (oracled demotions first, then no-oracle):
+        # never-verified entries squeezed out of the 50-slot prefix —
+        # either their oracle machinery is covered by a hash-green
+        # sibling (docs_above_median -> value_quantiles; split /
+        # weighted / budget sampling -> the verified MINSTD hash) or
+        # they have no SQL oracle at all (approx/EM/k-means by
+        # construction — a rows-only driver row proves little) ---
+        "docs_above_median": _q_docs_above_median,
+        "split_docs": _q_split_docs,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "budget_sample_docs": _q_budget_sample_docs,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -2555,10 +2559,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
         "near_dedup_docs": _q_near_dedup_docs,
         "decayed_events": _q_decayed_events,
-        "docs_above_median": _q_docs_above_median,
-        "split_docs": _q_split_docs,
-        "weighted_sample_docs": _q_weighted_sample_docs,
-        "budget_sample_docs": _q_budget_sample_docs,
         # --- block 2: verified green in CORRECTNESS_r02.json ---
         "block_keys": _q_block_keys,
         "block_pair_counts": _q_block_pair_counts,

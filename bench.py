@@ -553,6 +553,8 @@ def run_quality_grades(sf_dir: str) -> dict:
         if len(t) > 1500:
             cut_ts = t[1500]
             keep = t < cut_ts
+            if not keep.any():  # a 1500+-way tie run at the head
+                continue
             t, v, s = t[keep], v[keep], s[keep]
         w = 0.5 ** ((t[:, None] - t[None, :]) / 3.6e9)
         w[t[:, None] < t[None, :]] = 0.0

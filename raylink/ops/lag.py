@@ -387,8 +387,9 @@ def group_decayed_sum(
         )
         if bad:
             raise ValueError(f"null timestamps in {ts_col!r}")
-        ts_raw, ts_int = _as_numeric(raw)
-        ts_f = ts_raw.astype(np.float64)
+        # float64 throughout: unsigned wrap is moot here (no integer
+        # subtraction), so the sibling op's uint guard is not needed
+        ts_f = _as_numeric(raw)[0].astype(np.float64)
         idx = np.argsort(ts_f, kind="stable")
         out = {c: np.asarray(batch[c])[idx] for c in cols}
         t = ts_f[idx]
@@ -400,14 +401,16 @@ def group_decayed_sum(
         n = len(t)
         s = np.empty(n, dtype=np.float64)
         # segment starts: restart the weight base when the span from the
-        # current base exceeds _SPAN * tau
+        # current base exceeds _SPAN * tau — advanced by searchsorted,
+        # so the work is O(#segments log n), not a per-row Python loop
         starts = [0]
-        base_t = t[0] if n else 0.0
-        for i in range(1, n):
-            if (t[i] - base_t) / tau > _SPAN:
-                starts.append(i)
-                base_t = t[i]
-        starts.append(n)
+        while starts[-1] < n:
+            base_t = t[starts[-1]]
+            nxt = int(
+                np.searchsorted(t, base_t + _SPAN * tau, side="right")
+            )
+            starts.append(max(nxt, starts[-1] + 1))
+        # n == 0 leaves starts == [0]: zero segments, s stays empty
         carry = 0.0  # decayed sum just after the previous segment's end
         carry_t = -np.inf
         for a, b in zip(starts[:-1], starts[1:]):

@@ -187,7 +187,7 @@ def group_ntile(
         cut = n_big * big
         bucket = np.where(
             i < cut,
-            i // max(big, 1),
+            i // big,
             n_big + (i - cut) // max(small, 1) if small else n_big,
         )
         out[out_col] = (bucket + 1).astype(np.int64)
@@ -197,8 +197,6 @@ def group_ntile(
         out = {c: np.asarray(batch[c])[:0] for c in cols}
         out[out_col] = np.empty(0, dtype=np.int64)
         return out
-
-    from ..stages.sortedrun import sorted_group_scan
 
     return sorted_group_scan(
         ds, group_col, group_fn, empty_fn, num_partitions,
