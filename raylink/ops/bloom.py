@@ -15,8 +15,11 @@ sets bits in a LOCAL bitmap and emits it once; the driver ORs the
 per-block bitmaps as they stream in (``m_bits/8`` bytes each, never the
 grams).  Probing is map-only over the document corpus with the filter
 broadcast once via ``ray.put``.  Bit positions use double hashing
-(Kirsch-Mitzenmacher): ``pos_i = (h1 + i*h2) mod m`` from two
-independent SipHash families, so ``n_hashes`` probes cost two hashes.
+(Kirsch-Mitzenmacher): ``pos_i = (h1 + i*h2) mod m``, where ``h2`` is a
+DERIVED deterministic mix of the same base SipHash as ``h1`` (not an
+independent family) — two grams whose base 64-bit hashes collide share
+the whole probe sequence, a negligible extra FPR term (~2^-64 per pair)
+at the documented sizing.  ``n_hashes`` probes cost one hash pass.
 
 The reference engine has no corpus-decontamination layer; this module is
 part of the training-data surface the Ray engine adds.

@@ -64,10 +64,17 @@ def apply_changes(
 
     def tag_changes(t: pa.Table) -> pa.Table:
         ops = t.column(op_col).to_numpy(zero_copy_only=False)
+        # mask nulls before np.unique: numpy's sort cannot order None
+        # next to str, and a null op must surface as a LOUD bad-op error
+        import pandas as pd
+
+        null_mask = pd.isna(ops)
         bad = [
-            o for o in np.unique(ops.astype(object))
+            o for o in np.unique(ops[~null_mask].astype(object))
             if o not in ("upsert", "delete")
         ]
+        if null_mask.any():
+            bad.append(None)
         if bad:
             raise ValueError(f"unknown change op(s): {bad}")
         arrays = [

@@ -555,7 +555,10 @@ def extract_pattern(
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[col].astype("object")
-        ext = s.str.extract(compiled, expand=True)[group - 1]
+        # index by POSITION: str.extract names columns after named
+        # capture groups, so label indexing [group - 1] would KeyError
+        # on e.g. (?P<num>...)
+        ext = s.str.extract(compiled, expand=True).iloc[:, group - 1]
         out = batch.copy()
         out[out_col] = ext.where(ext.notna(), None).astype("object")
         return out

@@ -143,14 +143,21 @@ def expect_rules(
         col = r["column"]
         name = _rule_name(r)
 
-        def distinct(batch: pa.Table, _c=col) -> pa.Table:
+        # pandas batch format: a mixed-type object column (int+str ids
+        # from a pandas-block source) cannot convert to an Arrow batch
+        # at all, so the distinct pass must consume the raw block
+        def distinct(batch, _c=col) -> pa.Table:
             import pandas as pd
 
-            s = pd.Series(
-                batch.column(_c).to_numpy(zero_copy_only=False),
-                dtype="object",
-            ).dropna()
-            u, c = np.unique(s.to_numpy(dtype=object), return_counts=True)
+            s = batch[_c].astype("object").dropna()
+            # equality domain is the STRING form: casting before
+            # np.unique keeps the sort total-ordered on mixed-type
+            # columns (int+str ids would TypeError numpy's sort), at
+            # the documented cost that cross-type values with the same
+            # string form count as one
+            u, c = np.unique(
+                s.astype(str).to_numpy(dtype=object), return_counts=True
+            )
             return pa.Table.from_arrays(
                 [
                     pa.array(u.astype(str)),
@@ -160,7 +167,7 @@ def expect_rules(
             )
 
         vparts = ds.select_columns([col]).map_batches(
-            distinct, batch_format="pyarrow"
+            distinct, batch_format="pandas"
         )
 
         def dup_rows(group: dict[str, np.ndarray], _name=name) -> dict:

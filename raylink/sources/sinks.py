@@ -66,6 +66,11 @@ def write_partitioned(
 
     os.makedirs(path, exist_ok=True)
 
+    # The count pass and the write pass must see the SAME rows — a lazy
+    # nondeterministic upstream would otherwise record manifests that
+    # disagree with the files.  Pin the input once.
+    ds = ds.materialize()
+
     # per-partition row counts: tiny (#distinct values), and exactly the
     # manifest content — one pass over block partials, never raw rows.
     # Nulls map to a reserved sentinel first (np.unique cannot order
@@ -99,6 +104,15 @@ def write_partitioned(
     for v in rows:
         marker = os.path.join(_partition_dir(path, by, v), _MARKER)
         if os.path.exists(marker):
+            if not input_fingerprint:
+                # An empty fingerprint matches ANY other empty-fingerprint
+                # run, so resume would silently keep stale partitions
+                # written from different data.  Refuse rather than guess.
+                raise ValueError(
+                    f"partition {by}={v} has a _DONE marker but "
+                    "input_fingerprint is empty; pass a non-empty "
+                    "fingerprint to resume, or use a clean output dir"
+                )
             meta = json.load(open(marker))
             if meta.get("fingerprint") != input_fingerprint:
                 raise ValueError(

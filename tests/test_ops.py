@@ -3694,6 +3694,20 @@ def test_extract_pattern_matches_duckdb():
     with pytest.raises(ValueError):
         extract_pattern(ray.data.from_pandas(df), r"v=[0-9]+", col="s")
 
+    # named capture groups: str.extract names the result column after
+    # the group, so the op must index by POSITION, not label
+    named = (
+        extract_pattern(
+            ray.data.from_pandas(df),
+            r"v=(?P<num>[0-9]+)",
+            col="s",
+            out_col="num",
+        )
+        .to_pandas()
+        .sort_values("i", ignore_index=True)
+    )
+    assert list(named["num"]) == list(got["num"])
+
 
 def test_expect_rules_all_kinds():
     from raylink.ops.validate import expect_rules
@@ -3729,6 +3743,21 @@ def test_expect_rules_all_kinds():
         "cat:in_set": 1,  # "z" (null skips)
         "s:regex": 1,     # "nope" (null skips)
     }
+
+    # mixed-type column: unique's distinct pass must not TypeError on
+    # numpy's sort (equality domain is the string form, documented)
+    mixed = pd.DataFrame({"k": pd.array([1, "1", "b", 2], dtype=object)})
+    out_m = (
+        expect_rules(
+            ray.data.from_pandas(mixed),
+            [{"column": "k", "kind": "unique"}],
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("rule")["violations"]
+        .to_dict()
+    )
+    assert out_m == {"k:unique": 2}  # 1 and "1" stringify identically
 
     with pytest.raises(ValueError):
         expect_rules(ray.data.from_pandas(df), [])
@@ -3803,6 +3832,18 @@ def test_apply_changes_merge_semantics():
         apply_changes(
             ray.data.from_pandas(base),
             ray.data.from_pandas(badop),
+            id_col="doc_id",
+            num_partitions=2,
+        ).materialize()
+    # a NULL op must hit the same loud bad-op error, not a numpy
+    # sort TypeError from ordering None next to str
+    nullop = pd.DataFrame(
+        {"doc_id": [2, 3], "lang": ["a", "b"], "op": ["upsert", None]}
+    )
+    with pytest.raises(Exception, match="unknown change op"):
+        apply_changes(
+            ray.data.from_pandas(base),
+            ray.data.from_pandas(nullop),
             id_col="doc_id",
             num_partitions=2,
         ).materialize()

@@ -204,6 +204,17 @@ def test_write_partitioned_layout_resume_and_guards(tmp_path):
             ray.data.from_pandas(dfn), str(tmp_path / "o2"), by="lang"
         )
 
+    # resume with an EMPTY fingerprint refused: two default-fingerprint
+    # runs writing different data would otherwise silently keep stale
+    # partitions
+    with _pytest.raises(ValueError, match="empty"):
+        write_partitioned(ray.data.from_pandas(df), out, by="lang")
+    # ...but a fresh dir with the default fingerprint still works
+    res4 = write_partitioned(
+        ray.data.from_pandas(df), str(tmp_path / "o3"), by="lang"
+    )
+    assert res4["written"] == ["de", "en", "fr"]
+
 
 def test_write_partitioned_uri_encoded_values(tmp_path):
     import os
