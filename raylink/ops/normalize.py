@@ -19,9 +19,12 @@ so results match bit-for-bit at any parallelism.  Constraint:
 ``n * sumsq`` per group must stay below 2^63 (e.g. |value| <= 10^5 at
 e2 supports ~10^8 rows/group; lower the fixed-point scale for more).
 
-For key cardinalities beyond driver memory, merge the partials with a
-``sorted_group_scan`` instead and join the stats back by key — the
-partials (3 ints/key/block) are what shuffles, never the rows.
+For key cardinalities beyond driver memory, ``group_standardize``
+switches automatically (``driver_threshold``, same switch as
+``exact_dedup``): the partials (3 ints/key/block) merge through a
+``sorted_group_scan`` and the stats join back to the rows with the
+native hash-shuffle join — one row shuffle, which IS the honest cost
+once the stats table itself is too big to broadcast.
 """
 
 from __future__ import annotations
@@ -34,17 +37,47 @@ import ray.data
 __all__ = ["group_standardize", "grouped_corr"]
 
 
+def _z_e4_column(v: np.ndarray, n, s, ss, value_scale: int):
+    """The one shared float expression of both execution paths: e4
+    fixed-point z from identical int64 moments (see module docstring)."""
+    import pyarrow as pa
+
+    n = np.asarray(n, dtype=np.int64)
+    s = np.asarray(s, dtype=np.int64)
+    ss = np.asarray(ss, dtype=np.int64)
+    vc = np.floor(v * value_scale + 0.5)
+    vc_i = np.where(np.isnan(vc), 0, vc).astype(np.int64)
+    disc = (n * ss - s * s).astype(np.float64)
+    num = (n * vc_i - s).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(disc > 0, num / np.sqrt(disc), 0.0)
+    z_e4 = np.floor(z * 10000 + 0.5)
+    nan = np.isnan(v)
+    # nullable int64 honors the e4 fixed-point contract: null input ->
+    # null z (not NaN-in-float64, which breaks downstream int64 casts)
+    return pa.array(
+        np.where(nan, 0, z_e4).astype(np.int64), type=pa.int64(), mask=nan
+    )
+
+
 def group_standardize(
     ds: ray.data.Dataset,
     group_col: str,
     val_col: str,
     out_col: str = "z_e4",
     value_scale: int = 100,
+    driver_threshold: int = 2_000_000,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Append half-up e4 fixed-point population z-scores of ``val_col``
     within each ``group_col`` group.  Zero-variance groups get z = 0.
     Null values pass through with a null z-score and are excluded from
     the moments.
+
+    Partial-moment rows (keys x blocks) at or below ``driver_threshold``
+    merge on the driver and broadcast as a LUT (zero row movement);
+    above it the scale path engages: sorted-run partial merge + a
+    hash-shuffle join of the stats back onto the rows.
     """
 
     def partial(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -62,58 +95,99 @@ def group_standardize(
         np.add.at(ss, inv, vc * vc)
         return {group_col: uniq, "n": n, "s": s, "ss": ss}
 
-    parts = (
+    partials = (
         ds.select_columns([group_col, val_col])
         .map_batches(partial, batch_format="numpy")
-        .to_pandas()
+        .materialize()
     )
-    stats = parts.groupby(group_col)[["n", "s", "ss"]].sum()
-    stats_ref = ray.put(
-        {
-            k: (int(r["n"]), int(r["s"]), int(r["ss"]))
-            for k, r in stats.iterrows()
+
+    if partials.count() <= driver_threshold:
+        parts = partials.to_pandas()
+        stats = parts.groupby(group_col)[["n", "s", "ss"]].sum()
+        stats_ref = ray.put(
+            {
+                k: (int(r["n"]), int(r["s"]), int(r["ss"]))
+                for k, r in stats.iterrows()
+            }
+        )
+
+        def apply(batch):
+            lut = ray.get(stats_ref)
+            g = np.asarray(
+                batch.column(group_col).to_numpy(zero_copy_only=False)
+            )
+            v = np.asarray(
+                batch.column(val_col).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            uniq, inv = np.unique(g, return_inverse=True)
+            # a group whose every value is null never reaches pass 1's
+            # LUT; n=0 makes disc=0 so its rows get z=0 / null-v rows null
+            n = np.asarray(
+                [lut.get(k, (0, 0, 0))[0] for k in uniq], dtype=np.int64
+            )[inv]
+            s = np.asarray(
+                [lut.get(k, (0, 0, 0))[1] for k in uniq], dtype=np.int64
+            )[inv]
+            ss = np.asarray(
+                [lut.get(k, (0, 0, 0))[2] for k in uniq], dtype=np.int64
+            )[inv]
+            return batch.append_column(
+                out_col, _z_e4_column(v, n, s, ss, value_scale)
+            )
+
+        return ds.map_batches(apply, batch_format="pyarrow")
+
+    # scale path: merge partials via sorted-run scan (only partials
+    # shuffle there), then ONE hash-shuffle join of the 4-column stats
+    # table back onto the rows — unavoidable once the stats exceed a
+    # broadcastable size
+    from ..stages.sortedrun import sorted_group_scan
+    from .joins import hash_join
+
+    def merge(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return {
+            group_col: np.asarray(group[group_col])[:1],
+            "_gs_n": np.asarray([np.sum(group["n"])], dtype=np.int64),
+            "_gs_s": np.asarray([np.sum(group["s"])], dtype=np.int64),
+            "_gs_ss": np.asarray([np.sum(group["ss"])], dtype=np.int64),
         }
+
+    def empty(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return {
+            group_col: np.asarray(batch[group_col])[:0],
+            "_gs_n": np.empty(0, dtype=np.int64),
+            "_gs_s": np.empty(0, dtype=np.int64),
+            "_gs_ss": np.empty(0, dtype=np.int64),
+        }
+
+    stats_ds = sorted_group_scan(
+        partials, group_col, merge, empty, num_partitions=num_partitions
+    )
+    joined = hash_join(
+        ds, stats_ds, on=group_col, how="left", num_partitions=num_partitions
     )
 
-    def apply(batch):
-        import pyarrow as pa
+    def apply_joined(batch):
+        import pyarrow.compute as pc
 
-        lut = ray.get(stats_ref)
-        g = np.asarray(batch.column(group_col).to_numpy(zero_copy_only=False))
         v = np.asarray(
             batch.column(val_col).to_numpy(zero_copy_only=False),
             dtype=np.float64,
         )
-        uniq, inv = np.unique(g, return_inverse=True)
-        # a group whose every value is null never reaches pass 1's LUT;
-        # n=0 makes disc=0 so its rows fall through to the null z below
-        n = np.asarray(
-            [lut.get(k, (0, 0, 0))[0] for k in uniq], dtype=np.int64
-        )[inv]
-        s = np.asarray(
-            [lut.get(k, (0, 0, 0))[1] for k in uniq], dtype=np.int64
-        )[inv]
-        ss = np.asarray(
-            [lut.get(k, (0, 0, 0))[2] for k in uniq], dtype=np.int64
-        )[inv]
-        vc = np.floor(v * value_scale + 0.5)
-        vc_i = np.where(np.isnan(vc), 0, vc).astype(np.int64)
-        disc = (n * ss - s * s).astype(np.float64)
-        num = (n * vc_i - s).astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            z = np.where(disc > 0, num / np.sqrt(disc), 0.0)
-        z_e4 = np.floor(z * 10000 + 0.5)
-        nan = np.isnan(v)
-        # nullable int64 honors the e4 fixed-point contract: null input ->
-        # null z (not NaN-in-float64, which breaks downstream int64 casts)
-        arr = pa.array(
-            np.where(nan, 0, z_e4).astype(np.int64),
-            type=pa.int64(),
-            mask=nan,
+        # all-null groups miss the left join -> null moments -> n=0.
+        # fill_null IN ARROW: a null-bearing int64 column would decay to
+        # float64 NaN in numpy and lose exactness near 2^63
+        n, s, ss = (
+            pc.fill_null(batch.column(c), 0).to_numpy(zero_copy_only=False)
+            for c in ("_gs_n", "_gs_s", "_gs_ss")
         )
-        return batch.append_column(out_col, arr)
+        out = batch.drop_columns(["_gs_n", "_gs_s", "_gs_ss"])
+        return out.append_column(
+            out_col, _z_e4_column(v, n, s, ss, value_scale)
+        )
 
-    return ds.map_batches(apply, batch_format="pyarrow")
+    return joined.map_batches(apply_joined, batch_format="pyarrow")
 
 
 def grouped_corr(

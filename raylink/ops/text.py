@@ -47,12 +47,29 @@ def with_language_id(
     text_col: str = "text",
     out_col: str = "lang_pred",
     default: str = "und",
+    method: str = "stopwords",
 ) -> ray.data.Dataset:
+    """Append a language guess per document.
+
+    ``method="stopwords"`` is the cheap screening heuristic (top-15
+    function-word vote per language — fast, weak on short or
+    shared-vocabulary text); ``method="trigram"`` is the real
+    classifier: character-trigram log-likelihood profiles
+    (:mod:`raylink.functions.langprofiles`), built once per worker
+    process and scored fully vectorized.
+    """
+    if method == "stopwords":
+        classify = textstats.language_id
+    elif method == "trigram":
+        from ..functions.langprofiles import trigram_language_id as classify
+    else:
+        raise ValueError(f"unknown language-id method: {method!r}")
+
     def fn(batch: pa.Table) -> pa.Table:
         t = batch.column(text_col).to_numpy(zero_copy_only=False)
         return batch.append_column(
             out_col,
-            pa.array(textstats.language_id(t, default=default), type=pa.string()),
+            pa.array(classify(t, default=default), type=pa.string()),
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")

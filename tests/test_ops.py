@@ -176,6 +176,28 @@ def test_text_ops():
     assert en.tolist() == ["zh", "en", "und", "und"]
     q = with_quality_scores(ds).to_pandas()
     assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+
+    # trigram-profile LID: held-out natural sentences (disjoint from the
+    # training seeds), short fragments, accents, script detection, and
+    # the no-signal/empty fallbacks
+    from raylink.functions.langprofiles import trigram_language_id
+
+    tri_cases = [
+        ("en", "please close the window before you leave tonight"),
+        ("fr", "veuillez fermer la fenêtre avant de partir ce soir"),
+        ("de", "bitte schließen sie das fenster bevor sie gehen"),
+        ("es", "por favor cierra la ventana antes de salir esta noche"),
+        ("zh", "请在离开之前关好窗户"),
+        ("en", "the cat sat"),
+    ]
+    tri = trigram_language_id([t for _, t in tri_cases])
+    assert tri.tolist() == [lab for lab, _ in tri_cases]
+    edge = trigram_language_id(["", None, "12345 !!!"], default="en")
+    assert edge.tolist() == ["und", "und", "en"]
+    lt = with_language_id(ds, method="trigram").to_pandas()
+    assert lt["lang_pred"].tolist() == ["en", "fr", "de"]
+    with pytest.raises(ValueError, match="method"):
+        with_language_id(ds, method="nope")
     f = with_fingerprints(ds, winnow=True).to_pandas()
     assert f["fingerprint"].nunique() == 3
     assert all(len(b) > 0 for b in f["winnow_fps"])
@@ -1030,6 +1052,39 @@ def test_group_standardize_matches_numpy():
             assert row["z_e4"] == np.floor(z * 10000 + 0.5), (k, row["v"])
     # zero-variance group standardizes to exactly 0
     assert (out[out["k"] == "const"]["z_e4"] == 0).all()
+
+
+def test_group_standardize_scale_path_parity():
+    # planted high group cardinality: force the sorted-run + hash-join
+    # scale path (driver_threshold=0) and assert byte-identical z_e4
+    # against the broadcast-LUT path on the same input
+    from raylink.ops.normalize import group_standardize
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "k": [f"g{i}" for i in rng.integers(0, 2000, n)],  # ~2k groups
+            "v": np.round(rng.normal(10, 4, n), 2),
+        }
+    )
+    df.loc[5, "v"] = np.nan
+    ds = ray.data.from_pandas(df).repartition(4)
+    lut = (
+        group_standardize(ds, "k", "v")
+        .to_pandas()
+        .sort_values("rid", ignore_index=True)
+    )
+    scale = (
+        group_standardize(ds, "k", "v", driver_threshold=0, num_partitions=4)
+        .to_pandas()
+        .sort_values("rid", ignore_index=True)
+    )
+    assert list(scale.columns) == list(lut.columns)
+    pd.testing.assert_series_equal(
+        scale["z_e4"].astype("Int64"), lut["z_e4"].astype("Int64")
+    )
 
 
 def test_assign_splits_partition_and_determinism():
