@@ -15,6 +15,7 @@ same five facts its test suite asserts (runtests.jl:66-79):
 import os
 import tarfile
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -24,6 +25,26 @@ from raylink.config import parse_config
 from raylink.pipelines.linkage import link_records
 
 _REF = "/root/reference/test"
+
+
+def _fixture_config(block_keys: list[str]) -> dict:
+    return {
+        "idvar": ["ida", "idb"],
+        "link_type": "link_only",
+        "comparisons": {
+            "name": "total",
+            "variables": [
+                {"varname": v, "partial": True, "method": "jarowinkler",
+                 "cut_a": 0.92, "cut_b": 0.88, "w": 0.1}
+                for v in ("firstname", "middlename", "lastname")
+            ]
+            + [
+                {"varname": "housenum", "partial": True, "method": "numeric",
+                 "cut_a": 1, "cut_b": 2}
+            ],
+        },
+        "blocking": {"keys": block_keys, "cap": 1000},
+    }
 
 
 @pytest.fixture(scope="module")
@@ -50,25 +71,7 @@ def fixture_tables(tmp_path_factory):
 
 def test_reference_runtests_parity(ray_session, fixture_tables):
     dfA, dfB = fixture_tables
-    config = parse_config(
-        {
-            "idvar": ["ida", "idb"],
-            "link_type": "link_only",
-            "comparisons": {
-                "name": "total",
-                "variables": [
-                    {"varname": v, "partial": True, "method": "jarowinkler",
-                     "cut_a": 0.92, "cut_b": 0.88, "w": 0.1}
-                    for v in ("firstname", "middlename", "lastname")
-                ]
-                + [
-                    {"varname": "housenum", "partial": True, "method": "numeric",
-                     "cut_a": 1, "cut_b": 2}
-                ],
-            },
-            "blocking": {"keys": ["_one"], "cap": 1000},
-        }
-    )
+    config = parse_config(_fixture_config(["_one"]))
     res = link_records(
         ray.data.from_pandas(dfA), ray.data.from_pandas(dfB), config
     )
@@ -81,3 +84,58 @@ def test_reference_runtests_parity(ray_session, fixture_tables):
     assert em.p_u >= 0.999  # runtests.jl:77
     assert em.p_m <= 0.0005  # runtests.jl:79
     assert res.matches.count() == 50
+
+
+def test_blocked_residual_matches_unblocked(ray_session, fixture_tables):
+    """Pins the sampled-residual approximation (stages/patterns.py::
+    sample_residual_histogram) against the reference's exact accounting.
+
+    The reference counts every one of the N_A x N_B comparisons exactly
+    (emlink.jl:174); under blocking this repo instead credits the pruned
+    mass to a scored random cross-block sample.  This test runs the
+    reference fixture once unblocked (exact, the parity test above) and
+    once blocked on the lastname first letter — pruning ~94% of the
+    comparisons — and asserts the approximation cannot drift:
+
+    - the blocked match set EQUALS the unblocked match set restricted to
+      co-blocked pairs (here: all 50 — the blocking keeps every truth pair);
+    - p_m agrees within 2% relative;
+    - every per-variable m/u probability vector agrees within 5e-3
+      absolute (observed drift is <= 7e-4; the bound leaves EM-iteration
+      headroom without letting a broken residual sampler pass).
+    """
+    dfA, dfB = fixture_tables
+    dfA = dfA.copy()
+    dfB = dfB.copy()
+    dfA["ln1"] = dfA["lastname"].str[:1].fillna("~")
+    dfB["ln1"] = dfB["lastname"].str[:1].fillna("~")
+    ra, rb = ray.data.from_pandas(dfA), ray.data.from_pandas(dfB)
+
+    full = link_records(ra, rb, parse_config(_fixture_config(["_one"])))
+    blocked = link_records(ra, rb, parse_config(_fixture_config(["ln1"])))
+
+    # the blocked run actually pruned pairs and took the sampled path
+    assert blocked.counters["residual_mode"] == "sampled"
+    assert blocked.counters["residual_pairs"] > 0.9 * len(dfA) * len(dfB)
+
+    fm = full.matches.to_pandas()
+    bm = blocked.matches.to_pandas()
+    l1a = dict(zip(dfA["ida"], dfA["ln1"]))
+    l1b = dict(zip(dfB["idb"], dfB["ln1"]))
+    full_co_blocked = {
+        p
+        for p in zip(fm["id_a"], fm["id_b"])
+        if l1a[p[0]] == l1b[p[1]]
+    }
+    assert set(zip(bm["id_a"], bm["id_b"])) == full_co_blocked
+    assert len(full_co_blocked) == 50  # blocking keeps every truth pair
+
+    assert blocked.em.p_m == pytest.approx(full.em.p_m, rel=0.02)
+    assert full.em.varnames == blocked.em.varnames
+    for k in range(len(full.em.varnames)):
+        np.testing.assert_allclose(
+            blocked.em.pgamma_km[k], full.em.pgamma_km[k], atol=5e-3
+        )
+        np.testing.assert_allclose(
+            blocked.em.pgamma_ku[k], full.em.pgamma_ku[k], atol=5e-3
+        )
