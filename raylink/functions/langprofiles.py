@@ -105,7 +105,6 @@ TRIGRAM_LANGS: tuple[str, ...] = tuple(_SEEDS)
 # keep lowercase Latin letters (incl. Latin-1 accents + œ) — everything
 # else becomes a word boundary so trigrams see ' le ', ' der ', ' los '
 _NON_LETTER = re.compile("[^a-zß-öø-ÿœ]+")
-_CJK = re.compile("[぀-ヿ㐀-鿿]")
 
 _BITS = 10  # codepoints after normalization are < 0x180 < 1024
 _MAXCP = np.uint64(1 << _BITS)
@@ -191,13 +190,13 @@ def trigram_language_id(texts, default: str = "und") -> np.ndarray:
     Ties and genuinely ambiguous text resolve to the highest-likelihood
     profile; CJK-dominant documents short-circuit to 'zh' by script.
     """
+    from .textstats import cjk_dominant
+
     s = pd.Series(texts, dtype="object").fillna("")
     n = len(s)
     if n == 0:
         return np.empty(0, dtype=object)
-    cjk = s.str.count(_CJK).to_numpy(np.int64)
-    n_chars = s.str.len().to_numpy(np.int64)
-    is_zh = cjk * 5 > np.maximum(n_chars, 1)
+    is_zh = cjk_dominant(s)
 
     norm = _normalize(s)
     codes, doc_idx = _trigram_codes(norm)
@@ -217,8 +216,11 @@ def trigram_language_id(texts, default: str = "und") -> np.ndarray:
     scored = np.zeros(n, dtype=bool)
     if len(codes):
         scored[np.unique(doc_idx)] = True
-    has_text = n_chars > 0
-    out[~scored & has_text] = default
-    out[~has_text] = "und"
+    # same contract as textstats.language_id: empty / whitespace-only
+    # documents (no tokens) are always 'und'; documents WITH tokens but
+    # no scorable trigrams get the caller's `default`
+    has_tokens = s.str.contains(r"\S", regex=True).to_numpy(bool)
+    out[~scored & has_tokens] = default
+    out[~has_tokens] = "und"
     out[is_zh] = "zh"
     return out

@@ -41,6 +41,17 @@ def token_counts(texts) -> np.ndarray:
     return s.fillna("").str.count(r"\S+").to_numpy(np.int64)
 
 
+def cjk_dominant(s: pd.Series) -> np.ndarray:
+    """True where >20% of a document's codepoints are CJK (Hiragana /
+    Katakana / CJK Unified) — the shared script-detection gate of BOTH
+    language-ID methods (this stopword vote and
+    :mod:`raylink.functions.langprofiles`): the Latin-script models
+    can't see CJK text, so it short-circuits to 'zh'."""
+    cjk = s.str.count("[\\u3040-\\u30ff\\u3400-\\u9fff]").to_numpy(np.int64)
+    n_chars = s.str.len().to_numpy(np.int64)
+    return cjk * 5 > np.maximum(n_chars, 1)
+
+
 def language_id(texts, default: str = "und") -> np.ndarray:
     """Language guess among {en, fr, de, es, zh}; ``default`` if no signal.
 
@@ -59,9 +70,7 @@ def language_id(texts, default: str = "und") -> np.ndarray:
     n = len(s)
     if n == 0:
         return np.empty(0, dtype=object)
-    cjk = s.str.count("[\\u3040-\\u30ff\\u3400-\\u9fff]").to_numpy(np.int64)
-    n_chars = s.str.len().to_numpy(np.int64)
-    is_zh = cjk * 5 > np.maximum(n_chars, 1)  # >20% CJK codepoints
+    is_zh = cjk_dominant(s)
     ex = s.str.lower().str.split().explode()
     ex = ex[ex.notna()]
     doc_idx = ex.index.to_numpy(np.int64)

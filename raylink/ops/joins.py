@@ -14,9 +14,10 @@ store replicates it per node, not per task).
 Semantics are SQL ``INNER`` / ``LEFT OUTER JOIN`` on one equi-key:
 
 - duplicate right keys multiply left rows (true join, not a lookup);
-- NULL keys never match (verified Acero behaviour, null == null
-  included — exactly SQL's, unlike raw ``pd.merge`` which treats
-  NaN == NaN);
+- NULL keys never match (null == null included — Acero-native), and
+  neither do NaN float keys (Acero WOULD match NaN == NaN; NaN-keyed
+  right rows are dropped from the hash table up front, so a NaN left
+  key is dropped under inner / null-padded under left, exactly SQL);
 - overlapping non-key column names on the right get ``suffix``.
 
 The per-batch merge is ``pyarrow.Table.join`` (Acero's hash join)
@@ -64,9 +65,12 @@ def broadcast_join(
 
     if isinstance(right, ray.data.Dataset):
         # one execution: pull at most limit+1 rows — enough to prove the
-        # side is too big without counting (or materializing) the rest
+        # side is too big without counting (or materializing) the rest.
+        # permissive promotion: an all-null column in one block comes
+        # back null-typed, which would otherwise fail the concat
         rtab = pa.concat_tables(
-            ray.get(right.limit(broadcast_limit + 1).to_arrow_refs())
+            ray.get(right.limit(broadcast_limit + 1).to_arrow_refs()),
+            promote_options="permissive",
         )
     else:
         rtab = pa.Table.from_pandas(right, preserve_index=False)
@@ -75,10 +79,14 @@ def broadcast_join(
             f"right side exceeds broadcast_limit={broadcast_limit} rows; "
             "use Dataset.join (hash-shuffle) for big-big joins"
         )
-    # SQL join-key semantics are native to Acero (null keys never match,
-    # null == null included), but dropping right null-key rows up front
-    # still shrinks the broadcast hash table
-    rtab = rtab.filter(pc.is_valid(rtab.column(rkey)))
+    # SQL join-key semantics: Acero never matches null keys (null == null
+    # included) but DOES match NaN == NaN on float keys — drop both from
+    # the hash table so a NaN left key finds no partner (dropped under
+    # inner, null-padded under left), exactly SQL's behaviour
+    keep = pc.is_valid(rtab.column(rkey))
+    if pa.types.is_floating(rtab.column(rkey).type):
+        keep = pc.and_(keep, pc.invert(pc.is_nan(rtab.column(rkey))))
+    rtab = rtab.filter(keep)
     if rkey != on:
         # keep the LEFT key name; Acero coalesces the key columns
         rtab = rtab.rename_columns(

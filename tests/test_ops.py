@@ -192,8 +192,10 @@ def test_text_ops():
     ]
     tri = trigram_language_id([t for _, t in tri_cases])
     assert tri.tolist() == [lab for lab, _ in tri_cases]
-    edge = trigram_language_id(["", None, "12345 !!!"], default="en")
-    assert edge.tolist() == ["und", "und", "en"]
+    edge = trigram_language_id(["", None, "12345 !!!", "   "], default="en")
+    # same contract as the stopword method: no tokens (empty, null,
+    # whitespace-only) -> 'und'; tokens without scorable trigrams -> default
+    assert edge.tolist() == ["und", "und", "en", "und"]
     lt = with_language_id(ds, method="trigram").to_pandas()
     assert lt["lang_pred"].tolist() == ["en", "fr", "de"]
     with pytest.raises(ValueError, match="method"):
@@ -1591,6 +1593,50 @@ def test_broadcast_join_inner_and_left_semantics():
 
     with _pytest.raises(ValueError):
         broadcast_join(lds, rds, on="k", right_on="rk", broadcast_limit=2)
+
+
+def test_broadcast_join_nan_keys_and_hetero_right_blocks():
+    """SQL semantics on FLOAT keys: Acero matches NaN == NaN, so the
+    join must drop NaN right keys up front (a NaN left key then gets no
+    partner — dropped under inner, null-padded under left); and a right
+    Dataset whose blocks disagree on a column type (all-null block ->
+    null-typed column) must still concat for the broadcast."""
+    import pyarrow as pa
+
+    from raylink.ops.joins import broadcast_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([1.0, float("nan"), 2.0]), "lv": [1, 2, 3]}
+        )
+    )
+    right = pd.DataFrame({"k": [1.0, float("nan")], "rv": [10, 20]})
+    inner = broadcast_join(left, right, on="k").to_pandas()
+    assert inner["lv"].tolist() == [1]
+    lj = (
+        broadcast_join(left, right, on="k", how="left")
+        .to_pandas()
+        .sort_values("lv")
+    )
+    assert lj["lv"].tolist() == [1, 2, 3]
+    assert lj["rv"].tolist()[0] == 10 and lj["rv"].isna().tolist() == [
+        False,
+        True,
+        True,
+    ]
+
+    t1 = pa.table(
+        {"k": pa.array([1], pa.int64()), "s": pa.array(["x"], pa.string())}
+    )
+    t2 = pa.table(
+        {"k": pa.array([2], pa.int64()), "s": pa.array([None], pa.null())}
+    )
+    rds = ray.data.from_arrow([t1, t2])
+    lf = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "lv": [7, 8]})
+    )
+    out = broadcast_join(lf, rds, on="k").to_pandas().sort_values("k")
+    assert out["s"].tolist() == ["x", None]
 
 
 def test_pack_sequences_layout_invariants():
