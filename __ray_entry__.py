@@ -2334,6 +2334,39 @@ def _q_bm25_docs(sf_dir: str):
     return bm25_topk(docs, ["scan", "join", "window"], k=15)
 
 
+def _q_clean_dup_spans_docs(sf_dir: str):
+    """Exact-substring span REMOVAL (Lee et al. 2022, the rewrite half of
+    dup_span_docs): every token covered by a corpus-duplicated 5-gram is
+    deleted and the survivors re-join — hashed-window sort to find the
+    duplicated grams, one co-grouped scan to rebuild each text."""
+    from raylink.ops.dupspans import remove_duplicate_spans
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return remove_duplicate_spans(
+        docs, n=5, text_col="text", id_col="doc_id", num_partitions=16
+    )
+
+
+def _q_rollup_events(sf_dir: str):
+    """SQL GROUP BY ROLLUP(event_type, day) in ONE raw scan: finest-level
+    block partials, then each coarser level re-aggregates the previous
+    (strictly smaller) level — counts plus exact e4 fixed-point sums at
+    every prefix level, NULL marking rolled-up keys."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.rollup import grouped_rollup
+
+    ev = _read(sf_dir, "events").select_columns(["ts", "event_type", "value"])
+
+    def add_day(batch):
+        return batch.append_column(
+            "day", pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        )
+
+    ev = ev.map_batches(add_day, batch_format="pyarrow")
+    return grouped_rollup(ev, ["event_type", "day"], "value")
+
+
 def _q_dup_span_docs(sf_dir: str):
     """Within-corpus duplicated token 8-gram statistics per document (the
     Lee et al. 2022 exact-substring dedup signal): windows whose 8-gram
@@ -2508,6 +2541,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": _q_split_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "budget_sample_docs": _q_budget_sample_docs,
+        # --- round-4 additions (oracled, never verified yet) ---
+        "clean_dup_spans_docs": _q_clean_dup_spans_docs,
+        "rollup_events": _q_rollup_events,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -2854,6 +2890,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, floor(s * 10000 + 0.5)::BIGINT AS score_e4
             FROM scored WHERE floor(s * 10000 + 0.5) > 0
             ORDER BY score_e4 DESC, doc_id ASC LIMIT 15
+        """,
+        "clean_dup_spans_docs": r"""
+            WITH tok AS (
+                SELECT doc_id::BIGINT AS doc_id, unnest(arr) AS w,
+                       unnest(generate_series(1, array_length(arr))) AS pos
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\s+') AS arr
+                      FROM documents WHERE trim(text) <> '')
+            ), ng AS (
+                SELECT doc_id, pos AS s,
+                       w || ' ' || lead(w,1) OVER win || ' ' ||
+                       lead(w,2) OVER win || ' ' || lead(w,3) OVER win ||
+                       ' ' || lead(w,4) OVER win AS g
+                FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+                QUALIFY lead(w,4) OVER win IS NOT NULL
+            ), dupg AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+            cov AS (
+                SELECT DISTINCT t.doc_id, t.pos
+                FROM ng JOIN dupg USING(g)
+                JOIN tok t ON t.doc_id = ng.doc_id
+                          AND t.pos BETWEEN ng.s AND ng.s + 4
+            ),
+            kept AS (
+                SELECT tok.doc_id, tok.w, tok.pos
+                FROM tok LEFT JOIN cov
+                  ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+                WHERE cov.pos IS NULL
+            ),
+            tot AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+                    FROM tok GROUP BY doc_id),
+            agg AS (SELECT doc_id,
+                           string_agg(w, ' ' ORDER BY pos) AS text_clean,
+                           count(*)::BIGINT AS kept_n
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id::BIGINT AS doc_id,
+                   COALESCE(agg.text_clean, '') AS text_clean,
+                   COALESCE(tot.n_tokens, 0)::BIGINT AS n_tokens,
+                   (COALESCE(tot.n_tokens, 0)
+                    - COALESCE(agg.kept_n, 0))::BIGINT AS removed_tokens
+            FROM documents d
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
+            LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "rollup_events": """
+            SELECT event_type,
+                   strftime(ts, '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS n,
+                   SUM(CAST(floor(value*10000 + 0.5) AS BIGINT))::BIGINT
+                       AS sum_value_e4
+            FROM events
+            GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
         """,
         "dup_span_docs": r"""
             WITH tok AS (

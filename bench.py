@@ -246,6 +246,8 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "bpe_token_counts",
         "decayed_events",
         "event_quartiles",
+        "clean_dup_spans_docs",
+        "rollup_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

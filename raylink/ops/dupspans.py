@@ -32,7 +32,7 @@ import ray.data
 
 from ..stages.sortedrun import count_by_key, sorted_group_scan
 
-__all__ = ["duplicate_ngram_stats"]
+__all__ = ["duplicate_ngram_stats", "remove_duplicate_spans"]
 
 
 def _ngram_rows(texts, ids, n: int):
@@ -185,6 +185,174 @@ def duplicate_ngram_stats(
         id_col,
         merge_group,
         merge_empty,
+        num_partitions=max(8, num_partitions // 4),
+        out_schema=out_schema,
+    )
+
+
+def remove_duplicate_spans(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """The REMOVAL half of Lee et al. 2022 exact-substring dedup (the
+    sibling of :func:`duplicate_ngram_stats`, which only reports the
+    fractions): rewrite every document with each duplicated token window
+    deleted.  A window of ``n`` consecutive tokens is duplicated when the
+    identical n-gram occurs at least ``min_count`` times anywhere in the
+    corpus; every token covered by ANY duplicated window is removed, and
+    the survivors re-join with single spaces.
+
+    Output: ``(id_col, text_clean, n_tokens, removed_tokens)`` — one row
+    per input document (short/empty documents pass through unchanged
+    with ``removed_tokens = 0``).
+
+    Scale shape (100 TB): the window rows carry ``(gram-hash, doc-id,
+    win-start)`` and sort ONCE to find duplicated grams; the surviving
+    (doc-id, win-start) rows of duplicated windows — a small fraction of
+    the corpus — union with the raw documents and co-group in one more
+    sorted scan that rebuilds each text locally.  Nothing quadratic,
+    no driver materialization, two exchanges total.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 marks every window)")
+
+    from .lag import _arrow_schema
+    from .text import token_window_hash_starts
+
+    id_type = _arrow_schema(ds).field(id_col).type
+    src = ds.select_columns([id_col, text_col])
+
+    def emit_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        doc_pos, win_start, h, _ = token_window_hash_starts(texts, n)
+        gkeys = (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.asarray(ids)[doc_pos], type=id_type,
+                         from_pandas=True),
+                pa.array(win_start, type=pa.int64()),
+                pa.array(gkeys, type=pa.int64()),
+            ],
+            names=[id_col, "win_start", "gkey"],
+        )
+
+    grams = src.map_batches(emit_grams, batch_format="pyarrow")
+
+    dup_schema = pa.schema([(id_col, id_type), ("win_start", pa.int64())])
+
+    def dup_group(group: dict[str, np.ndarray]) -> dict:
+        ids = np.asarray(group[id_col])
+        if len(ids) < min_count:
+            ids = ids[:0]
+        return {
+            id_col: ids,
+            "win_start": np.asarray(group["win_start"])[: len(ids)],
+        }
+
+    def dup_empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            id_col: np.asarray(batch[id_col])[:0],
+            "win_start": np.empty(0, dtype=np.int64),
+        }
+
+    dup_wins = sorted_group_scan(
+        grams, "gkey", dup_group, dup_empty,
+        num_partitions=num_partitions, out_schema=dup_schema,
+    )
+
+    # union documents (win_start = -1 tags the text row) with the
+    # duplicated-window coordinates, then rebuild per doc in one scan
+    union_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("win_start", pa.int64()),
+            (text_col, pa.string()),
+        ]
+    )
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col).cast(id_type),
+                pa.array(np.full(len(batch), -1, dtype=np.int64)),
+                batch.column(text_col).cast(pa.string()),
+            ],
+            schema=union_schema,
+        )
+
+    def tag_wins(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col).cast(id_type),
+                batch.column("win_start").cast(pa.int64()),
+                pa.nulls(len(batch), type=pa.string()),
+            ],
+            schema=union_schema,
+        )
+
+    tagged = src.map_batches(tag_text, batch_format="pyarrow").union(
+        dup_wins.map_batches(tag_wins, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("text_clean", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("removed_tokens", pa.int64()),
+        ]
+    )
+
+    def rebuild(group: dict[str, np.ndarray]) -> dict:
+        starts = np.asarray(group["win_start"], dtype=np.int64)
+        texts = np.asarray(group[text_col], dtype=object)
+        text_rows = np.flatnonzero(starts == -1)
+        if len(text_rows) == 0:
+            # duplicated-window rows whose document sits in another
+            # partition cannot happen: the scan co-groups by id
+            raise ValueError("window rows without a document row")
+        text = texts[text_rows[0]]
+        toks = (text or "").split()
+        nt = len(toks)
+        wstarts = starts[starts >= 0]
+        if len(wstarts) == 0 or nt == 0:
+            clean, removed = " ".join(toks), 0
+        else:
+            covered = np.zeros(nt + 1, dtype=np.int64)
+            lo = np.minimum(wstarts, nt)
+            hi = np.minimum(wstarts + n, nt)
+            np.add.at(covered, lo, 1)
+            np.add.at(covered, hi, -1)
+            keep = np.cumsum(covered[:-1]) == 0
+            removed = int(nt - keep.sum())
+            clean = " ".join(np.asarray(toks, dtype=object)[keep])
+        return {
+            id_col: np.asarray(group[id_col])[:1],
+            "text_clean": np.array([clean], dtype=object),
+            "n_tokens": np.array([nt], dtype=np.int64),
+            "removed_tokens": np.array([removed], dtype=np.int64),
+        }
+
+    def rebuild_empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            id_col: np.asarray(batch[id_col])[:0],
+            "text_clean": np.empty(0, dtype=object),
+            "n_tokens": np.empty(0, dtype=np.int64),
+            "removed_tokens": np.empty(0, dtype=np.int64),
+        }
+
+    return sorted_group_scan(
+        tagged,
+        id_col,
+        rebuild,
+        rebuild_empty,
         num_partitions=max(8, num_partitions // 4),
         out_schema=out_schema,
     )

@@ -1,0 +1,201 @@
+"""Multi-level aggregation in one input scan (SQL ``GROUP BY ROLLUP``).
+
+The reference engine has no OLAP layer; this is part of the ops surface
+a 100-TB training-data pipeline needs for corpus accounting — per
+(source, day) token budgets with per-source and corpus totals in one
+job instead of three.
+
+Scale shape: the RAW rows are scanned exactly once, producing finest-
+level partials per block (the per-partition-sufficient-statistics
+combiner: at most |distinct key tuples| rows leave each block).  Every
+coarser level then re-aggregates the PREVIOUS level's output — each
+strictly smaller than the last — so the cascade costs one full-data
+exchange plus exchanges over already-aggregated tables.  Sums are
+carried as half-up e4 fixed-point int64 (``sum_<col>_e4``), bit-identical
+at any parallelism and summable across levels without float
+reassociation drift.
+
+Rolled-up key columns are emitted as NULL (SQL's convention).  A real
+NULL key value in the data would be ambiguous with the rollup marker —
+exactly as in SQL without ``GROUPING()`` — so null keys are refused
+loudly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.sortedrun import sorted_group_scan
+
+__all__ = ["grouped_rollup"]
+
+_SEP = "\x1f"
+
+
+def grouped_rollup(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """``GROUP BY ROLLUP(keys)`` over ``ds``: one output row per group at
+    every prefix level of ``keys`` (finest first, grand total last), with
+    ``n`` (row count) and ``sum_<val_col>_e4`` (half-up e4 fixed-point
+    sum).  Key columns are strings; rolled-up positions are NULL.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+
+    def finest_partial(batch: pa.Table) -> pa.Table:
+        cols = []
+        for k in keys:
+            arr = batch.column(k).to_numpy(zero_copy_only=False)
+            s = pd.Series(arr, dtype="object")
+            if s.isna().any():
+                raise ValueError(
+                    f"null value in rollup key {k!r}: ambiguous with the "
+                    "rollup NULL marker; fill or drop null keys first"
+                )
+            cols.append(s.astype(str).to_numpy(dtype=object))
+        v = np.asarray(
+            batch.column(val_col).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        v_e4 = np.where(
+            np.isnan(v), 0, np.floor(v * 10000 + 0.5)
+        ).astype(np.int64)
+        combo = cols[0]
+        for c in cols[1:]:
+            combo = np.char.add(
+                np.char.add(combo.astype(str), _SEP), c.astype(str)
+            ).astype(object)
+        uniq, first_idx, inv = np.unique(
+            combo, return_index=True, return_inverse=True
+        )
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sv = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sv, inv, v_e4)
+        arrays = [pa.array(uniq.astype(str), type=pa.string())]
+        names = ["_combo"]
+        for j, k in enumerate(keys):
+            arrays.append(
+                pa.array(cols[j][first_idx].astype(str), type=pa.string())
+            )
+            names.append(k)
+        arrays.append(pa.array(n, type=pa.int64()))
+        names.append("n")
+        arrays.append(pa.array(sv, type=pa.int64()))
+        names.append(f"sum_{val_col}_e4")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    sum_col = f"sum_{val_col}_e4"
+    level_schema = pa.schema(
+        [("_combo", pa.string())]
+        + [(k, pa.string()) for k in keys]
+        + [("n", pa.int64()), (sum_col, pa.int64())]
+    )
+
+    def merge_group(group: dict[str, np.ndarray]) -> dict:
+        out = {"_combo": np.asarray(group["_combo"])[:1]}
+        for k in keys:
+            out[k] = np.asarray(group[k])[:1]
+        out["n"] = np.array(
+            [np.asarray(group["n"]).sum()], dtype=np.int64
+        )
+        out[sum_col] = np.array(
+            [np.asarray(group[sum_col]).sum()], dtype=np.int64
+        )
+        return out
+
+    def merge_empty(batch: dict[str, np.ndarray]) -> dict:
+        out = {"_combo": np.asarray(batch["_combo"])[:0]}
+        for k in keys:
+            out[k] = np.asarray(batch[k])[:0]
+        out["n"] = np.empty(0, dtype=np.int64)
+        out[sum_col] = np.empty(0, dtype=np.int64)
+        return out
+
+    partials = ds.select_columns(
+        list(dict.fromkeys([*keys, val_col]))
+    ).map_batches(finest_partial, batch_format="pyarrow")
+    level = sorted_group_scan(
+        partials,
+        "_combo",
+        merge_group,
+        merge_empty,
+        num_partitions=num_partitions,
+        out_schema=level_schema,
+    ).materialize()
+
+    out_schema = pa.schema(
+        [(k, pa.string()) for k in keys]
+        + [("n", pa.int64()), (sum_col, pa.int64())]
+    )
+
+    def strip_combo(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_combo"])
+
+    levels = [level.map_batches(strip_combo, batch_format="pyarrow")]
+
+    # cascade: level i-1 re-aggregates level i's (already tiny) output;
+    # the i-th key column becomes NULL
+    for depth in range(len(keys) - 1, -1, -1):
+        prev = level
+        kept = keys[:depth]
+
+        def rekey(batch: pa.Table, _kept=tuple(kept)) -> pa.Table:
+            if _kept:
+                parts = [
+                    np.asarray(
+                        batch.column(k).to_numpy(zero_copy_only=False)
+                    ).astype(str)
+                    for k in _kept
+                ]
+                combo = parts[0]
+                for c in parts[1:]:
+                    combo = np.char.add(np.char.add(combo, _SEP), c)
+                combo_arr = pa.array(combo.astype(object), type=pa.string())
+            else:
+                combo_arr = pa.array(
+                    np.full(len(batch), "", dtype=object), type=pa.string()
+                )
+            arrays, names = [combo_arr], ["_combo"]
+            for j, k in enumerate(keys):
+                if j < len(_kept):
+                    arrays.append(batch.column(k).cast(pa.string()))
+                else:
+                    arrays.append(pa.nulls(len(batch), type=pa.string()))
+                names.append(k)
+            arrays.append(batch.column("n"))
+            names.append("n")
+            arrays.append(batch.column(sum_col))
+            names.append(sum_col)
+            return pa.Table.from_arrays(arrays, names=names)
+
+        level = sorted_group_scan(
+            prev.map_batches(rekey, batch_format="pyarrow"),
+            "_combo",
+            merge_group,
+            merge_empty,
+            num_partitions=max(2, num_partitions // 8),
+            out_schema=level_schema,
+        ).materialize()
+        levels.append(
+            level.map_batches(strip_combo, batch_format="pyarrow")
+        )
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+
+    def pin(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column(f.name).cast(f.type) for f in out_schema],
+            schema=out_schema,
+        )
+
+    return out.map_batches(pin, batch_format="pyarrow")

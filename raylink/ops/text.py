@@ -23,6 +23,7 @@ __all__ = [
     "repetition_scores",
     "token_ngram_windows",
     "token_window_hashes",
+    "token_window_hash_starts",
     "extract_pattern",
     "normalize_text",
     "with_bpe_token_counts",
@@ -486,12 +487,24 @@ def token_window_hashes(texts, n: int):
     tokenization and cross-document-boundary exclusion as the string
     sibling (both build on :func:`_explode_tokens`).
     """
+    doc_pos, _, h, tok_counts = token_window_hash_starts(texts, n)
+    return doc_pos, h, tok_counts
+
+
+def token_window_hash_starts(texts, n: int):
+    """:func:`token_window_hashes` plus each window's WITHIN-document
+    start token index — returns ``(doc_pos, win_start, window_hashes,
+    tok_counts)``.  ``win_start[i]`` is the 0-based position of the
+    window's first token inside its own document, the coordinate a
+    span-removal pass needs to map a duplicated gram back onto the
+    document's token array."""
     from ..functions.hashing import combine_hashes, hash64_array
 
     flat, doc_pos, tok_counts = _explode_tokens(texts)
     m = len(flat)
     if m < n:
         return (
+            np.empty(0, dtype=np.int64),
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=np.uint64),
             tok_counts,
@@ -502,7 +515,14 @@ def token_window_hashes(texts, n: int):
     for j in range(1, n):
         h = combine_hashes(h, th[j : k + j])
     valid = doc_pos[:k] == doc_pos[n - 1 :]
-    return doc_pos[:k][valid], h[valid], tok_counts
+    vpos = np.flatnonzero(valid)
+    vdoc = doc_pos[vpos]
+    # within-doc start = flat index minus the doc's first flat index
+    doc_first_flat = np.concatenate(
+        [[0], np.cumsum(tok_counts, dtype=np.int64)]
+    )[:-1]
+    win_start = vpos - doc_first_flat[vdoc]
+    return vdoc, win_start.astype(np.int64), h[valid], tok_counts
 
 
 def mark_contaminated_ngrams(

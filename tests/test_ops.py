@@ -4464,3 +4464,99 @@ def test_group_ntile_matches_duckdb():
         assert got == exp, k
     with pytest.raises(ValueError):
         group_ntile(ray.data.from_pandas(df), "g", ["v"], k=0)
+
+
+def test_remove_duplicate_spans_matches_bruteforce():
+    from collections import Counter
+
+    from raylink.ops.dupspans import remove_duplicate_spans
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for _ in range(60):
+        docs.append(" ".join(rng.choice(vocab, rng.integers(3, 30))))
+    span = "alpha beta gamma delta epsilon zeta"
+    for i in (3, 17, 42):
+        docs[i] = docs[i] + " " + span + " tail" + str(i)
+    docs.append("")          # empty doc passes through
+    docs.append("one two")   # shorter than n passes through
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+    )
+
+    n, mc = 4, 2
+    out = (
+        remove_duplicate_spans(
+            ray.data.from_pandas(df).repartition(5),
+            n=n,
+            min_count=mc,
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    grams = Counter()
+    tok_lists = [t.split() for t in docs]
+    for toks in tok_lists:
+        for s in range(len(toks) - n + 1):
+            grams[tuple(toks[s : s + n])] += 1
+    exp_rows = []
+    for i, toks in enumerate(tok_lists):
+        cov = np.zeros(len(toks), bool)
+        for s in range(len(toks) - n + 1):
+            if grams[tuple(toks[s : s + n])] >= mc:
+                cov[s : s + n] = True
+        kept = [t for t, c in zip(toks, cov) if not c]
+        exp_rows.append((i, " ".join(kept), len(toks), int(cov.sum())))
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["doc_id", "text_clean", "n_tokens", "removed_tokens"],
+    )
+    assert exp["removed_tokens"].sum() > 0  # the planted span was caught
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+    with pytest.raises(ValueError, match="min_count"):
+        remove_duplicate_spans(ray.data.from_pandas(df), min_count=1)
+
+
+def test_grouped_rollup_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.rollup import grouped_rollup
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 4000),
+            "b": rng.choice([f"b{i}" for i in range(17)], 4000),
+            "v": np.round(rng.normal(5, 3, 4000), 3),
+        }
+    )
+    out = grouped_rollup(
+        ray.data.from_pandas(df).repartition(7), ["a", "b"], "v"
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT a, b, count(*)::BIGINT AS n, "
+        "SUM(CAST(floor(v*10000 + 0.5) AS BIGINT))::BIGINT AS sum_v_e4 "
+        "FROM t GROUP BY ROLLUP(a, b)"
+    ).df()
+    key = ["a", "b"]
+    o = out.sort_values(key, na_position="last", ignore_index=True)
+    e = exp.sort_values(key, na_position="last", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        o[["a", "b", "n", "sum_v_e4"]], e, check_dtype=False
+    )
+
+    # null keys are ambiguous with the rollup marker: refuse loudly
+    bad = df.copy()
+    bad.loc[0, "a"] = None
+    with pytest.raises(Exception, match="null value in rollup key"):
+        grouped_rollup(
+            ray.data.from_pandas(bad), ["a", "b"], "v"
+        ).materialize()
