@@ -412,6 +412,17 @@ def _q_langid_trigram(sf_dir: str):
     )
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Train a BPE merge table (Sennrich 2016) on the documents corpus:
+    one distributed word-histogram pass, bounded driver merge loop.  No
+    SQL oracle (iterative trained model); determinism + parity against a
+    recompute-all-pairs reference trainer are pinned in pytest."""
+    from raylink.ops.bpe import train_bpe
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+    return train_bpe(docs, num_merges=100, num_partitions=8).to_frame()
+
+
 def _q_fingerprints(sf_dir: str):
     from raylink.ops.text import with_fingerprints
 
@@ -2598,6 +2609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- block 2 tail: no SQL oracle by construction (approx / EM /
         # k-means / trained models) — a rows-only driver row proves little ---
         "langid_trigram_docs": _q_langid_trigram,
+        "bpe_merges_docs": _q_bpe_merges,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "kmeans_embeddings": _q_kmeans_embeddings,

@@ -4560,3 +4560,87 @@ def test_grouped_rollup_matches_duckdb():
         grouped_rollup(
             ray.data.from_pandas(bad), ["a", "b"], "v"
         ).materialize()
+
+
+def test_bpe_train_and_encode():
+    from collections import Counter
+
+    from raylink.ops.bpe import (
+        _encode_word,
+        _train_on_histogram,
+        encode_bpe,
+        train_bpe,
+    )
+
+    # the canonical Sennrich example: merge order is well known
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = _train_on_histogram(freqs, 6, 2)
+    assert merges[:5] == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+
+    # recompute-all-pairs reference trainer: the incremental
+    # pair-maintenance must agree exactly on a random corpus
+    def brute(fr, n):
+        symbols = {w: [*w, "</w>"] for w in fr}
+        out = []
+        for _ in range(n):
+            pc = Counter()
+            for w, syms in symbols.items():
+                for p in zip(syms, syms[1:]):
+                    pc[p] += fr[w]
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-pc[p], p))
+            if pc[best] < 2:
+                break
+            out.append(best)
+            a, b = best
+            for w, syms in symbols.items():
+                i, ns = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                symbols[w] = ns
+        return out
+
+    rng = np.random.default_rng(3)
+    words = [
+        "".join(rng.choice(list("abcdef"), rng.integers(2, 8)))
+        for _ in range(200)
+    ]
+    docs = [
+        " ".join(rng.choice(words, rng.integers(3, 25))) for _ in range(300)
+    ]
+    df = pd.DataFrame({"text": docs})
+    model = train_bpe(ray.data.from_pandas(df).repartition(5), num_merges=50)
+    wc = Counter(w for d in docs for w in d.split())
+    assert model.merges == brute(dict(wc), 50)
+
+    # roundtrip: joined subwords reproduce every word
+    ranks = {m: i for i, m in enumerate(model.merges)}
+    for w in list(wc)[:50]:
+        assert "".join(_encode_word(w, ranks)).replace("</w>", "") == w
+
+    out = encode_bpe(
+        ray.data.from_pandas(df).repartition(4), model, encoded_col="bpe_text"
+    ).to_pandas()
+    assert (
+        out["n_bpe_tokens"] == out["bpe_text"].str.split().str.len()
+    ).all()
+    # every word is >= 1 subword; empty text encodes to zero
+    assert (
+        out["n_bpe_tokens"] >= out["text"].str.split().str.len()
+    ).all()
+    empty = encode_bpe(
+        ray.data.from_pandas(pd.DataFrame({"text": ["", None]})), model
+    ).to_pandas()
+    assert empty["n_bpe_tokens"].tolist() == [0, 0]
