@@ -2378,6 +2378,25 @@ def _q_rollup_events(sf_dir: str):
     return grouped_rollup(ev, ["event_type", "day"], "value")
 
 
+def _q_cube_events(sf_dir: str):
+    """SQL GROUP BY CUBE(event_type, day): every key subset's aggregate,
+    each coarser grouping derived from the finest level — raw rows still
+    scanned exactly once."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.rollup import grouped_cube
+
+    ev = _read(sf_dir, "events").select_columns(["ts", "event_type", "value"])
+
+    def add_day(batch):
+        return batch.append_column(
+            "day", pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        )
+
+    ev = ev.map_batches(add_day, batch_format="pyarrow")
+    return grouped_cube(ev, ["event_type", "day"], "value")
+
+
 def _q_dup_span_docs(sf_dir: str):
     """Within-corpus duplicated token 8-gram statistics per document (the
     Lee et al. 2022 exact-substring dedup signal): windows whose 8-gram
@@ -2555,6 +2574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 additions (oracled, never verified yet) ---
         "clean_dup_spans_docs": _q_clean_dup_spans_docs,
         "rollup_events": _q_rollup_events,
+        "cube_events": _q_cube_events,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -2953,6 +2973,15 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value_e4
             FROM events
             GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "cube_events": """
+            SELECT event_type,
+                   strftime(ts, '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS n,
+                   SUM(CAST(floor(value*10000 + 0.5) AS BIGINT))::BIGINT
+                       AS sum_value_e4
+            FROM events
+            GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
         """,
         "dup_span_docs": r"""
             WITH tok AS (

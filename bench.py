@@ -248,6 +248,8 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "event_quartiles",
         "clean_dup_spans_docs",
         "rollup_events",
+        "cube_events",
+        "bpe_merges_docs",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -105,10 +105,16 @@ def group_standardize(
         parts = partials.to_pandas()
         stats = parts.groupby(group_col)[["n", "s", "ss"]].sum()
         stats_ref = ray.put(
-            {
-                k: (int(r["n"]), int(r["s"]), int(r["ss"]))
-                for k, r in stats.iterrows()
-            }
+            dict(
+                zip(
+                    stats.index,
+                    zip(
+                        stats["n"].astype(int),
+                        stats["s"].astype(int),
+                        stats["ss"].astype(int),
+                    ),
+                )
+            )
         )
 
         def apply(batch):

@@ -1,4 +1,5 @@
-"""Multi-level aggregation in one input scan (SQL ``GROUP BY ROLLUP``).
+"""Multi-level aggregation in one input scan (SQL ``GROUP BY ROLLUP`` /
+``CUBE``).
 
 The reference engine has no OLAP layer; this is part of the ops surface
 a 100-TB training-data pipeline needs for corpus accounting — per
@@ -8,12 +9,13 @@ job instead of three.
 Scale shape: the RAW rows are scanned exactly once, producing finest-
 level partials per block (the per-partition-sufficient-statistics
 combiner: at most |distinct key tuples| rows leave each block).  Every
-coarser level then re-aggregates the PREVIOUS level's output — each
-strictly smaller than the last — so the cascade costs one full-data
-exchange plus exchanges over already-aggregated tables.  Sums are
-carried as half-up e4 fixed-point int64 (``sum_<col>_e4``), bit-identical
-at any parallelism and summable across levels without float
-reassociation drift.
+coarser grouping then re-aggregates an already-aggregated table —
+ROLLUP cascades prefix levels (each input strictly smaller than the
+last), CUBE derives each of the 2^k - 1 coarser subsets from the finest
+level — so the cascade costs one full-data exchange plus exchanges over
+aggregate tables.  Sums are carried as half-up e4 fixed-point int64
+(``sum_<col>_e4``), bit-identical at any parallelism and summable
+across levels without float reassociation drift.
 
 Rolled-up key columns are emitted as NULL (SQL's convention).  A real
 NULL key value in the data would be ambiguous with the rollup marker —
@@ -31,24 +33,50 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["grouped_rollup"]
+__all__ = ["grouped_rollup", "grouped_cube"]
 
 _SEP = "\x1f"
 
 
-def grouped_rollup(
+def _merge_fns(keys: list[str], sum_col: str):
+    def merge_group(group: dict[str, np.ndarray]) -> dict:
+        out = {"_combo": np.asarray(group["_combo"])[:1]}
+        for k in keys:
+            out[k] = np.asarray(group[k])[:1]
+        out["n"] = np.array([np.asarray(group["n"]).sum()], dtype=np.int64)
+        out[sum_col] = np.array(
+            [np.asarray(group[sum_col]).sum()], dtype=np.int64
+        )
+        return out
+
+    def merge_empty(batch: dict[str, np.ndarray]) -> dict:
+        out = {"_combo": np.asarray(batch["_combo"])[:0]}
+        for k in keys:
+            out[k] = np.asarray(batch[k])[:0]
+        out["n"] = np.empty(0, dtype=np.int64)
+        out[sum_col] = np.empty(0, dtype=np.int64)
+        return out
+
+    return merge_group, merge_empty
+
+
+def _level_schema(keys: list[str], sum_col: str) -> pa.Schema:
+    return pa.schema(
+        [("_combo", pa.string())]
+        + [(k, pa.string()) for k in keys]
+        + [("n", pa.int64()), (sum_col, pa.int64())]
+    )
+
+
+def _finest_level(
     ds: ray.data.Dataset,
     keys: list[str],
     val_col: str,
-    num_partitions: int = 32,
+    sum_col: str,
+    num_partitions: int,
 ) -> ray.data.Dataset:
-    """``GROUP BY ROLLUP(keys)`` over ``ds``: one output row per group at
-    every prefix level of ``keys`` (finest first, grand total last), with
-    ``n`` (row count) and ``sum_<val_col>_e4`` (half-up e4 fixed-point
-    sum).  Key columns are strings; rolled-up positions are NULL.
-    """
-    if not keys:
-        raise ValueError("keys must be non-empty")
+    """One raw scan → the finest-level aggregate (materialized), keyed by
+    the combined ``_combo`` string with the key parts alongside."""
 
     def finest_partial(batch: pa.Table) -> pa.Table:
         cols = []
@@ -65,9 +93,9 @@ def grouped_rollup(
             batch.column(val_col).to_numpy(zero_copy_only=False),
             dtype=np.float64,
         )
-        v_e4 = np.where(
-            np.isnan(v), 0, np.floor(v * 10000 + 0.5)
-        ).astype(np.int64)
+        v_e4 = np.where(np.isnan(v), 0, np.floor(v * 10000 + 0.5)).astype(
+            np.int64
+        )
         combo = cols[0]
         for c in cols[1:]:
             combo = np.char.add(
@@ -89,108 +117,80 @@ def grouped_rollup(
         arrays.append(pa.array(n, type=pa.int64()))
         names.append("n")
         arrays.append(pa.array(sv, type=pa.int64()))
-        names.append(f"sum_{val_col}_e4")
+        names.append(sum_col)
         return pa.Table.from_arrays(arrays, names=names)
 
-    sum_col = f"sum_{val_col}_e4"
-    level_schema = pa.schema(
-        [("_combo", pa.string())]
-        + [(k, pa.string()) for k in keys]
-        + [("n", pa.int64()), (sum_col, pa.int64())]
-    )
-
-    def merge_group(group: dict[str, np.ndarray]) -> dict:
-        out = {"_combo": np.asarray(group["_combo"])[:1]}
-        for k in keys:
-            out[k] = np.asarray(group[k])[:1]
-        out["n"] = np.array(
-            [np.asarray(group["n"]).sum()], dtype=np.int64
-        )
-        out[sum_col] = np.array(
-            [np.asarray(group[sum_col]).sum()], dtype=np.int64
-        )
-        return out
-
-    def merge_empty(batch: dict[str, np.ndarray]) -> dict:
-        out = {"_combo": np.asarray(batch["_combo"])[:0]}
-        for k in keys:
-            out[k] = np.asarray(batch[k])[:0]
-        out["n"] = np.empty(0, dtype=np.int64)
-        out[sum_col] = np.empty(0, dtype=np.int64)
-        return out
-
+    merge_group, merge_empty = _merge_fns(keys, sum_col)
     partials = ds.select_columns(
         list(dict.fromkeys([*keys, val_col]))
     ).map_batches(finest_partial, batch_format="pyarrow")
-    level = sorted_group_scan(
+    return sorted_group_scan(
         partials,
         "_combo",
         merge_group,
         merge_empty,
         num_partitions=num_partitions,
-        out_schema=level_schema,
+        out_schema=_level_schema(keys, sum_col),
     ).materialize()
 
+
+def _reaggregate(
+    level: ray.data.Dataset,
+    keys: list[str],
+    kept: tuple[str, ...],
+    sum_col: str,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Aggregate an existing level down to the ``kept`` key subset;
+    dropped key columns become NULL."""
+
+    def rekey(batch: pa.Table, _kept=kept) -> pa.Table:
+        if _kept:
+            parts = [
+                np.asarray(
+                    batch.column(k).to_numpy(zero_copy_only=False)
+                ).astype(str)
+                for k in _kept
+            ]
+            combo = parts[0]
+            for c in parts[1:]:
+                combo = np.char.add(np.char.add(combo, _SEP), c)
+            combo_arr = pa.array(combo.astype(object), type=pa.string())
+        else:
+            combo_arr = pa.array(
+                np.full(len(batch), "", dtype=object), type=pa.string()
+            )
+        arrays, names = [combo_arr], ["_combo"]
+        for k in keys:
+            if k in _kept:
+                arrays.append(batch.column(k).cast(pa.string()))
+            else:
+                arrays.append(pa.nulls(len(batch), type=pa.string()))
+            names.append(k)
+        arrays.append(batch.column("n"))
+        names.append("n")
+        arrays.append(batch.column(sum_col))
+        names.append(sum_col)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    merge_group, merge_empty = _merge_fns(keys, sum_col)
+    return sorted_group_scan(
+        level.map_batches(rekey, batch_format="pyarrow"),
+        "_combo",
+        merge_group,
+        merge_empty,
+        num_partitions=num_partitions,
+        out_schema=_level_schema(keys, sum_col),
+    )
+
+
+def _finish(
+    levels: list[ray.data.Dataset], keys: list[str], sum_col: str
+) -> ray.data.Dataset:
     out_schema = pa.schema(
         [(k, pa.string()) for k in keys]
         + [("n", pa.int64()), (sum_col, pa.int64())]
     )
-
-    def strip_combo(batch: pa.Table) -> pa.Table:
-        return batch.drop_columns(["_combo"])
-
-    levels = [level.map_batches(strip_combo, batch_format="pyarrow")]
-
-    # cascade: level i-1 re-aggregates level i's (already tiny) output;
-    # the i-th key column becomes NULL
-    for depth in range(len(keys) - 1, -1, -1):
-        prev = level
-        kept = keys[:depth]
-
-        def rekey(batch: pa.Table, _kept=tuple(kept)) -> pa.Table:
-            if _kept:
-                parts = [
-                    np.asarray(
-                        batch.column(k).to_numpy(zero_copy_only=False)
-                    ).astype(str)
-                    for k in _kept
-                ]
-                combo = parts[0]
-                for c in parts[1:]:
-                    combo = np.char.add(np.char.add(combo, _SEP), c)
-                combo_arr = pa.array(combo.astype(object), type=pa.string())
-            else:
-                combo_arr = pa.array(
-                    np.full(len(batch), "", dtype=object), type=pa.string()
-                )
-            arrays, names = [combo_arr], ["_combo"]
-            for j, k in enumerate(keys):
-                if j < len(_kept):
-                    arrays.append(batch.column(k).cast(pa.string()))
-                else:
-                    arrays.append(pa.nulls(len(batch), type=pa.string()))
-                names.append(k)
-            arrays.append(batch.column("n"))
-            names.append("n")
-            arrays.append(batch.column(sum_col))
-            names.append(sum_col)
-            return pa.Table.from_arrays(arrays, names=names)
-
-        level = sorted_group_scan(
-            prev.map_batches(rekey, batch_format="pyarrow"),
-            "_combo",
-            merge_group,
-            merge_empty,
-            num_partitions=max(2, num_partitions // 8),
-            out_schema=level_schema,
-        ).materialize()
-        levels.append(
-            level.map_batches(strip_combo, batch_format="pyarrow")
-        )
-
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
 
     def pin(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -198,4 +198,82 @@ def grouped_rollup(
             schema=out_schema,
         )
 
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
     return out.map_batches(pin, batch_format="pyarrow")
+
+
+def grouped_rollup(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """``GROUP BY ROLLUP(keys)``: one output row per group at every
+    PREFIX level of ``keys`` (finest first, grand total last), with
+    ``n`` (row count) and ``sum_<val_col>_e4`` (half-up e4 fixed-point
+    sum).  Key columns are strings; rolled-up positions are NULL."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    sum_col = f"sum_{val_col}_e4"
+    level = _finest_level(ds, keys, val_col, sum_col, num_partitions)
+    levels = [level]
+    # cascade: each prefix level re-aggregates the previous (smaller) one
+    for depth in range(len(keys) - 1, -1, -1):
+        level = _reaggregate(
+            level,
+            keys,
+            tuple(keys[:depth]),
+            sum_col,
+            max(2, num_partitions // 8),
+        ).materialize()
+        levels.append(level)
+    return _finish(
+        [
+            lv.map_batches(
+                lambda b: b.drop_columns(["_combo"]), batch_format="pyarrow"
+            )
+            for lv in levels
+        ],
+        keys,
+        sum_col,
+    )
+
+
+def grouped_cube(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """``GROUP BY CUBE(keys)``: one output row per group at EVERY subset
+    of ``keys`` (2^k groupings).  Same output contract as
+    :func:`grouped_rollup`.  Every coarser subset derives from the
+    finest level (already tiny), so the raw data is still scanned once;
+    ``len(keys)`` is capped at 6 (64 groupings) to keep the plan sane."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if len(keys) > 6:
+        raise ValueError("cube over more than 6 keys explodes (2^k levels)")
+    sum_col = f"sum_{val_col}_e4"
+    finest = _finest_level(ds, keys, val_col, sum_col, num_partitions)
+    levels = [finest]
+    # every proper subset, derived from the finest level
+    for mask in range((1 << len(keys)) - 2, -1, -1):
+        kept = tuple(k for j, k in enumerate(keys) if mask & (1 << j))
+        levels.append(
+            _reaggregate(
+                finest, keys, kept, sum_col, max(2, num_partitions // 8)
+            )
+        )
+    return _finish(
+        [
+            lv.map_batches(
+                lambda b: b.drop_columns(["_combo"]), batch_format="pyarrow"
+            )
+            for lv in levels
+        ],
+        keys,
+        sum_col,
+    )

@@ -4562,6 +4562,43 @@ def test_grouped_rollup_matches_duckdb():
         ).materialize()
 
 
+def test_grouped_cube_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.rollup import grouped_cube
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 3000),
+            "b": rng.choice([f"b{i}" for i in range(9)], 3000),
+            "v": np.round(rng.normal(-2, 7, 3000), 3),
+        }
+    )
+    out = grouped_cube(
+        ray.data.from_pandas(df).repartition(5), ["a", "b"], "v"
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT a, b, count(*)::BIGINT AS n, "
+        "SUM(CAST(floor(v*10000 + 0.5) AS BIGINT))::BIGINT AS sum_v_e4 "
+        "FROM t GROUP BY CUBE(a, b)"
+    ).df()
+    key = ["a", "b"]
+    o = out.sort_values(key, na_position="last", ignore_index=True)
+    e = exp.sort_values(key, na_position="last", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        o[["a", "b", "n", "sum_v_e4"]], e, check_dtype=False
+    )
+
+    with pytest.raises(ValueError, match="cube over more than"):
+        grouped_cube(
+            ray.data.from_pandas(df), [f"k{i}" for i in range(7)], "v"
+        )
+
+
 def test_bpe_train_and_encode():
     from collections import Counter
 
