@@ -2397,6 +2397,42 @@ def _q_cube_events(sf_dir: str):
     return grouped_cube(ev, ["event_type", "day"], "value")
 
 
+def _q_grouping_sets_events(sf_dir: str):
+    """SQL GROUP BY GROUPING SETS — the generalization rollup/cube are
+    special cases of: only the REQUESTED key subsets are emitted
+    ((event_type, day), (event_type, bucket), (day,), ()). One raw scan
+    builds the finest (3-key) level; each requested set re-aggregates
+    that already-tiny table."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.rollup import grouped_grouping_sets
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["ts", "user_id", "event_type", "value"]
+    )
+
+    def add_keys(batch):
+        batch = batch.append_column(
+            "day", pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        bucket = pa.array((uid % 10).astype(str), type=pa.string())
+        return batch.append_column("bucket", bucket)
+
+    ev = ev.map_batches(add_keys, batch_format="pyarrow")
+    return grouped_grouping_sets(
+        ev,
+        keys=["event_type", "day", "bucket"],
+        sets=[
+            ("event_type", "day"),
+            ("event_type", "bucket"),
+            ("day",),
+            (),
+        ],
+        val_col="value",
+    )
+
+
 def _q_dup_span_docs(sf_dir: str):
     """Within-corpus duplicated token 8-gram statistics per document (the
     Lee et al. 2022 exact-substring dedup signal): windows whose 8-gram
@@ -2575,6 +2611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_dup_spans_docs": _q_clean_dup_spans_docs,
         "rollup_events": _q_rollup_events,
         "cube_events": _q_cube_events,
+        "grouping_sets_events": _q_grouping_sets_events,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -2982,6 +3019,21 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value_e4
             FROM events
             GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "grouping_sets_events": """
+            SELECT event_type,
+                   strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(user_id % 10 AS VARCHAR) AS bucket,
+                   count(*)::BIGINT AS n,
+                   SUM(CAST(floor(value*10000 + 0.5) AS BIGINT))::BIGINT
+                       AS sum_value_e4
+            FROM events
+            GROUP BY GROUPING SETS (
+                (event_type, strftime(ts, '%Y-%m-%d')),
+                (event_type, CAST(user_id % 10 AS VARCHAR)),
+                (strftime(ts, '%Y-%m-%d')),
+                ()
+            )
         """,
         "dup_span_docs": r"""
             WITH tok AS (

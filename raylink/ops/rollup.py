@@ -33,7 +33,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["grouped_rollup", "grouped_cube"]
+__all__ = ["grouped_rollup", "grouped_cube", "grouped_grouping_sets"]
 
 _SEP = "\x1f"
 
@@ -267,6 +267,69 @@ def grouped_cube(
                 finest, keys, kept, sum_col, max(2, num_partitions // 8)
             )
         )
+    return _finish(
+        [
+            lv.map_batches(
+                lambda b: b.drop_columns(["_combo"]), batch_format="pyarrow"
+            )
+            for lv in levels
+        ],
+        keys,
+        sum_col,
+    )
+
+
+def grouped_grouping_sets(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sets: list[tuple[str, ...]],
+    val_col: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """``GROUP BY GROUPING SETS(sets)``: one output row per group for
+    each REQUESTED key subset — the generalization that ROLLUP (prefix
+    levels) and CUBE (all subsets) are special cases of.
+
+    ``keys`` is the ordered union of every set (the finest grouping
+    computed from the raw scan); each entry of ``sets`` must be a subset
+    of it.  The raw data is scanned once (finest-level block partials);
+    every requested set is then derived from that already-aggregated
+    finest table, so adding a grouping set costs an exchange over an
+    aggregate, never another raw scan.  Output contract matches
+    :func:`grouped_rollup`: string key columns (NULL where the set drops
+    the key), ``n``, and half-up e4 fixed-point ``sum_<val_col>_e4``.
+
+    Duplicate sets are refused (SQL would emit duplicated rows; a
+    duplicated aggregate row is almost always a bug upstream, and the
+    caller can union the result with itself if they truly want one).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if not sets:
+        raise ValueError("sets must be non-empty")
+    canon: list[tuple[str, ...]] = []
+    seen: set[tuple[str, ...]] = set()
+    for s in sets:
+        extra = [k for k in s if k not in keys]
+        if extra:
+            raise ValueError(
+                f"grouping set {tuple(s)!r} uses keys {extra!r} not in "
+                f"keys={keys!r}"
+            )
+        c = tuple(k for k in keys if k in s)  # canonical keys order
+        if c in seen:
+            raise ValueError(f"duplicate grouping set {c!r}")
+        seen.add(c)
+        canon.append(c)
+    sum_col = f"sum_{val_col}_e4"
+    finest = _finest_level(ds, keys, val_col, sum_col, num_partitions)
+    full = tuple(keys)
+    levels = [
+        finest
+        if c == full
+        else _reaggregate(finest, keys, c, sum_col, max(2, num_partitions // 8))
+        for c in canon
+    ]
     return _finish(
         [
             lv.map_batches(

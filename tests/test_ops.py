@@ -4599,6 +4599,69 @@ def test_grouped_cube_matches_duckdb():
         )
 
 
+def test_grouped_grouping_sets_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.rollup import grouped_grouping_sets
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 3000),
+            "b": rng.choice([f"b{i}" for i in range(7)], 3000),
+            "c": rng.choice(["p", "q"], 3000),
+            "v": np.round(rng.normal(1, 4, 3000), 3),
+        }
+    )
+    out = grouped_grouping_sets(
+        ray.data.from_pandas(df).repartition(5),
+        ["a", "b", "c"],
+        # order inside a set is canonicalized to keys order; () = total
+        sets=[("a", "b"), ("c", "a"), ("b",), ()],
+        val_col="v",
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT a, b, c, count(*)::BIGINT AS n, "
+        "SUM(CAST(floor(v*10000 + 0.5) AS BIGINT))::BIGINT AS sum_v_e4 "
+        "FROM t GROUP BY GROUPING SETS ((a, b), (a, c), (b), ())"
+    ).df()
+    key = ["a", "b", "c"]
+    o = out.sort_values(key, na_position="last", ignore_index=True)
+    e = exp.sort_values(key, na_position="last", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        o[["a", "b", "c", "n", "sum_v_e4"]], e, check_dtype=False
+    )
+
+    # full-keys set reuses the finest level directly
+    out_full = grouped_grouping_sets(
+        ray.data.from_pandas(df), ["a", "b", "c"], [("a", "b", "c")], "v"
+    ).to_pandas()
+    exp_full = con.execute(
+        "SELECT a, b, c, count(*)::BIGINT AS n, "
+        "SUM(CAST(floor(v*10000 + 0.5) AS BIGINT))::BIGINT AS sum_v_e4 "
+        "FROM t GROUP BY a, b, c"
+    ).df()
+    pd.testing.assert_frame_equal(
+        out_full.sort_values(key, ignore_index=True)[
+            ["a", "b", "c", "n", "sum_v_e4"]
+        ],
+        exp_full.sort_values(key, ignore_index=True),
+        check_dtype=False,
+    )
+
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        grouped_grouping_sets(
+            ray.data.from_pandas(df), ["a", "b"], [("a",), ("a",)], "v"
+        )
+    with pytest.raises(ValueError, match="not in"):
+        grouped_grouping_sets(
+            ray.data.from_pandas(df), ["a", "b"], [("zz",)], "v"
+        )
+
+
 def test_bpe_train_and_encode():
     from collections import Counter
 
