@@ -2433,6 +2433,33 @@ def _q_grouping_sets_events(sf_dir: str):
     )
 
 
+def _q_unpivot_lineitem(sf_dir: str):
+    """SQL UNPIVOT (wide -> long): each lineitem row becomes one row per
+    measure column (quantity/extendedprice/discount/tax) carrying the
+    measure NAME and its value — map-only, no shuffle, streams at read
+    speed (the melt shape feature stores and metric pipelines ingest)."""
+    from raylink.ops.pivot import unpivot
+
+    li = _read(sf_dir, "lineitem")
+    out = unpivot(
+        li,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="value",
+        include_nulls=True,
+    )
+
+    def to_e4(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        e4 = np.floor(v * 10000 + 0.5).astype(np.int64)
+        return batch.drop_columns(["value"]).append_column(
+            "value_e4", pa.array(e4, type=pa.int64())
+        )
+
+    return out.map_batches(to_e4, batch_format="pyarrow")
+
+
 def _q_dup_span_docs(sf_dir: str):
     """Within-corpus duplicated token 8-gram statistics per document (the
     Lee et al. 2022 exact-substring dedup signal): windows whose 8-gram
@@ -2612,6 +2639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events": _q_rollup_events,
         "cube_events": _q_cube_events,
         "grouping_sets_events": _q_grouping_sets_events,
+        "unpivot_lineitem": _q_unpivot_lineitem,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3019,6 +3047,23 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value_e4
             FROM events
             GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   CAST(floor(l_quantity*10000 + 0.5) AS BIGINT) AS value_e4
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(floor(l_extendedprice*10000 + 0.5) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(floor(l_discount*10000 + 0.5) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(floor(l_tax*10000 + 0.5) AS BIGINT)
+            FROM lineitem
         """,
         "grouping_sets_events": """
             SELECT event_type,

@@ -13,12 +13,13 @@ raise or fold into an ``other`` column, never silently widen the schema.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["pivot_counts"]
+__all__ = ["pivot_counts", "unpivot"]
 
 
 def pivot_counts(
@@ -84,3 +85,67 @@ def pivot_counts(
     return sorted_group_scan(
         partials, key_col, group_fn, empty_fn, num_partitions
     )
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "name",
+    value_name: str = "value",
+    include_nulls: bool = False,
+) -> ray.data.Dataset:
+    """Wide -> long (SQL ``UNPIVOT`` / pandas ``melt``): each input row
+    emits one output row per entry of ``value_cols`` — the id columns,
+    the source column's NAME, and its VALUE.
+
+    Map-only (no shuffle): each block independently stacks one slice per
+    value column, so the transform streams at read speed and the output
+    is ``len(value_cols)``x the input rows.  ``include_nulls=False`` is
+    SQL UNPIVOT's contract (rows whose value is NULL are dropped);
+    ``True`` keeps them (the UNION-ALL formulation).  Value columns must
+    share one type, or all be numeric (promoted to float64) — mixed
+    non-numeric types are refused rather than silently stringified.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    overlap = set(id_cols) & set(value_cols)
+    if overlap:
+        raise ValueError(f"columns {sorted(overlap)!r} in both id and value")
+    if var_name == value_name or {var_name, value_name} & set(id_cols):
+        raise ValueError("var_name / value_name clash with id columns")
+
+    def melt_batch(batch: pa.Table) -> pa.Table:
+        types = {str(batch.column(c).type) for c in value_cols}
+        if len(types) == 1:
+            target = batch.column(value_cols[0]).type
+        else:
+            if not all(
+                pa.types.is_integer(batch.column(c).type)
+                or pa.types.is_floating(batch.column(c).type)
+                for c in value_cols
+            ):
+                raise ValueError(
+                    f"value_cols mix non-numeric types {sorted(types)!r}; "
+                    "cast them to one type first"
+                )
+            target = pa.float64()
+        pieces = []
+        for c in value_cols:
+            vals = batch.column(c).cast(target).combine_chunks()
+            tbl = pa.Table.from_arrays(
+                [batch.column(k) for k in id_cols]
+                + [
+                    pa.array(np.full(len(batch), c, dtype=object)),
+                    vals,
+                ],
+                names=[*id_cols, var_name, value_name],
+            )
+            if not include_nulls and vals.null_count:
+                tbl = tbl.filter(pa.compute.is_valid(tbl.column(value_name)))
+            pieces.append(tbl)
+        return pa.concat_tables(pieces)
+
+    return ds.select_columns(
+        list(dict.fromkeys([*id_cols, *value_cols]))
+    ).map_batches(melt_batch, batch_format="pyarrow")

@@ -4662,6 +4662,66 @@ def test_grouped_grouping_sets_matches_duckdb():
         )
 
 
+def test_unpivot_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.pivot import unpivot
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(500, dtype=np.int64),
+            "g": rng.choice(["u", "v"], 500),
+            "m1": np.round(rng.normal(0, 5, 500), 3),
+            "m2": np.round(rng.normal(9, 2, 500), 3),
+            "m3": np.round(rng.uniform(-1, 1, 500), 3),
+        }
+    )
+    df.loc[rng.choice(500, 40, replace=False), "m2"] = np.nan
+
+    out = unpivot(
+        ray.data.from_pandas(df).repartition(4),
+        id_cols=["id", "g"],
+        value_cols=["m1", "m2", "m3"],
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.register("t", df)
+    # DuckDB UNPIVOT drops NULL values — the SQL contract the default follows
+    exp = con.execute(
+        "SELECT id, g, name, value FROM "
+        "(UNPIVOT t ON m1, m2, m3 INTO NAME name VALUE value)"
+    ).df()
+    key = ["id", "name"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key, ignore_index=True),
+        exp.sort_values(key, ignore_index=True),
+        check_dtype=False,
+    )
+
+    # include_nulls keeps every (row x measure) slot
+    full = unpivot(
+        ray.data.from_pandas(df), ["id"], ["m1", "m2", "m3"],
+        include_nulls=True,
+    ).to_pandas()
+    assert len(full) == 1500 and full["value"].isna().sum() == 40
+
+    # int + float value columns promote to float64
+    mixed = pd.DataFrame({"id": [1], "a": [2], "b": [0.5]})
+    got = unpivot(
+        ray.data.from_pandas(mixed), ["id"], ["a", "b"]
+    ).to_pandas()
+    assert got["value"].dtype == np.float64 and set(got["value"]) == {2.0, 0.5}
+
+    # mixed non-numeric types are refused, not stringified
+    bad = pd.DataFrame({"id": [1], "a": ["x"], "b": [1.0]})
+    with pytest.raises(Exception, match="mix non-numeric"):
+        unpivot(ray.data.from_pandas(bad), ["id"], ["a", "b"]).materialize()
+
+    with pytest.raises(ValueError, match="in both id and value"):
+        unpivot(ray.data.from_pandas(df), ["id", "m1"], ["m1", "m2"])
+
+
 def test_bpe_train_and_encode():
     from collections import Counter
 
