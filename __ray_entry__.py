@@ -2460,6 +2460,29 @@ def _q_unpivot_lineitem(sf_dir: str):
     return out.map_batches(to_e4, batch_format="pyarrow")
 
 
+def _q_funnel_events(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase, strictly increasing
+    timestamps, earliest-chain semantics): events prune to the step types
+    at the read, each user's greedy step chain resolves vectorized in one
+    sorted-run scan, and only a <=|steps|+1-row depth histogram leaves
+    the cluster."""
+    from raylink.ops.funnel import funnel_counts
+
+    ev = _read(sf_dir, "events")
+    return funnel_counts(ev, steps=["view", "click", "purchase"])
+
+
+def _q_cohort_retention_events(sf_dir: str):
+    """Cohort retention: cohort = UTC day of each user's first event;
+    each (cohort, days-since-cohort) cell counts the cohort's users
+    active that day.  Blocks reduce to distinct (user, day) pairs before
+    any shuffle — the raw events never pay the exchange."""
+    from raylink.ops.funnel import cohort_retention
+
+    ev = _read(sf_dir, "events")
+    return cohort_retention(ev, period_days=1)
+
+
 def _q_dup_span_docs(sf_dir: str):
     """Within-corpus duplicated token 8-gram statistics per document (the
     Lee et al. 2022 exact-substring dedup signal): windows whose 8-gram
@@ -2640,6 +2663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_events": _q_cube_events,
         "grouping_sets_events": _q_grouping_sets_events,
         "unpivot_lineitem": _q_unpivot_lineitem,
+        "funnel_events": _q_funnel_events,
+        "cohort_retention_events": _q_cohort_retention_events,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3047,6 +3072,42 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value_e4
             FROM events
             GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "funnel_events": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id
+            )
+            SELECT 1::BIGINT AS step_idx, 'view' AS step,
+                   (SELECT count(*) FROM s1)::BIGINT AS n_users
+            UNION ALL
+            SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
+            UNION ALL
+            SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+        """,
+        "cohort_retention_events": """
+            WITH f AS (
+                SELECT user_id, min(date_trunc('day', ts)) AS cohort
+                FROM events GROUP BY user_id
+            ), a AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                FROM events
+            )
+            SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+                   datediff('day', f.cohort, a.d)::BIGINT AS period_delta,
+                   count(*)::BIGINT AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY 1, 2
         """,
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

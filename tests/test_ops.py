@@ -4804,3 +4804,136 @@ def test_bpe_train_and_encode():
         ray.data.from_pandas(pd.DataFrame({"text": ["", None]})), model
     ).to_pandas()
     assert empty["n_bpe_tokens"].tolist() == [0, 0]
+
+
+def test_funnel_counts_matches_bruteforce():
+    from raylink.ops.funnel import funnel_counts
+
+    steps = ["view", "click", "purchase"]
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 300, n).astype(np.int64),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "refund", "page"], n
+            ),
+            # coarse second grid so equal-timestamp ties actually occur
+            "ts": pd.to_datetime(
+                rng.integers(0, 500, n), unit="s", origin="2026-01-01"
+            ),
+        }
+    )
+
+    def brute(g: pd.DataFrame) -> int:
+        t_prev, depth = pd.Timestamp.min, 0
+        for s in steps:
+            cand = g.loc[(g["event_type"] == s) & (g["ts"] > t_prev), "ts"]
+            if cand.empty:
+                return depth
+            t_prev, depth = cand.min(), depth + 1
+        return depth
+
+    d = df.groupby("user_id").apply(brute, include_groups=False)
+    expect = [int((d >= i).sum()) for i in range(1, len(steps) + 1)]
+
+    got = (
+        funnel_counts(
+            ray.data.from_pandas(df).repartition(6), steps, num_partitions=4
+        )
+        .to_pandas()
+        .sort_values("step_idx", ignore_index=True)
+    )
+    assert got["step"].tolist() == steps
+    assert got["n_users"].tolist() == expect
+    # funnel must be monotone non-increasing
+    assert (np.diff(got["n_users"].to_numpy()) <= 0).all()
+
+    # strictly-increasing semantics: click AT the view timestamp is no match
+    tie = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1], dtype=np.int64),
+            "event_type": ["view", "click"],
+            "ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+        }
+    )
+    got_tie = (
+        funnel_counts(ray.data.from_pandas(tie), ["view", "click"])
+        .to_pandas()
+        .sort_values("step_idx")
+    )
+    assert got_tie["n_users"].tolist() == [1, 0]
+
+    # greedy-earliest is the documented semantics: the user's FIRST view
+    # anchors the chain even when a later view would enable a deeper one
+    # -> still completes because click follows the first view here
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_counts(ray.data.from_pandas(tie), ["view", "view"])
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_counts(ray.data.from_pandas(tie), [])
+
+
+def test_cohort_retention_matches_bruteforce():
+    from raylink.ops.funnel import cohort_retention
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 150, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 40 * 86400, n), unit="s", origin="2026-01-01"
+            ),
+        }
+    )
+    for period in (1, 7):
+        day = df["ts"].values.astype("datetime64[us]").astype(np.int64) // (
+            86_400_000_000 * period
+        )
+        pairs = pd.DataFrame(
+            {"user_id": df["user_id"], "p": day}
+        ).drop_duplicates()
+        cohort = pairs.groupby("user_id")["p"].min().rename("c")
+        j = pairs.join(cohort, on="user_id")
+        exp = (
+            j.assign(
+                cohort=pd.to_datetime(
+                    j["c"] * 86_400_000_000 * period, unit="us"
+                ).dt.strftime("%Y-%m-%d"),
+                period_delta=(j["p"] - j["c"]).astype(np.int64),
+            )
+            .groupby(["cohort", "period_delta"])
+            .size()
+            .rename("n_users")
+            .reset_index()
+            .sort_values(["cohort", "period_delta"], ignore_index=True)
+        )
+        got = (
+            cohort_retention(
+                ray.data.from_pandas(df).repartition(5),
+                period_days=period,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["cohort", "period_delta"], ignore_index=True)
+        )
+        assert got["cohort"].tolist() == exp["cohort"].tolist()
+        assert got["period_delta"].tolist() == exp["period_delta"].tolist()
+        assert got["n_users"].tolist() == exp["n_users"].tolist()
+        # delta=0 cell of each cohort equals the cohort's size
+        base = got[got["period_delta"] == 0].set_index("cohort")["n_users"]
+        sizes = (
+            j.drop_duplicates("user_id")
+            .assign(
+                cohort=pd.to_datetime(
+                    j.drop_duplicates("user_id")["c"] * 86_400_000_000 * period,
+                    unit="us",
+                ).dt.strftime("%Y-%m-%d")
+            )
+            .groupby("cohort")
+            .size()
+        )
+        assert base.sort_index().tolist() == sizes.sort_index().tolist()
+
+    with pytest.raises(ValueError, match="period_days"):
+        cohort_retention(ray.data.from_pandas(df), period_days=0)
