@@ -2483,6 +2483,31 @@ def _q_cohort_retention_events(sf_dir: str):
     return cohort_retention(ev, period_days=1)
 
 
+def _q_resample_events(sf_dir: str):
+    """Daily downsample of the event stream per event type with DENSE gap
+    fill (every day between a type's first and last event gets a row,
+    n=0 / sum NULL on gap days): per-block (type, day) partials are all
+    that shuffle; one sorted-run scan scatters them onto the dense day
+    grid.  Day emitted as a string so the oracle compares exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raylink.ops.resample import resample_periods
+
+    out = resample_periods(
+        _read(sf_dir, "events"), "event_type", "ts", value_col="value"
+    )
+
+    def day_str(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("period_start"),
+            "day",
+            pc.strftime(batch.column("period_start"), format="%Y-%m-%d"),
+        )
+
+    return out.map_batches(day_str, batch_format="pyarrow")
+
+
 def _q_dup_span_docs(sf_dir: str):
     """Within-corpus duplicated token 8-gram statistics per document (the
     Lee et al. 2022 exact-substring dedup signal): windows whose 8-gram
@@ -2665,6 +2690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": _q_unpivot_lineitem,
         "funnel_events": _q_funnel_events,
         "cohort_retention_events": _q_cohort_retention_events,
+        "resample_events": _q_resample_events,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3108,6 +3134,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_users
             FROM a JOIN f ON a.user_id = f.user_id
             GROUP BY 1, 2
+        """,
+        "resample_events": """
+            WITH b AS (
+                SELECT event_type, date_trunc('day', ts) AS d,
+                       count(*) AS n,
+                       sum(CAST(floor(value*10000 + 0.5) AS BIGINT)) AS s
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT event_type, min(d) AS lo, max(d) AS hi
+                FROM b GROUP BY 1
+            ), grid AS (
+                SELECT r.event_type,
+                       unnest(generate_series(r.lo, r.hi,
+                                              INTERVAL 1 DAY)) AS d
+                FROM r
+            )
+            SELECT grid.event_type, strftime(grid.d, '%Y-%m-%d') AS day,
+                   coalesce(b.n, 0)::BIGINT AS n, b.s AS sum_e4
+            FROM grid LEFT JOIN b
+              ON grid.event_type = b.event_type AND grid.d = b.d
         """,
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

@@ -4937,3 +4937,89 @@ def test_cohort_retention_matches_bruteforce():
 
     with pytest.raises(ValueError, match="period_days"):
         cohort_retention(ray.data.from_pandas(df), period_days=0)
+
+
+def test_resample_periods_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.resample import resample_periods
+
+    rng = np.random.default_rng(23)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 30 * 86400, n), unit="s", origin="2026-01-01"
+            ),
+            "v": np.where(
+                rng.random(n) < 0.15, np.nan, rng.normal(10, 40, n)
+            ),
+        }
+    )
+    # force real gaps: group "c" only has two far-apart days
+    df.loc[df["g"] == "c", "ts"] = pd.to_datetime("2026-01-02")
+    df.loc[df[df["g"] == "c"].index[:3], "ts"] = pd.to_datetime("2026-01-09")
+
+    got = (
+        resample_periods(
+            ray.data.from_pandas(df).repartition(6),
+            "g",
+            "ts",
+            value_col="v",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "period_start"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        WITH b AS (
+            SELECT g, date_trunc('day', ts) AS d, count(*) AS n,
+                   sum(CAST(floor(v*10000 + 0.5) AS BIGINT)) AS s
+            FROM t GROUP BY 1, 2
+        ), r AS (
+            SELECT g, min(d) AS lo, max(d) AS hi FROM b GROUP BY 1
+        ), grid AS (
+            SELECT r.g, unnest(generate_series(r.lo, r.hi,
+                                               INTERVAL 1 DAY)) AS d
+            FROM r
+        )
+        SELECT grid.g, grid.d, coalesce(b.n, 0)::BIGINT AS n, b.s
+        FROM grid LEFT JOIN b ON grid.g = b.g AND grid.d = b.d
+        ORDER BY 1, 2
+    """).df()
+    assert got["g"].tolist() == exp["g"].tolist()
+    assert (
+        got["period_start"].dt.strftime("%Y-%m-%d").tolist()
+        == pd.to_datetime(exp["d"]).dt.strftime("%Y-%m-%d").tolist()
+    )
+    assert got["n"].tolist() == exp["n"].tolist()
+    gs = [None if pd.isna(x) else int(x) for x in got["sum_e4"]]
+    es = [None if pd.isna(x) else int(x) for x in exp["s"]]
+    assert gs == es
+    # group "c": exactly 8 dense days, 6 of them zero-count gap rows
+    c = got[got["g"] == "c"]
+    assert len(c) == 8 and (c["n"] == 0).sum() == 6
+    assert c.loc[c["n"] == 0, "sum_e4"].isna().all()
+
+    # no value column -> (g, period_start, n) only
+    nv = resample_periods(
+        ray.data.from_pandas(df[["g", "ts"]]), "g", "ts"
+    ).to_pandas()
+    assert list(nv.columns) == ["g", "period_start", "n"]
+    assert nv["n"].sum() == n
+
+    # int group keys keep their type end-to-end
+    dfi = df.assign(g=df["g"].map({"a": 1, "b": 2, "c": 3}).astype(np.int64))
+    gi = resample_periods(ray.data.from_pandas(dfi), "g", "ts").to_pandas()
+    assert gi["g"].dtype == np.int64
+
+    # span guard refuses a group wider than the cap, loudly
+    with pytest.raises(Exception, match="max_periods_per_group"):
+        resample_periods(
+            ray.data.from_pandas(df), "g", "ts", max_periods_per_group=3
+        ).materialize()
+    with pytest.raises(ValueError, match="period_us"):
+        resample_periods(ray.data.from_pandas(df), "g", "ts", period_us=0)
