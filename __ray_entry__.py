@@ -2483,6 +2483,48 @@ def _q_cohort_retention_events(sf_dir: str):
     return cohort_retention(ev, period_days=1)
 
 
+def _q_pagerank_suppliers(sf_dir: str):
+    """PageRank over the customer<->supplier transaction graph (an edge
+    per lineitem in both directions, node = 2*custkey / 2*suppkey+1 to
+    disjoin the id domains): iterative damped random walk, e12
+    fixed-point contributions so the result is bit-identical at any
+    parallelism.  Rows-only (iterative scoring has no SQL twin); the
+    correctness evidence is the dense power-iteration parity test."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raylink.ops.graph import pagerank
+    from raylink.ops.joins import hash_join
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey"]
+    )
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"]
+    )
+    pairs = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def edges(batch: pa.Table) -> pa.Table:
+        c = pc.multiply(batch.column("o_custkey").cast(pa.int64()), 2)
+        s = pc.add(
+            pc.multiply(batch.column("l_suppkey").cast(pa.int64()), 2), 1
+        )
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [c.combine_chunks(), s.combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [s.combine_chunks(), c.combine_chunks()]
+                ),
+            }
+        )
+
+    return pagerank(
+        pairs.map_batches(edges, batch_format="pyarrow"), n_iter=8
+    )
+
+
 def _q_resample_events(sf_dir: str):
     """Daily downsample of the event stream per event type with DENSE gap
     fill (every day between a type's first and last event gets a row,
@@ -2746,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-means / trained models) — a rows-only driver row proves little ---
         "langid_trigram_docs": _q_langid_trigram,
         "bpe_merges_docs": _q_bpe_merges,
+        "pagerank_suppliers": _q_pagerank_suppliers,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "kmeans_embeddings": _q_kmeans_embeddings,

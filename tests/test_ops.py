@@ -5023,3 +5023,71 @@ def test_resample_periods_matches_duckdb():
         ).materialize()
     with pytest.raises(ValueError, match="period_us"):
         resample_periods(ray.data.from_pandas(df), "g", "ts", period_us=0)
+
+
+def test_pagerank_matches_power_iteration():
+    from raylink.ops.graph import pagerank
+
+    rng = np.random.default_rng(17)
+    n_nodes, n_edges = 60, 400
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    # force dangling nodes: 55+ never appear as sources
+    keep = src < 55
+    src, dst = src[keep], dst[keep]
+    df = pd.DataFrame({"src": src, "dst": dst})
+
+    d, iters = 0.85, 12
+    present = np.unique(np.concatenate([src, dst]))
+    n = len(present)
+    pos = {v: i for i, v in enumerate(present)}
+    deg = np.zeros(n)
+    np.add.at(deg, [pos[s] for s in src], 1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        w = r[[pos[s] for s in src]] / deg[[pos[s] for s in src]]
+        np.add.at(contrib, [pos[t] for t in dst], w)
+        dangling = r[deg == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+
+    got = (
+        pagerank(
+            ray.data.from_pandas(df).repartition(5),
+            n_iter=iters,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert got["node"].tolist() == present.tolist()
+    np.testing.assert_allclose(
+        got["rank"].to_numpy(), r, rtol=0, atol=1e-8
+    )
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
+
+    # e12 fixed-point contributions make the run bit-identical at any
+    # parallelism AND across the two execution paths: this run forces
+    # the distributed-rank-table join path (broadcast_threshold=0)
+    again = (
+        pagerank(
+            ray.data.from_pandas(df).repartition(11),
+            n_iter=iters,
+            num_partitions=2,
+            broadcast_threshold=0,
+        )
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert (again["rank"].to_numpy() == got["rank"].to_numpy()).all()
+
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(ray.data.from_pandas(df), damping=1.0)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(ray.data.from_pandas(df), n_iter=0)
+    with pytest.raises(Exception, match="null node"):
+        pagerank(
+            ray.data.from_pandas(
+                pd.DataFrame({"src": [1.0, np.nan], "dst": [2.0, 3.0]})
+            )
+        ).materialize()

@@ -79,3 +79,36 @@ def test_sorted_group_scan_matches_groupby(ray_session, keyed_df):
     pd.testing.assert_frame_equal(
         got.astype({"payload_sum": np.int64}), exp.astype({"payload_sum": np.int64})
     )
+
+
+def test_sum_by_key_both_paths():
+    import ray
+
+    from raylink.stages.sortedrun import sum_by_key
+
+    rng = np.random.default_rng(5)
+    k = rng.integers(0, 40, 5000).astype(np.int64)
+    v = rng.integers(-100, 100, 5000).astype(np.int64)
+    df = pd.DataFrame({"k": k, "v": v})
+    exp = df.groupby("k")["v"].sum().sort_index()
+    for thr in (20_000_000, 0):  # driver merge path, then at-scale path
+        got = (
+            sum_by_key(
+                ray.data.from_pandas(df).repartition(7),
+                "k",
+                "v",
+                num_partitions=3,
+                driver_threshold=thr,
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert got["k"].tolist() == exp.index.tolist()
+        assert got["sum"].tolist() == exp.tolist()
+
+    with pytest.raises(Exception, match="integer-typed"):
+        sum_by_key(
+            ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1.5]})),
+            "k",
+            "v",
+        ).materialize()
