@@ -2483,6 +2483,35 @@ def _q_cohort_retention_events(sf_dir: str):
     return cohort_retention(ev, period_days=1)
 
 
+def _q_drift_value_events(sf_dir: str):
+    """Distribution drift (binned PSI) of the event values of odd-id
+    users vs even-id users — the snapshot-vs-snapshot feature monitor.
+    Each side reduces to a bins-length count vector per block (nothing
+    shuffles); PSI math runs on the driver over the merged histogram."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raylink.ops.drift import distribution_drift
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "value"])
+
+    def side(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(batch.column("user_id"), 1), parity
+            )
+            return batch.filter(keep).select(["value"])
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    return distribution_drift(
+        side(0),
+        side(1),
+        "value",
+        edges=[-50.0, -20.0, -5.0, 0.0, 5.0, 20.0, 50.0],
+    )
+
+
 def _q_pagerank_suppliers(sf_dir: str):
     """PageRank over the customer<->supplier transaction graph (an edge
     per lineitem in both directions, node = 2*custkey / 2*suppkey+1 to
@@ -2733,6 +2762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel_events,
         "cohort_retention_events": _q_cohort_retention_events,
         "resample_events": _q_resample_events,
+        "drift_value_events": _q_drift_value_events,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3197,6 +3227,49 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.n, 0)::BIGINT AS n, b.s AS sum_e4
             FROM grid LEFT JOIN b
               ON grid.event_type = b.event_type AND grid.d = b.d
+        """,
+        "drift_value_events": """
+            WITH rs AS (
+                SELECT value FROM events
+                WHERE user_id % 2 = 0 AND value IS NOT NULL
+                  AND NOT isnan(value)
+            ), cs AS (
+                SELECT value FROM events
+                WHERE user_id % 2 = 1 AND value IS NOT NULL
+                  AND NOT isnan(value)
+            ), rc AS (
+                SELECT (value >= -50)::INT + (value >= -20)::INT
+                     + (value >= -5)::INT + (value >= 0)::INT
+                     + (value >= 5)::INT + (value >= 20)::INT
+                     + (value >= 50)::INT AS bin, count(*) AS n
+                FROM rs GROUP BY 1
+            ), cc AS (
+                SELECT (value >= -50)::INT + (value >= -20)::INT
+                     + (value >= -5)::INT + (value >= 0)::INT
+                     + (value >= 5)::INT + (value >= 20)::INT
+                     + (value >= 50)::INT AS bin, count(*) AS n
+                FROM cs GROUP BY 1
+            ), grid AS (
+                SELECT range AS bin FROM range(0, 8)
+            ), j AS (
+                SELECT grid.bin,
+                       coalesce(rc.n, 0) AS n_ref,
+                       coalesce(cc.n, 0) AS n_cur
+                FROM grid
+                LEFT JOIN rc ON grid.bin = rc.bin
+                LEFT JOIN cc ON grid.bin = cc.bin
+            ), t AS (
+                SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j
+            )
+            SELECT j.bin::BIGINT AS bin, j.n_ref::BIGINT AS n_ref,
+                   j.n_cur::BIGINT AS n_cur,
+                   CAST(floor(
+                     (greatest(j.n_cur / t.tc, 1e-6)
+                      - greatest(j.n_ref / t.tr, 1e-6))
+                     * ln(greatest(j.n_cur / t.tc, 1e-6)
+                          / greatest(j.n_ref / t.tr, 1e-6))
+                     * 10000 + 0.5) AS BIGINT) AS psi_term_e4
+            FROM j, t
         """,
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

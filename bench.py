@@ -250,6 +250,13 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "rollup_events",
         "cube_events",
         "bpe_merges_docs",
+        "grouping_sets_events",
+        "unpivot_lineitem",
+        "funnel_events",
+        "cohort_retention_events",
+        "resample_events",
+        "pagerank_suppliers",
+        "drift_value_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

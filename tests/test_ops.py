@@ -5091,3 +5091,68 @@ def test_pagerank_matches_power_iteration():
                 pd.DataFrame({"src": [1.0, np.nan], "dst": [2.0, 3.0]})
             )
         ).materialize()
+
+
+def test_distribution_drift_matches_bruteforce():
+    from raylink.ops.drift import distribution_drift
+
+    rng = np.random.default_rng(31)
+    a = rng.normal(0, 10, 4000)
+    b = rng.normal(4, 14, 3000)  # shifted + widened: real drift
+    a[rng.random(4000) < 0.05] = np.nan
+    dfa = pd.DataFrame({"v": a})
+    dfb = pd.DataFrame({"v": b})
+    dfb.loc[:20, "v"] = None
+    edges = [-20.0, -5.0, 0.0, 5.0, 20.0]
+
+    got = (
+        distribution_drift(
+            ray.data.from_pandas(dfa).repartition(5),
+            ray.data.from_pandas(dfb).repartition(3),
+            "v",
+            edges,
+        )
+        .to_pandas()
+        .sort_values("bin", ignore_index=True)
+    )
+
+    av = a[~np.isnan(a)]
+    bv = dfb["v"].dropna().to_numpy()
+    nb = len(edges) + 1
+    nr = np.bincount(np.searchsorted(edges, av, side="right"), minlength=nb)
+    nc = np.bincount(np.searchsorted(edges, bv, side="right"), minlength=nb)
+    pr = np.maximum(nr / nr.sum(), 1e-6)
+    pc = np.maximum(nc / nc.sum(), 1e-6)
+    term = np.floor((pc - pr) * np.log(pc / pr) * 10_000 + 0.5).astype(int)
+
+    assert got["bin"].tolist() == list(range(nb))
+    assert got["n_ref"].tolist() == nr.tolist()
+    assert got["n_cur"].tolist() == nc.tolist()
+    assert got["psi_term_e4"].tolist() == term.tolist()
+    # a real shift must register as at least moderate drift, and terms
+    # are >= 0 mathematically ((p-q)*ln(p/q) has matching signs)
+    assert got["psi_term_e4"].sum() / 1e4 > 0.1
+    assert (got["psi_term_e4"] >= 0).all()
+
+    # identical snapshots -> every term rounds to zero
+    same = distribution_drift(
+        ray.data.from_pandas(dfa), ray.data.from_pandas(dfa), "v", edges
+    ).to_pandas()
+    assert (same["psi_term_e4"] == 0).all()
+
+    with pytest.raises(ValueError, match="strictly increasing"):
+        distribution_drift(
+            ray.data.from_pandas(dfa), ray.data.from_pandas(dfb),
+            "v", [0.0, 0.0],
+        )
+    with pytest.raises(ValueError, match="finite"):
+        distribution_drift(
+            ray.data.from_pandas(dfa), ray.data.from_pandas(dfb),
+            "v", [0.0, np.inf],
+        )
+    with pytest.raises(ValueError, match="undefined"):
+        distribution_drift(
+            ray.data.from_pandas(pd.DataFrame({"v": [np.nan]})),
+            ray.data.from_pandas(dfb),
+            "v", edges,
+        )
