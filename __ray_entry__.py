@@ -2483,6 +2483,55 @@ def _q_cohort_retention_events(sf_dir: str):
     return cohort_retention(ev, period_days=1)
 
 
+def _q_locf_events(sf_dir: str):
+    """Per-user forward fill (LOCF) of a deterministically-nulled value
+    column (every 5th event id drops its value — the testdata carries no
+    native nulls), ordered by (ts, event_id): one sorted-run exchange of
+    four projected columns, vectorized maximum.accumulate fill."""
+    import pyarrow as pa
+
+    from raylink.ops.impute import group_fill_forward
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+
+    def mask(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        v = (
+            batch.column("value")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .copy()
+        )
+        v[eid % 5 == 0] = np.nan
+        return batch.set_column(
+            batch.schema.get_field_index("value"),
+            "value",
+            pa.array(v, type=pa.float64()),
+        )
+
+    filled = group_fill_forward(
+        ev.map_batches(mask, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "value",
+        tie_col="event_id",
+    )
+
+    def to_e4(batch: pa.Table) -> pa.Table:
+        f = batch.column("value_filled").to_numpy(zero_copy_only=False)
+        e4 = np.floor(f * 10_000.0 + 0.5)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "filled_e4": pa.array(e4, type=pa.int64(), from_pandas=True),
+            }
+        )
+
+    return filled.map_batches(to_e4, batch_format="pyarrow")
+
+
 def _q_drift_value_events(sf_dir: str):
     """Distribution drift (binned PSI) of the event values of odd-id
     users vs even-id users — the snapshot-vs-snapshot feature monitor.
@@ -2763,6 +2812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": _q_cohort_retention_events,
         "resample_events": _q_resample_events,
         "drift_value_events": _q_drift_value_events,
+        "locf_events": _q_locf_events,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3227,6 +3277,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.n, 0)::BIGINT AS n, b.s AS sum_e4
             FROM grid LEFT JOIN b
               ON grid.event_type = b.event_type AND grid.d = b.d
+        """,
+        "locf_events": """
+            WITH m AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_id % 5 = 0 THEN NULL
+                            ELSE value END AS v
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(floor(
+                     last_value(v IGNORE NULLS) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING
+                     ) * 10000 + 0.5) AS BIGINT) AS filled_e4
+            FROM m
         """,
         "drift_value_events": """
             WITH rs AS (

@@ -257,6 +257,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "resample_events",
         "pagerank_suppliers",
         "drift_value_events",
+        "locf_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -5156,3 +5156,68 @@ def test_distribution_drift_matches_bruteforce():
             ray.data.from_pandas(dfb),
             "v", edges,
         )
+
+
+def test_group_fill_forward_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.impute import group_fill_forward
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, 25, n).astype(np.int64),
+            # coarse grid so equal-ts ties exercise the tie column
+            "ts": rng.integers(0, 200, n).astype(np.int64),
+            "v": np.where(rng.random(n) < 0.4, np.nan, rng.normal(0, 9, n)),
+        }
+    )
+    # one group that is entirely null: stays entirely null
+    df.loc[df["g"] == 7, "v"] = np.nan
+
+    got = (
+        group_fill_forward(
+            ray.data.from_pandas(df).repartition(6),
+            "g",
+            "ts",
+            "v",
+            tie_col="eid",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("eid", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT eid, last_value(v IGNORE NULLS) OVER (
+            PARTITION BY g ORDER BY ts, eid ROWS UNBOUNDED PRECEDING
+        ) AS f FROM t ORDER BY eid
+    """).df()
+    assert got["eid"].tolist() == exp["eid"].tolist()
+    ge = [None if pd.isna(x) else round(float(x), 9) for x in got["v_filled"]]
+    ee = [None if pd.isna(x) else round(float(x), 9) for x in exp["f"]]
+    assert ge == ee
+    assert got.loc[got["g"] == 7, "v_filled"].isna().all()
+
+    # string values: None = missing, leading None preserved
+    sdf = pd.DataFrame(
+        {
+            "eid": np.arange(6, dtype=np.int64),
+            "g": np.array([1, 1, 1, 2, 2, 2], dtype=np.int64),
+            "ts": np.array([1, 2, 3, 1, 2, 3], dtype=np.int64),
+            "v": [None, "a", None, None, None, "z"],
+        }
+    )
+    sg = (
+        group_fill_forward(
+            ray.data.from_pandas(sdf), "g", "ts", "v", tie_col="eid"
+        )
+        .to_pandas()
+        .sort_values("eid", ignore_index=True)
+    )
+    assert [
+        None if pd.isna(x) else x for x in sg["v_filled"]
+    ] == [None, "a", "a", None, None, "z"]
