@@ -2483,6 +2483,35 @@ def _q_cohort_retention_events(sf_dir: str):
     return cohort_retention(ev, period_days=1)
 
 
+def _q_mi_events(sf_dir: str):
+    """Mutual information (nats, e4 per-cell terms) between event type
+    and a user-id bucket — the does-this-column-carry-signal check:
+    per-block joint counts merge on the driver (bounded by the two
+    vocabularies, never by rows), marginals derive from the joint."""
+    import pyarrow as pa
+
+    from raylink.ops.mutualinfo import mutual_information
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_bucket": pa.array(
+                    (u % 4).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return mutual_information(
+        ev.map_batches(bucket, batch_format="pyarrow"),
+        "event_type",
+        "user_bucket",
+    )
+
+
 def _q_locf_events(sf_dir: str):
     """Per-user forward fill (LOCF) of a deterministically-nulled value
     column (every 5th event id drops its value — the testdata carries no
@@ -2813,6 +2842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_events": _q_resample_events,
         "drift_value_events": _q_drift_value_events,
         "locf_events": _q_locf_events,
+        "mi_events": _q_mi_events,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3277,6 +3307,32 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.n, 0)::BIGINT AS n, b.s AS sum_e4
             FROM grid LEFT JOIN b
               ON grid.event_type = b.event_type AND grid.d = b.d
+        """,
+        "mi_events": """
+            WITH d AS (
+                SELECT event_type, user_id % 4 AS user_bucket
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            ), j AS (
+                SELECT event_type, user_bucket, count(*) AS n
+                FROM d GROUP BY 1, 2
+            ), t AS (
+                SELECT sum(n) AS total FROM j
+            ), mx AS (
+                SELECT event_type, sum(n) AS nx FROM j GROUP BY 1
+            ), my AS (
+                SELECT user_bucket, sum(n) AS ny FROM j GROUP BY 1
+            )
+            SELECT j.event_type, j.user_bucket::BIGINT AS user_bucket,
+                   j.n::BIGINT AS n,
+                   CAST(floor(
+                     (j.n / t.total)
+                     * ln((j.n::DOUBLE * t.total)
+                          / (mx.nx::DOUBLE * my.ny))
+                     * 10000 + 0.5) AS BIGINT) AS mi_term_e4
+            FROM j, t
+            JOIN mx ON j.event_type = mx.event_type
+            JOIN my ON j.user_bucket = my.user_bucket
         """,
         "locf_events": """
             WITH m AS (

@@ -258,6 +258,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "pagerank_suppliers",
         "drift_value_events",
         "locf_events",
+        "mi_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -5221,3 +5221,67 @@ def test_group_fill_forward_matches_duckdb():
     assert [
         None if pd.isna(x) else x for x in sg["v_filled"]
     ] == [None, "a", "a", None, None, "z"]
+
+
+def test_mutual_information_matches_bruteforce():
+    from raylink.ops.mutualinfo import mutual_information
+
+    rng = np.random.default_rng(53)
+    n = 5000
+    # y depends on x for half the rows -> genuinely positive MI
+    x = rng.choice(["a", "b", "c", "d"], n)
+    y = np.where(
+        rng.random(n) < 0.5,
+        np.char.add("t_", x),
+        rng.choice(["t_a", "t_b", "t_c", "t_d"], n),
+    ).astype(object)
+    x = x.astype(object)
+    x[rng.random(n) < 0.02] = None
+    df = pd.DataFrame({"x": x, "y": y})
+
+    got = (
+        mutual_information(ray.data.from_pandas(df).repartition(7), "x", "y")
+        .to_pandas()
+        .sort_values(["x", "y"], ignore_index=True)
+    )
+
+    d = df.dropna()
+    joint = d.groupby(["x", "y"]).size().rename("n").reset_index()
+    total = joint["n"].sum()
+    nx = joint.groupby("x")["n"].transform("sum").to_numpy(float)
+    ny = joint.groupby("y")["n"].transform("sum").to_numpy(float)
+    jn = joint["n"].to_numpy(float)
+    term = np.floor(
+        (jn / total) * np.log(jn * total / (nx * ny)) * 10_000 + 0.5
+    ).astype(int)
+    joint = joint.sort_values(["x", "y"], ignore_index=True)
+
+    assert got["x"].tolist() == joint["x"].tolist()
+    assert got["y"].tolist() == joint["y"].tolist()
+    assert got["n"].tolist() == joint["n"].tolist()
+    # same float expression both sides -> identical e4 terms
+    assert got["mi_term_e4"].tolist() == term.tolist()
+    mi = got["mi_term_e4"].sum() / 1e4
+    assert mi > 0.2  # planted dependence registers
+
+    # independent columns -> MI ~ 0 (small-sample bias only)
+    ind = pd.DataFrame(
+        {"x": rng.choice(["a", "b"], n), "y": rng.choice(["u", "v"], n)}
+    )
+    mi0 = (
+        mutual_information(ray.data.from_pandas(ind), "x", "y")
+        .to_pandas()["mi_term_e4"]
+        .sum()
+        / 1e4
+    )
+    assert abs(mi0) < 0.01
+
+    with pytest.raises(ValueError, match="max_cells"):
+        mutual_information(
+            ray.data.from_pandas(
+                pd.DataFrame({"x": np.arange(100), "y": np.arange(100)})
+            ),
+            "x",
+            "y",
+            max_cells=5,
+        )
