@@ -2472,6 +2472,21 @@ def _q_funnel_events(sf_dir: str):
     return funnel_counts(ev, steps=["view", "click", "purchase"])
 
 
+def _q_funnel_window_events(sf_dir: str):
+    """Conversion-window funnel (each step within 2 days of the
+    previous): any-chain reachability semantics — feasible completion
+    times propagate per step (a later anchor can enable a deeper chain,
+    so greedy-earliest would undercount)."""
+    from raylink.ops.funnel import funnel_counts
+
+    ev = _read(sf_dir, "events")
+    return funnel_counts(
+        ev,
+        steps=["view", "click", "purchase"],
+        max_step_gap_us=2 * 86_400_000_000,
+    )
+
+
 def _q_cohort_retention_events(sf_dir: str):
     """Cohort retention: cohort = UTC day of each user's first event;
     each (cohort, days-since-cohort) cell counts the cohort's users
@@ -2838,6 +2853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_events": _q_grouping_sets_events,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "funnel_events": _q_funnel_events,
+        "funnel_window_events": _q_funnel_window_events,
         "cohort_retention_events": _q_cohort_retention_events,
         "resample_events": _q_resample_events,
         "drift_value_events": _q_drift_value_events,
@@ -3273,6 +3289,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
             UNION ALL
             SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+        """,
+        "funnel_window_events": """
+            WITH s1 AS (
+                SELECT DISTINCT user_id, ts FROM events
+                WHERE event_type = 'view'
+            ), s2 AS (
+                SELECT DISTINCT e.user_id, e.ts FROM events e
+                WHERE e.event_type = 'click' AND EXISTS (
+                    SELECT 1 FROM s1
+                    WHERE s1.user_id = e.user_id AND s1.ts < e.ts
+                      AND e.ts - s1.ts <= INTERVAL 2 DAY
+                )
+            ), s3 AS (
+                SELECT DISTINCT e.user_id, e.ts FROM events e
+                WHERE e.event_type = 'purchase' AND EXISTS (
+                    SELECT 1 FROM s2
+                    WHERE s2.user_id = e.user_id AND s2.ts < e.ts
+                      AND e.ts - s2.ts <= INTERVAL 2 DAY
+                )
+            )
+            SELECT 1::BIGINT AS step_idx, 'view' AS step,
+                   (SELECT count(DISTINCT user_id) FROM s1)::BIGINT
+                       AS n_users
+            UNION ALL
+            SELECT 2::BIGINT, 'click',
+                   (SELECT count(DISTINCT user_id) FROM s2)::BIGINT
+            UNION ALL
+            SELECT 3::BIGINT, 'purchase',
+                   (SELECT count(DISTINCT user_id) FROM s3)::BIGINT
         """,
         "cohort_retention_events": """
             WITH f AS (

@@ -253,6 +253,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "grouping_sets_events",
         "unpivot_lineitem",
         "funnel_events",
+        "funnel_window_events",
         "cohort_retention_events",
         "resample_events",
         "pagerank_suppliers",

@@ -40,6 +40,7 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_step_gap_us: int | None = None,
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """How many users complete step 1, steps 1-2, ..., steps 1-k IN ORDER
@@ -47,14 +48,23 @@ def funnel_counts(
     semantics).  Returns one row per step:
     ``(step_idx int64 1-based, step string, n_users int64)``.
 
-    ``n_users`` is cumulative-conjunctive: a user counts for step i only
-    if some event of type ``steps[i]`` happens strictly after their
-    matched step i-1 event.
+    ``n_users`` is cumulative-conjunctive under ANY-CHAIN (reachability)
+    semantics: a user counts for step i iff SOME ordered chain of events
+    ``steps[0] < ... < steps[i]`` exists with strictly increasing
+    timestamps — and, with ``max_step_gap_us`` set, each consecutive gap
+    at most that many microseconds (the conversion-window form: "clicked
+    within 7 days of the view").  Resolved per user by propagating the
+    FEASIBLE-COMPLETION-TIME SET per step (two searchsorted per step, no
+    per-event loop): greedy earliest-match is equivalent when no gap cap
+    is set, but NOT under one (a later anchor can enable a deeper chain),
+    so the feasible-set form is the only correct vectorization.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
     if len(set(steps)) != len(steps):
         raise ValueError("duplicate step types: each step must be distinct")
+    if max_step_gap_us is not None and max_step_gap_us < 1:
+        raise ValueError("max_step_gap_us must be >= 1")
     step_idx = {s: i for i, s in enumerate(steps)}
     n_steps = len(steps)
 
@@ -88,17 +98,30 @@ def funnel_counts(
         [user_col, type_col, ts_col]
     ).map_batches(prune, batch_format="pyarrow")
 
+    gap = max_step_gap_us
+
     def chain(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         code = np.asarray(group["_step"])
         ts = np.asarray(group["_ts"])
-        t_prev = -np.inf
-        depth = 0
-        for i in range(n_steps):
-            cand = ts[(code == i) & (ts > t_prev)]
+        feas = np.sort(ts[code == 0])  # every step-0 time anchors a chain
+        depth = 1 if len(feas) else 0
+        for i in range(1, n_steps):
+            if len(feas) == 0:
+                break
+            cand = np.sort(ts[code == i])
             if len(cand) == 0:
                 break
-            t_prev = cand.min()
-            depth += 1
+            # cand t is reachable iff some feasible completion of step
+            # i-1 lies in [t - gap, t)  (strictly before, within window)
+            hi = np.searchsorted(feas, cand, side="left")
+            lo = (
+                np.searchsorted(feas, cand - gap, side="left")
+                if gap is not None
+                else np.zeros(len(cand), dtype=np.int64)
+            )
+            feas = cand[hi > lo]
+            if len(feas):
+                depth += 1
         return {
             user_col: np.asarray(group[user_col])[:1],
             "depth": np.array([depth], dtype=np.int64),

@@ -46,17 +46,38 @@ _E12 = 1_000_000_000_000
 
 
 def _normalize_edges(
-    edges: ray.data.Dataset, src_col: str, dst_col: str
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
 ) -> ray.data.Dataset:
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+
     def edge_cols(batch: pa.Table) -> pa.Table:
         s, d = batch.column(src_col), batch.column(dst_col)
         if pc.any(pc.is_null(s)).as_py() or pc.any(pc.is_null(d)).as_py():
             raise ValueError("null node ids are unsupported; filter first")
-        return pa.table(
-            {"src": s.cast(pa.int64()), "dst": d.cast(pa.int64())}
-        )
+        out = {"src": s.cast(pa.int64()), "dst": d.cast(pa.int64())}
+        if weight_col:
+            w = batch.column(weight_col)
+            if not pa.types.is_integer(w.type):
+                raise TypeError(
+                    f"{weight_col} must be integer-typed for exact "
+                    "order-independent strength sums; fixed-point encode "
+                    "floats first"
+                )
+            wv = w.cast(pa.int64())
+            if len(wv) and pc.min(wv).as_py() is not None and (
+                pc.min(wv).as_py() <= 0 or not pc.all(
+                    pc.is_valid(wv)).as_py()
+            ):
+                raise ValueError(
+                    "edge weights must be positive and non-null"
+                )
+            out["w"] = wv
+        return pa.table(out)
 
-    return edges.select_columns([src_col, dst_col]).map_batches(
+    return edges.select_columns(cols).map_batches(
         edge_cols, batch_format="pyarrow"
     )
 
@@ -69,18 +90,24 @@ def pagerank(
     n_iter: int = 20,
     num_partitions: int = 32,
     broadcast_threshold: int = 5_000_000,
+    weight_col: str | None = None,
 ) -> ray.data.Dataset:
     """Damped PageRank over a directed edge table (int64 node ids,
     parallel edges count double — pre-dedup if unwanted).  Returns
     ``(node int64, rank float64)`` summing to 1; dangling mass and
     teleport are redistributed uniformly (the standard formulation).
+
+    With ``weight_col`` (positive int64 — fixed-point encode floats),
+    each source splits its rank proportionally to edge weight instead of
+    uniformly; out-strength sums stay exact int64 so the
+    any-parallelism bit-identity guarantee is unchanged.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1): {damping}")
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
 
-    e = _normalize_edges(edges, src_col, dst_col).materialize()
+    e = _normalize_edges(edges, src_col, dst_col, weight_col).materialize()
 
     # node universe: every id that appears on either side
     def both_sides(batch: pa.Table) -> pa.Table:
@@ -112,7 +139,14 @@ def pagerank(
                 }
             )
         )
-    deg = count_by_key(e, "src")
+    if weight_col:
+        deg = sum_by_key(e, "src", "w", num_partitions=num_partitions)
+        deg = deg.map_batches(
+            lambda b: b.rename_columns(["src", "count()"]),
+            batch_format="pyarrow",
+        )
+    else:
+        deg = count_by_key(e, "src")
     if n <= broadcast_threshold:
         return _pagerank_broadcast(e, nodes, deg, n, damping, n_iter)
     return _pagerank_join(
@@ -143,8 +177,9 @@ def _pagerank_broadcast(
     rank = np.full(n, 1.0 / n)
     teleport = (1.0 - damping) / n
     for _ in range(n_iter):
-        # per-edge weight = rank(src)/deg(src), quantized; rank/deg are
-        # one plasma object each, read zero-copy by every task
+        # per-source share = rank(src)/out-degree-or-strength(src),
+        # one plasma object per iteration, read zero-copy by every task
+        # (weighted graphs multiply by the edge weight inside the task)
         w_arr = np.zeros(n)
         has_out = deg_arr > 0
         w_arr[has_out] = rank[has_out] / deg_arr[has_out]
@@ -154,9 +189,12 @@ def _pagerank_broadcast(
             na = ray.get(_nref)
             wa = ray.get(_wref)
             src = batch.column("src").to_numpy(zero_copy_only=False)
-            c = np.floor(
-                wa[np.searchsorted(na, src)] * _E12 + 0.5
-            ).astype(np.int64)
+            share = wa[np.searchsorted(na, src)]
+            if "w" in batch.column_names:  # weighted: rank/W(src) * w_edge
+                share = share * batch.column("w").to_numpy(
+                    zero_copy_only=False
+                )
+            c = np.floor(share * _E12 + 0.5).astype(np.int64)
             return pa.table({"dst": batch.column("dst"), "c": pa.array(c)})
 
         sums = sum_by_key(
@@ -218,7 +256,12 @@ def _pagerank_join(
         def contrib(batch: pa.Table) -> pa.Table:
             r = batch.column("rank").to_numpy(zero_copy_only=False)
             d = batch.column("count()").to_numpy(zero_copy_only=False)
-            c = np.floor(r / d * _E12 + 0.5).astype(np.int64)
+            share = r / d
+            if "w" in batch.column_names:  # weighted: rank/W(src) * w_edge
+                share = share * batch.column("w").to_numpy(
+                    zero_copy_only=False
+                )
+            c = np.floor(share * _E12 + 0.5).astype(np.int64)
             return pa.table(
                 {"dst": batch.column("dst"), "c": pa.array(c)}
             )

@@ -4864,9 +4864,89 @@ def test_funnel_counts_matches_bruteforce():
     )
     assert got_tie["n_users"].tolist() == [1, 0]
 
-    # greedy-earliest is the documented semantics: the user's FIRST view
-    # anchors the chain even when a later view would enable a deeper one
-    # -> still completes because click follows the first view here
+    # conversion window: any-chain semantics must RE-ANCHOR — the first
+    # view (t=0) is too old for the click (t=15) under gap 5, but the
+    # later view (t=10) qualifies; greedy-earliest would wrongly say 1
+    re_anchor = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1], dtype=np.int64),
+            "event_type": ["view", "view", "click"],
+            "ts": pd.to_datetime([0, 10, 15], unit="us"),
+        }
+    )
+    ra = (
+        funnel_counts(
+            ray.data.from_pandas(re_anchor),
+            ["view", "click"],
+            max_step_gap_us=5,
+        )
+        .to_pandas()
+        .sort_values("step_idx")
+    )
+    assert ra["n_users"].tolist() == [1, 1]  # both steps complete
+    # ... and with gap 4 the click (gap exactly 5) no longer qualifies
+    ra4 = (
+        funnel_counts(
+            ray.data.from_pandas(re_anchor),
+            ["view", "click"],
+            max_step_gap_us=4,
+        )
+        .to_pandas()
+        .sort_values("step_idx")
+    )
+    assert ra4["n_users"].tolist() == [1, 0]
+
+    # windowed funnel vs exhaustive any-chain brute force
+    import itertools
+
+    gap_us = 30 * 1_000_000  # 30s window on the coarse second grid
+
+    def brute_window(g: pd.DataFrame) -> int:
+        t = {
+            s: sorted(
+                g.loc[g["event_type"] == s, "ts"]
+                .astype("datetime64[us]")
+                .astype(np.int64)
+                .tolist()
+            )
+            for s in steps
+        }
+        best = 0
+        for k in range(len(steps), 0, -1):
+            lists = [t[s] for s in steps[:k]]
+            if any(not x for x in lists):
+                continue
+            for combo in itertools.product(*lists):
+                if all(
+                    0 < combo[i + 1] - combo[i] <= gap_us
+                    for i in range(k - 1)
+                ):
+                    best = k
+                    break
+            if best:
+                break
+        return best
+
+    dw = df.groupby("user_id").apply(brute_window, include_groups=False)
+    expect_w = [int((dw >= i).sum()) for i in range(1, len(steps) + 1)]
+    got_w = (
+        funnel_counts(
+            ray.data.from_pandas(df).repartition(6),
+            steps,
+            max_step_gap_us=gap_us,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("step_idx", ignore_index=True)
+    )
+    assert got_w["n_users"].tolist() == expect_w
+    # the window can only lose users vs the unwindowed funnel
+    assert (got_w["n_users"] <= got["n_users"]).all()
+
+    with pytest.raises(ValueError, match="max_step_gap_us"):
+        funnel_counts(
+            ray.data.from_pandas(tie), ["view", "click"], max_step_gap_us=0
+        )
     with pytest.raises(ValueError, match="duplicate"):
         funnel_counts(ray.data.from_pandas(tie), ["view", "view"])
     with pytest.raises(ValueError, match="non-empty"):
@@ -5285,3 +5365,68 @@ def test_mutual_information_matches_bruteforce():
             "y",
             max_cells=5,
         )
+
+
+def test_pagerank_weighted_matches_power_iteration():
+    from raylink.ops.graph import pagerank
+
+    rng = np.random.default_rng(19)
+    n_nodes, n_edges = 40, 250
+    src = rng.integers(0, 35, n_edges).astype(np.int64)  # 35+ dangle
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    w = rng.integers(1, 9, n_edges).astype(np.int64)
+    df = pd.DataFrame({"src": src, "dst": dst, "w": w})
+
+    d, iters = 0.85, 10
+    present = np.unique(np.concatenate([src, dst]))
+    n = len(present)
+    pos = {v: i for i, v in enumerate(present)}
+    strength = np.zeros(n)
+    np.add.at(strength, [pos[s] for s in src], w)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        share = (
+            r[[pos[s] for s in src]] / strength[[pos[s] for s in src]]
+        ) * w
+        np.add.at(contrib, [pos[t] for t in dst], share)
+        dangling = r[strength == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+
+    got = (
+        pagerank(
+            ray.data.from_pandas(df).repartition(4),
+            n_iter=iters,
+            weight_col="w",
+        )
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert got["node"].tolist() == present.tolist()
+    np.testing.assert_allclose(got["rank"].to_numpy(), r, rtol=0, atol=1e-8)
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
+    # a uniform weight column reproduces the unweighted ranking exactly
+    uni = (
+        pagerank(
+            ray.data.from_pandas(df.assign(w=np.int64(3))),
+            n_iter=iters,
+            weight_col="w",
+        )
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    unw = (
+        pagerank(ray.data.from_pandas(df), n_iter=iters)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert (uni["rank"].to_numpy() == unw["rank"].to_numpy()).all()
+
+    with pytest.raises(Exception, match="integer-typed"):
+        pagerank(
+            ray.data.from_pandas(df.assign(w=1.5)), weight_col="w"
+        ).materialize()
+    with pytest.raises(Exception, match="positive"):
+        pagerank(
+            ray.data.from_pandas(df.assign(w=np.int64(0))), weight_col="w"
+        ).materialize()
