@@ -80,6 +80,49 @@ def group_fill_forward(
             filled_col: np.asarray(batch[value_col])[:0],
         }
 
+    projected = ds.select_columns(cols)
+    # pin output types: a block whose string values are ALL null would
+    # otherwise type-infer as null and break Arrow schema unification
+    out_schema = None
+    try:
+        import pyarrow as pa
+
+        base = projected.schema().base_schema
+        if isinstance(base, pa.Schema):
+            vt = base.field(value_col).type
+            out_schema = pa.schema(
+                [
+                    base.field(group_col),
+                    base.field(tie_col),
+                    pa.field(value_col, vt),
+                    pa.field(filled_col, vt),
+                ]
+            )
+        else:  # PandasBlockSchema: parallel names/types lists
+            def _t(c):
+                d = np.dtype(base.types[base.names.index(c)])
+                return (
+                    pa.string()
+                    if d == object
+                    else pa.from_numpy_dtype(d)
+                )
+
+            out_schema = pa.schema(
+                [
+                    pa.field(group_col, _t(group_col)),
+                    pa.field(tie_col, _t(tie_col)),
+                    pa.field(value_col, _t(value_col)),
+                    pa.field(filled_col, _t(value_col)),
+                ]
+            )
+    except Exception:
+        out_schema = None
+
     return sorted_group_scan(
-        ds.select_columns(cols), group_col, fill, empty, num_partitions
+        projected,
+        group_col,
+        fill,
+        empty,
+        num_partitions,
+        out_schema=out_schema,
     )
