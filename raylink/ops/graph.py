@@ -67,13 +67,17 @@ def _normalize_edges(
                     "floats first"
                 )
             wv = w.cast(pa.int64())
-            if len(wv) and pc.min(wv).as_py() is not None and (
-                pc.min(wv).as_py() <= 0 or not pc.all(
-                    pc.is_valid(wv)).as_py()
-            ):
-                raise ValueError(
-                    "edge weights must be positive and non-null"
-                )
+            if len(wv):
+                # validity FIRST: an all-null batch would make min()
+                # return None and silently skip the positivity check
+                if not pc.all(pc.is_valid(wv)).as_py():
+                    raise ValueError(
+                        "edge weights must be positive and non-null"
+                    )
+                if pc.min(wv).as_py() <= 0:
+                    raise ValueError(
+                        "edge weights must be positive and non-null"
+                    )
             out["w"] = wv
         return pa.table(out)
 

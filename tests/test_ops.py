@@ -5430,3 +5430,17 @@ def test_pagerank_weighted_matches_power_iteration():
         pagerank(
             ray.data.from_pandas(df.assign(w=np.int64(0))), weight_col="w"
         ).materialize()
+
+
+def test_pagerank_all_null_weights_refused():
+    from raylink.ops.graph import pagerank
+
+    t = pa.table(
+        {
+            "src": pa.array([1, 2], type=pa.int64()),
+            "dst": pa.array([2, 3], type=pa.int64()),
+            "w": pa.array([None, None], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="non-null"):
+        pagerank(ray.data.from_arrow(t), weight_col="w").materialize()
