@@ -2463,7 +2463,7 @@ def _q_unpivot_lineitem(sf_dir: str):
 def _q_funnel_events(sf_dir: str):
     """Ordered funnel (view -> click -> purchase, strictly increasing
     timestamps, earliest-chain semantics): events prune to the step types
-    at the read, each user's greedy step chain resolves vectorized in one
+    at the read, each user's step chain resolves vectorized in one
     sorted-run scan, and only a <=|steps|+1-row depth histogram leaves
     the cluster."""
     from raylink.ops.funnel import funnel_counts

@@ -6,11 +6,12 @@ sessionize/transitions family).
 Both are per-user computations expressed combiner-first:
 
 - :func:`funnel_counts` prunes the stream to the step event types at the
-  read (only those rows shuffle), resolves each user's greedy
-  earliest-timestamp step chain vectorized inside a sorted-run scan
-  (greedy-earliest is optimal: taking the smallest timestamp > the
-  previous step's match never excludes a feasible deeper chain), and
-  reduces to a ``len(steps)``-row result.
+  read (only those rows shuffle), resolves each user's step depth under
+  ANY-CHAIN reachability semantics vectorized inside a sorted-run scan
+  (feasible completion times propagate per step via two searchsorted;
+  equivalent to greedy earliest-chain without a conversion window, and
+  the only correct form with one), and reduces to a
+  ``len(steps)``-row result.
 - :func:`cohort_retention` reduces every block to its distinct
   (user, period) pairs before the shuffle, so at most
   ``users_per_block x periods`` rows pay the exchange; the per-user scan
