@@ -17,14 +17,21 @@ import pandas as pd
 __all__ = ["hash64_array", "hash64_scalar", "combine_hashes", "stable_row_ids"]
 
 
-def hash64_array(values, seed: int = 0) -> np.ndarray:
+def hash64_array(values, seed: int = 0, hash_key: str | None = None) -> np.ndarray:
     """Stable uint64 hash of an array of strings / numbers (vectorized).
 
-    ``seed`` derives independent hash families (used by minhash and salting)
-    by mixing a seed-dependent constant into the SipHash output.
-    """
+    ``seed`` derives DEPENDENT hash families (used by minhash and
+    salting) by mixing a seed-dependent constant into the SipHash
+    output: two values whose base hashes collide collide in every seed
+    family.  ``hash_key`` (exactly 16 characters) instead re-keys the
+    underlying SipHash, giving a genuinely INDEPENDENT family — use it
+    where a base-hash collision must not propagate (e.g. the span-
+    removal check hash)."""
     arr = np.asarray(values, dtype=object)
-    h = pd.util.hash_array(arr, categorize=True)
+    if hash_key is not None:
+        h = pd.util.hash_array(arr, categorize=True, hash_key=hash_key)
+    else:
+        h = pd.util.hash_array(arr, categorize=True)
     if seed:
         with np.errstate(over="ignore"):  # intended modular wraparound
             mix = np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1)

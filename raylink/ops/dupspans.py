@@ -211,11 +211,18 @@ def remove_duplicate_spans(
     with ``removed_tokens = 0``).
 
     Scale shape (100 TB): the window rows carry ``(gram-hash, doc-id,
-    win-start)`` and sort ONCE to find duplicated grams; the surviving
+    win-start)`` plus an INDEPENDENT second window hash (re-keyed
+    SipHash) that subdivides each gram-hash group, so a false "duplicate"
+    needs a simultaneous ~127-bit collision — the stats sibling tolerates
+    the single-family rate, a destructive rewrite must not; the rows
+    sort ONCE to find duplicated grams; the surviving
     (doc-id, win-start) rows of duplicated windows — a small fraction of
     the corpus — union with the raw documents and co-group in one more
-    sorted scan that rebuilds each text locally.  Nothing quadratic,
-    no driver materialization, two exchanges total.
+    sorted scan that rebuilds each text locally.  The projected source
+    is materialized (object store, not driver) exactly once because two
+    branches consume it — gram emission and text tagging — so the
+    upstream read never re-executes.  Nothing quadratic, no driver
+    materialization, two exchanges total.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -226,12 +233,21 @@ def remove_duplicate_spans(
     from .text import token_window_hash_starts
 
     id_type = _arrow_schema(ds).field(id_col).type
-    src = ds.select_columns([id_col, text_col])
+    # materialized ONCE: the projected source feeds both the gram
+    # emission and the text-tagging branch below — without pinning it,
+    # the upstream read + projection would execute twice
+    src = ds.select_columns([id_col, text_col]).materialize()
 
     def emit_grams(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(text_col).to_numpy(zero_copy_only=False)
-        doc_pos, win_start, h, _ = token_window_hash_starts(texts, n)
+        # the independent check hash (h2) makes the effective gram key
+        # ~127 bits: a 63-bit key alone would, at ~1e11 windows, delete
+        # clean text on birthday collisions — tolerable for the stats
+        # sibling, not for a destructive rewrite
+        doc_pos, win_start, h, _, h2 = token_window_hash_starts(
+            texts, n, check_hash=True
+        )
         gkeys = (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
         return pa.Table.from_arrays(
             [
@@ -239,8 +255,9 @@ def remove_duplicate_spans(
                          from_pandas=True),
                 pa.array(win_start, type=pa.int64()),
                 pa.array(gkeys, type=pa.int64()),
+                pa.array(h2.view(np.int64), type=pa.int64()),
             ],
-            names=[id_col, "win_start", "gkey"],
+            names=[id_col, "win_start", "gkey", "h2"],
         )
 
     grams = src.map_batches(emit_grams, batch_format="pyarrow")
@@ -249,12 +266,23 @@ def remove_duplicate_spans(
 
     def dup_group(group: dict[str, np.ndarray]) -> dict:
         ids = np.asarray(group[id_col])
+        ws = np.asarray(group["win_start"])
         if len(ids) < min_count:
             ids = ids[:0]
-        return {
-            id_col: ids,
-            "win_start": np.asarray(group["win_start"])[: len(ids)],
-        }
+            ws = ws[:0]
+        elif len(np.unique(np.asarray(group["h2"]))) > 1:
+            # gkey collision: subdivide by the independent check hash,
+            # keep only (gkey, h2) subgroups that reach min_count
+            h2 = np.asarray(group["h2"])
+            order = np.argsort(h2, kind="stable")
+            hs = h2[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], hs[1:] != hs[:-1]))
+            )
+            counts = np.diff(np.append(starts, len(hs)))
+            sel = order[np.repeat(counts >= min_count, counts)]
+            ids, ws = ids[sel], ws[sel]
+        return {id_col: ids, "win_start": ws}
 
     def dup_empty(batch: dict[str, np.ndarray]) -> dict:
         return {

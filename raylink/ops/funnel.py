@@ -22,6 +22,7 @@ Both are per-user computations expressed combiner-first:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -59,6 +60,9 @@ def funnel_counts(
     per-event loop): greedy earliest-match is equivalent when no gap cap
     is set, but NOT under one (a later anchor can enable a deeper chain),
     so the feasible-set form is the only correct vectorization.
+
+    Rows with a null user id or null timestamp are excluded, like every
+    grouped op in this repo.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -71,8 +75,18 @@ def funnel_counts(
 
     # prune at the read: only step-typed events, three columns, shuffle
     def prune(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(
-            batch.column(type_col), value_set=pa.array(steps, type=pa.string())
+        # null user ids / timestamps are excluded like every grouped op
+        # in this repo (a NaT would otherwise int-cast to int64 min and
+        # anchor a bogus year-1677 chain)
+        mask = pc.and_(
+            pc.is_in(
+                batch.column(type_col),
+                value_set=pa.array(steps, type=pa.string()),
+            ),
+            pc.and_(
+                pc.is_valid(batch.column(user_col)),
+                pc.is_valid(batch.column(ts_col)),
+            ),
         )
         kept = batch.filter(mask)
         code = np.full(len(kept), -1, dtype=np.int64)
@@ -168,29 +182,41 @@ def cohort_retention(
     them once.  Returns
     ``(cohort string YYYY-MM-DD of the cohort period start,
     period_delta int64 >= 0, n_users int64)`` — ``delta=0`` is cohort
-    size.
+    size.  User ids may be any type; rows with a null user id or null
+    timestamp are excluded, like every grouped op in this repo.
     """
     if period_days < 1:
         raise ValueError("period_days must be >= 1")
     span = _DAY_US * period_days
 
-    # block combiner: distinct (user, period) pairs only
+    # block combiner: distinct (user, period) pairs only.  Ids keep
+    # their input type (string ids work like funnel_counts); null ids /
+    # timestamps are excluded like every grouped op in this repo.
     def distinct_pairs(batch: pa.Table) -> pa.Table:
-        uid = batch.column(user_col).to_numpy(zero_copy_only=False)
+        t = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(user_col)),
+                pc.is_valid(batch.column(ts_col)),
+            )
+        )
+        uid = t.column(user_col).to_numpy(zero_copy_only=False)
         ts = (
-            batch.column(ts_col)
+            t.column(ts_col)
             .cast(pa.timestamp("us"))
             .to_numpy(zero_copy_only=False)
             .astype("datetime64[us]")
             .astype(np.int64)
         )
         period = ts // span
-        comp = np.stack([uid.astype(np.int64), period], axis=1)
-        uniq = np.unique(comp, axis=0)
+        keep = (
+            pd.DataFrame({"u": uid, "p": period})
+            .drop_duplicates()
+            .index.to_numpy()
+        )
         return pa.Table.from_arrays(
             [
-                pa.array(uniq[:, 0], type=pa.int64()),
-                pa.array(uniq[:, 1], type=pa.int64()),
+                t.column(user_col).take(pa.array(keep, type=pa.int64())),
+                pa.array(period[keep], type=pa.int64()),
             ],
             names=[user_col, "_period"],
         )

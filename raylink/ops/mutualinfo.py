@@ -6,12 +6,15 @@ anything about ``language``?) — the categorical sibling of the numeric
 correlation op (``ops/normalize.py``).
 
 Scale shape: every block reduces to its (x, y) pair counts (one lexsort
-+ run-length pass), those partials merge on the driver, and the MI math
-runs over the merged JOINT table — which is bounded by
-``|X| x |Y|`` (vocabulary sizes), not by rows.  A ``max_cells`` guard
-refuses pathological cardinalities loudly (an id-by-id "MI" is a bug,
-not a workload).  Marginals derive from the joint, so one pass over the
-data suffices and counts are exact int64.
++ run-length pass), those partials merge in a DISTRIBUTED sorted-run
+scan (per-block partial rows scale with block count, so they never hit
+the driver unmerged), and the MI math runs over the merged JOINT
+table — which is bounded by ``|X| x |Y|`` (vocabulary sizes), not by
+rows or blocks.  The ``max_cells`` guard applies to that merged joint,
+so it refuses pathological cardinalities loudly (an id-by-id "MI" is a
+bug, not a workload) without spuriously rejecting a tiny joint spread
+over many blocks.  Marginals derive from the joint, so one pass over
+the data suffices and counts are exact int64.
 
 Per observed cell: ``term = (n_xy/N) * ln((n_xy*N)/(n_x*n_y))``,
 emitted half-up e4; total MI (nats) is the sum of the terms.
@@ -36,6 +39,7 @@ def mutual_information(
     x_col: str,
     y_col: str,
     max_cells: int = 1_000_000,
+    num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Per-cell MI contributions of ``x_col`` vs ``y_col``.  Output one
     row per OBSERVED (x, y) cell:
@@ -43,31 +47,85 @@ def mutual_information(
     ``(x_col, y_col, n int64, mi_term_e4 int64)``
 
     with ``sum(mi_term_e4)/1e4`` the total mutual information in nats.
+    ``max_cells`` bounds the MERGED joint (|X| x |Y| observed cells),
+    which is also exactly what the driver pulls for the final math.
     """
     if max_cells < 1:
         raise ValueError("max_cells must be >= 1")
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    from ..stages.sortedrun import sorted_group_scan
+    from .lag import _arrow_schema
+    from .rollup import _encode_combo
+
+    in_schema = _arrow_schema(ds)
+    xt = in_schema.field(x_col).type
+    yt = in_schema.field(y_col).type
+    cell_schema = pa.schema(
+        [("_combo", pa.string()), (x_col, xt), (y_col, yt),
+         ("n", pa.int64())]
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
         d = batch[[x_col, y_col]].dropna()
         g = d.groupby([x_col, y_col], sort=False, observed=True).size()
         out = g.reset_index(name="n")
-        out["n"] = out["n"].astype(np.int64)
-        return out
+        combo = _encode_combo(
+            [
+                out[x_col].to_numpy(dtype=object),
+                out[y_col].to_numpy(dtype=object),
+            ]
+        ) if len(out) else np.empty(0, dtype=object)
+        return pa.Table.from_arrays(
+            [
+                pa.array(combo, type=pa.string()),
+                pa.array(out[x_col].to_numpy(), type=xt, from_pandas=True),
+                pa.array(out[y_col].to_numpy(), type=yt, from_pandas=True),
+                pa.array(
+                    out["n"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+            ],
+            schema=cell_schema,
+        )
+
+    def merge_group(group: dict[str, np.ndarray]) -> dict:
+        return {
+            "_combo": np.asarray(group["_combo"])[:1],
+            x_col: np.asarray(group[x_col])[:1],
+            y_col: np.asarray(group[y_col])[:1],
+            "n": np.array(
+                [np.asarray(group["n"]).sum()], dtype=np.int64
+            ),
+        }
+
+    def merge_empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            "_combo": np.asarray(batch["_combo"])[:0],
+            x_col: np.asarray(batch[x_col])[:0],
+            y_col: np.asarray(batch[y_col])[:0],
+            "n": np.empty(0, dtype=np.int64),
+        }
 
     parts = ds.select_columns([x_col, y_col]).map_batches(
         partial, batch_format="pandas", batch_size=None
+    )
+    merged = sorted_group_scan(
+        parts,
+        "_combo",
+        merge_group,
+        merge_empty,
+        num_partitions=num_partitions,
+        out_schema=cell_schema,
     ).materialize()
-    if parts.count() > max_cells:
+    if merged.count() > max_cells:
         raise ValueError(
-            f"joint cell partials exceed max_cells={max_cells}; "
+            f"merged joint exceeds max_cells={max_cells} cells; "
             "MI over near-unique columns is not a meaningful workload — "
             "bucket the columns first or raise the cap explicitly"
         )
     joint = (
-        parts.to_pandas()
-        .groupby([x_col, y_col], sort=True)["n"]
-        .sum()
-        .reset_index()
+        merged.to_pandas()
+        .drop(columns=["_combo"])
+        .sort_values([x_col, y_col], kind="mergesort", ignore_index=True)
     )
     if len(joint) == 0:
         raise ValueError("empty input after null exclusion; MI undefined")

@@ -136,7 +136,12 @@ def unpivot(
             tbl = pa.Table.from_arrays(
                 [batch.column(k) for k in id_cols]
                 + [
-                    pa.array(np.full(len(batch), c, dtype=object)),
+                    # pin string: an empty block would otherwise infer
+                    # a null-typed var column (heterogeneous schemas)
+                    pa.array(
+                        np.full(len(batch), c, dtype=object),
+                        type=pa.string(),
+                    ),
                     vals,
                 ],
                 names=[*id_cols, var_name, value_name],

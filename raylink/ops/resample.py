@@ -64,6 +64,17 @@ def resample_periods(
     with_value = value_col is not None
     cols = [group_col, ts_col] + ([value_col] if with_value else [])
 
+    try:  # pin the group column's real type (int keys must stay int)
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            gtype = base.field(group_col).type
+        else:  # PandasBlockSchema: parallel names/types lists
+            gtype = pa.from_numpy_dtype(
+                np.dtype(base.types[base.names.index(group_col)])
+            )
+    except Exception:
+        gtype = pa.string()
+
     def partial(batch: pa.Table) -> pa.Table:
         ok = pc.and_(
             pc.is_valid(batch.column(group_col)),
@@ -99,7 +110,9 @@ def resample_periods(
             else np.empty(0, dtype=np.int64)
         )
         out = {
-            group_col: pa.array(gs[starts]),
+            # pin the type: an empty/fully-filtered block would otherwise
+            # infer a null-typed group column (heterogeneous schemas)
+            group_col: pa.array(gs[starts], type=gtype, from_pandas=True),
             "_period": pa.array(ps[starts], type=pa.int64()),
             "n": pa.array(n.astype(np.int64)),
         }
@@ -173,16 +186,6 @@ def resample_periods(
             out["sum_e4"] = np.empty(0, dtype=object)
         return out
 
-    try:  # pin the group column's real type (int keys must stay int)
-        base = ds.schema().base_schema
-        if isinstance(base, pa.Schema):
-            gtype = base.field(group_col).type
-        else:  # PandasBlockSchema: parallel names/types lists
-            gtype = pa.from_numpy_dtype(
-                np.dtype(base.types[base.names.index(group_col)])
-            )
-    except Exception:
-        gtype = pa.string()
     fields = [
         pa.field(group_col, gtype),
         pa.field("period_start", pa.timestamp("us")),

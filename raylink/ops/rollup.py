@@ -38,6 +38,21 @@ __all__ = ["grouped_rollup", "grouped_cube", "grouped_grouping_sets"]
 _SEP = "\x1f"
 
 
+def _encode_combo(parts: list[np.ndarray]) -> np.ndarray:
+    """Unambiguous composite key: each part is length-prefixed
+    (``len SEP value`` concatenated), so key values containing the
+    separator cannot merge distinct groups (same convention as
+    ops/matching.py)."""
+    combo = None
+    for p in parts:
+        pu = p.astype(str)
+        piece = np.char.add(
+            np.char.add(np.char.str_len(pu).astype(str), _SEP), pu
+        )
+        combo = piece if combo is None else np.char.add(combo, piece)
+    return combo.astype(object)
+
+
 def _merge_fns(keys: list[str], sum_col: str):
     def merge_group(group: dict[str, np.ndarray]) -> dict:
         out = {"_combo": np.asarray(group["_combo"])[:1]}
@@ -47,6 +62,9 @@ def _merge_fns(keys: list[str], sum_col: str):
         out[sum_col] = np.array(
             [np.asarray(group[sum_col]).sum()], dtype=np.int64
         )
+        out["_nn"] = np.array(
+            [np.asarray(group["_nn"]).sum()], dtype=np.int64
+        )
         return out
 
     def merge_empty(batch: dict[str, np.ndarray]) -> dict:
@@ -55,6 +73,7 @@ def _merge_fns(keys: list[str], sum_col: str):
             out[k] = np.asarray(batch[k])[:0]
         out["n"] = np.empty(0, dtype=np.int64)
         out[sum_col] = np.empty(0, dtype=np.int64)
+        out["_nn"] = np.empty(0, dtype=np.int64)
         return out
 
     return merge_group, merge_empty
@@ -64,7 +83,7 @@ def _level_schema(keys: list[str], sum_col: str) -> pa.Schema:
     return pa.schema(
         [("_combo", pa.string())]
         + [(k, pa.string()) for k in keys]
-        + [("n", pa.int64()), (sum_col, pa.int64())]
+        + [("n", pa.int64()), (sum_col, pa.int64()), ("_nn", pa.int64())]
     )
 
 
@@ -93,20 +112,21 @@ def _finest_level(
             batch.column(val_col).to_numpy(zero_copy_only=False),
             dtype=np.float64,
         )
-        v_e4 = np.where(np.isnan(v), 0, np.floor(v * 10000 + 0.5)).astype(
+        not_null = ~np.isnan(v)
+        v_e4 = np.where(not_null, np.floor(v * 10000 + 0.5), 0).astype(
             np.int64
         )
-        combo = cols[0]
-        for c in cols[1:]:
-            combo = np.char.add(
-                np.char.add(combo.astype(str), _SEP), c.astype(str)
-            ).astype(object)
+        combo = _encode_combo(cols)
         uniq, first_idx, inv = np.unique(
             combo, return_index=True, return_inverse=True
         )
         n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         sv = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(sv, inv, v_e4)
+        # non-null value count per group: SQL SUM over an all-null
+        # group is NULL, not 0 — _nn carries that distinction
+        nn = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(nn, inv, not_null.astype(np.int64))
         arrays = [pa.array(uniq.astype(str), type=pa.string())]
         names = ["_combo"]
         for j, k in enumerate(keys):
@@ -118,6 +138,8 @@ def _finest_level(
         names.append("n")
         arrays.append(pa.array(sv, type=pa.int64()))
         names.append(sum_col)
+        arrays.append(pa.array(nn, type=pa.int64()))
+        names.append("_nn")
         return pa.Table.from_arrays(arrays, names=names)
 
     merge_group, merge_empty = _merge_fns(keys, sum_col)
@@ -152,10 +174,7 @@ def _reaggregate(
                 ).astype(str)
                 for k in _kept
             ]
-            combo = parts[0]
-            for c in parts[1:]:
-                combo = np.char.add(np.char.add(combo, _SEP), c)
-            combo_arr = pa.array(combo.astype(object), type=pa.string())
+            combo_arr = pa.array(_encode_combo(parts), type=pa.string())
         else:
             combo_arr = pa.array(
                 np.full(len(batch), "", dtype=object), type=pa.string()
@@ -171,6 +190,8 @@ def _reaggregate(
         names.append("n")
         arrays.append(batch.column(sum_col))
         names.append(sum_col)
+        arrays.append(batch.column("_nn"))
+        names.append("_nn")
         return pa.Table.from_arrays(arrays, names=names)
 
     merge_group, merge_empty = _merge_fns(keys, sum_col)
@@ -193,10 +214,22 @@ def _finish(
     )
 
     def pin(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [batch.column(f.name).cast(f.type) for f in out_schema],
-            schema=out_schema,
-        )
+        # SQL SUM over an all-null value group is NULL, not 0
+        nn = batch.column("_nn").to_numpy(zero_copy_only=False)
+        arrays = []
+        for f in out_schema:
+            if f.name == sum_col:
+                sv = batch.column(sum_col).to_numpy(zero_copy_only=False)
+                arrays.append(
+                    pa.array(
+                        np.asarray(sv, dtype=np.int64),
+                        type=pa.int64(),
+                        mask=(np.asarray(nn) == 0),
+                    )
+                )
+            else:
+                arrays.append(batch.column(f.name).cast(f.type))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
     out = levels[0]
     for lv in levels[1:]:

@@ -491,29 +491,41 @@ def token_window_hashes(texts, n: int):
     return doc_pos, h, tok_counts
 
 
-def token_window_hash_starts(texts, n: int):
+def token_window_hash_starts(texts, n: int, check_hash: bool = False):
     """:func:`token_window_hashes` plus each window's WITHIN-document
     start token index — returns ``(doc_pos, win_start, window_hashes,
     tok_counts)``.  ``win_start[i]`` is the 0-based position of the
     window's first token inside its own document, the coordinate a
     span-removal pass needs to map a duplicated gram back onto the
-    document's token array."""
+    document's token array.
+
+    With ``check_hash=True`` a fifth element is appended: a SECOND
+    window hash built from a re-keyed (genuinely independent) SipHash
+    over the same tokens.  Two distinct n-grams collide only if they
+    collide in BOTH families (~2^-128 per pair), which a destructive
+    consumer (span REMOVAL) needs where the stats sibling tolerates the
+    single-family rate."""
     from ..functions.hashing import combine_hashes, hash64_array
 
     flat, doc_pos, tok_counts = _explode_tokens(texts)
     m = len(flat)
     if m < n:
-        return (
+        empty = (
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=np.uint64),
             tok_counts,
         )
-    th = hash64_array(flat)
+        return empty + (np.empty(0, dtype=np.uint64),) if check_hash else empty
+
+    def windows(th: np.ndarray, k: int) -> np.ndarray:
+        h = th[:k].copy()
+        for j in range(1, n):
+            h = combine_hashes(h, th[j : k + j])
+        return h
+
     k = m - n + 1
-    h = th[:k].copy()
-    for j in range(1, n):
-        h = combine_hashes(h, th[j : k + j])
+    h = windows(hash64_array(flat), k)
     valid = doc_pos[:k] == doc_pos[n - 1 :]
     vpos = np.flatnonzero(valid)
     vdoc = doc_pos[vpos]
@@ -522,7 +534,13 @@ def token_window_hash_starts(texts, n: int):
         [[0], np.cumsum(tok_counts, dtype=np.int64)]
     )[:-1]
     win_start = vpos - doc_first_flat[vdoc]
-    return vdoc, win_start.astype(np.int64), h[valid], tok_counts
+    out = (vdoc, win_start.astype(np.int64), h[valid], tok_counts)
+    if check_hash:
+        h2 = windows(
+            hash64_array(flat, hash_key="raylink-spanchk!"), k
+        )
+        out = out + (h2[valid],)
+    return out
 
 
 def mark_contaminated_ngrams(

@@ -5444,3 +5444,222 @@ def test_pagerank_all_null_weights_refused():
     )
     with pytest.raises(Exception, match="non-null"):
         pagerank(ray.data.from_arrow(t), weight_col="w").materialize()
+
+
+def test_mutual_information_guard_counts_merged_cells():
+    """Round-4 review: the max_cells guard must bound the MERGED joint
+    (|X| x |Y|), not the per-block partial rows — a tiny joint spread
+    over many blocks is a valid workload."""
+    from raylink.ops.mutualinfo import mutual_information
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "x": rng.choice(["a", "b"], n),
+            "y": rng.choice(["u", "v"], n),
+        }
+    )
+    # 40 blocks x up to 4 cells each = up to 160 partial rows; the true
+    # joint is 4 cells, so max_cells=4 must pass
+    got = (
+        mutual_information(
+            ray.data.from_pandas(df).repartition(40), "x", "y", max_cells=4
+        )
+        .to_pandas()
+        .sort_values(["x", "y"], ignore_index=True)
+    )
+    exp = (
+        df.groupby(["x", "y"]).size().rename("n").reset_index()
+        .sort_values(["x", "y"], ignore_index=True)
+    )
+    assert got["n"].tolist() == exp["n"].tolist()
+    # and the guard still trips on a genuinely wide joint
+    with pytest.raises(ValueError, match="max_cells"):
+        mutual_information(
+            ray.data.from_pandas(
+                pd.DataFrame({"x": np.arange(50), "y": np.arange(50)})
+            ),
+            "x",
+            "y",
+            max_cells=10,
+        )
+
+
+def test_grouped_rollup_separator_keys_and_all_null_sums():
+    """Round-4 review: (1) key values containing the \\x1f separator
+    must not merge distinct groups; (2) SQL SUM over an all-null value
+    group is NULL, not 0."""
+    import duckdb
+
+    from raylink.ops.rollup import grouped_rollup
+
+    df = pd.DataFrame(
+        {
+            # the classic ambiguous pair under naive sep-joining:
+            # ('x\x1fy', 'z') vs ('x', 'y\x1fz')
+            "a": ["x\x1fy", "x", "x\x1fy", "q", "q"],
+            "b": ["z", "y\x1fz", "z", "w", "w"],
+            "v": [1.0, 10.0, 2.0, None, None],
+        }
+    )
+    out = grouped_rollup(
+        ray.data.from_pandas(df).repartition(3), ["a", "b"], "v"
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT a, b, count(*)::BIGINT AS n, "
+        "SUM(CAST(floor(v*10000 + 0.5) AS BIGINT)) AS sum_v_e4 "
+        "FROM t GROUP BY ROLLUP(a, b)"
+    ).df()
+    key = ["a", "b"]
+    o = out.sort_values(key, na_position="last", ignore_index=True)
+    e = exp.sort_values(key, na_position="last", ignore_index=True)
+    assert o["a"].tolist() == e["a"].tolist()
+    assert o["b"].tolist() == e["b"].tolist()
+    assert o["n"].tolist() == e["n"].tolist()
+    # all-null (q, w) group: engine must emit NULL like SQL
+    assert (
+        o["sum_v_e4"].isna().to_numpy() == e["sum_v_e4"].isna().to_numpy()
+    ).all()
+    on = o["sum_v_e4"].dropna().astype(np.int64).tolist()
+    en = e["sum_v_e4"].dropna().astype(np.int64).tolist()
+    assert on == en
+
+
+def test_funnel_and_cohort_null_rows_excluded():
+    """Round-4 review: null timestamps must not int-cast to int64 min
+    (bogus year-1677 anchors); null user ids are excluded too."""
+    from raylink.ops.funnel import cohort_retention, funnel_counts
+
+    ts = pd.to_datetime(
+        ["2026-01-01", "2026-01-02", "2026-01-03"]
+    ).to_numpy()
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, None],
+            "event_type": ["view", "click", "view", "click", "view"],
+            # user 2's view has a NULL ts: their click must NOT convert
+            "ts": [ts[0], ts[1], pd.NaT, ts[2], ts[0]],
+        }
+    )
+    out = (
+        funnel_counts(ray.data.from_pandas(df), ["view", "click"])
+        .to_pandas()
+        .set_index("step")["n_users"]
+    )
+    assert out["view"] == 1  # user 1 only
+    assert out["click"] == 1
+    # windowed form: a NaT anchor would wrap cand - gap around int64
+    out_w = (
+        funnel_counts(
+            ray.data.from_pandas(df),
+            ["view", "click"],
+            max_step_gap_us=86_400_000_000,
+        )
+        .to_pandas()
+        .set_index("step")["n_users"]
+    )
+    assert out_w["view"] == 1
+    assert out_w["click"] == 1
+
+    ret = cohort_retention(ray.data.from_pandas(df)).to_pandas()
+    # user 1: cohort Jan 1, active deltas {0, 1}; user 2: cohort Jan 3
+    # (the NaT row is dropped); the null-id row contributes nothing
+    cells = {
+        (r.cohort, r.period_delta): r.n_users for r in ret.itertuples()
+    }
+    assert cells == {
+        ("2026-01-01", 0): 1,
+        ("2026-01-01", 1): 1,
+        ("2026-01-03", 0): 1,
+    }
+
+
+def test_cohort_retention_string_ids():
+    """Round-4 review: cohort_retention crashed on non-integer user ids
+    (uid.astype(int64)); string ids must work like funnel_counts."""
+    from raylink.ops.funnel import cohort_retention
+
+    df = pd.DataFrame(
+        {
+            "user_id": ["u1", "u1", "u2", "u1"],
+            "ts": pd.to_datetime(
+                ["2026-01-01", "2026-01-02", "2026-01-01", "2026-01-02"]
+            ),
+        }
+    )
+    ret = cohort_retention(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    cells = {
+        (r.cohort, r.period_delta): r.n_users for r in ret.itertuples()
+    }
+    assert cells == {("2026-01-01", 0): 2, ("2026-01-01", 1): 1}
+
+
+def test_unpivot_and_resample_empty_block_schema():
+    """Round-4 review: empty / fully-filtered blocks must not emit
+    null-typed columns (heterogeneous block schemas)."""
+    from raylink.ops.pivot import unpivot
+    from raylink.ops.resample import resample_periods
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "p": pa.array([1.5, 2.5]),
+            "q": pa.array([3.5, None]),
+        }
+    )
+    empty = tbl.slice(0, 0)
+    ds = ray.data.from_arrow([tbl, empty, tbl])
+    out = unpivot(ds, ["id"], ["p", "q"]).to_pandas()
+    assert sorted(out["name"].unique()) == ["p", "q"]
+    assert len(out) == 6  # 2 blocks x (2 p + 1 non-null q); null q dropped
+
+    # a block whose group keys are ALL null reduces to an empty partial
+    ets = pa.table(
+        {
+            "g": pa.array(["a", "a"], type=pa.string()),
+            "ts": pa.array(
+                pd.to_datetime(["2026-01-01", "2026-01-03"]),
+                type=pa.timestamp("us"),
+            ),
+            "v": pa.array([1.0, 2.0]),
+        }
+    )
+    enull = pa.table(
+        {
+            "g": pa.array([None, None], type=pa.string()),
+            "ts": pa.array(
+                pd.to_datetime(["2026-01-01", "2026-01-02"]),
+                type=pa.timestamp("us"),
+            ),
+            "v": pa.array([9.0, 9.0]),
+        }
+    )
+    res = resample_periods(
+        ray.data.from_arrow([ets, enull]), "g", "ts", "v"
+    ).to_pandas()
+    assert res["g"].tolist() == ["a", "a", "a"]
+    assert res["n"].tolist() == [1, 0, 1]
+    assert res["sum_e4"].tolist()[0] == 10_000
+
+
+def test_token_window_check_hash_is_independent_family():
+    """Round-4 review: span REMOVAL needs a second, genuinely re-keyed
+    hash family so a base-hash collision cannot delete clean text."""
+    from raylink.ops.text import token_window_hash_starts
+
+    texts = np.array(
+        ["a b c d e f", "a b c d e f", "g h i j k l"], dtype=object
+    )
+    dp, ws, h, tc, h2 = token_window_hash_starts(texts, 3, check_hash=True)
+    assert len(h) == len(h2) == 3 * 4
+    # equal windows agree in both families
+    assert (h[:4] == h[4:8]).all() and (h2[:4] == h2[4:8]).all()
+    # the two families differ (re-keyed SipHash, not a derived mix)
+    assert (h != h2).any()
+    # default call keeps the 4-tuple contract
+    out = token_window_hash_starts(texts, 3)
+    assert len(out) == 4
