@@ -2501,8 +2501,9 @@ def _q_cohort_retention_events(sf_dir: str):
 def _q_mi_events(sf_dir: str):
     """Mutual information (nats, e4 per-cell terms) between event type
     and a user-id bucket — the does-this-column-carry-signal check:
-    per-block joint counts merge on the driver (bounded by the two
-    vocabularies, never by rows), marginals derive from the joint."""
+    per-block joint counts merge in a distributed sorted scan (the
+    merged joint is bounded by the two vocabularies, never by rows or
+    block count), marginals derive from the joint."""
     import pyarrow as pa
 
     from raylink.ops.mutualinfo import mutual_information
@@ -2525,6 +2526,44 @@ def _q_mi_events(sf_dir: str):
         "event_type",
         "user_bucket",
     )
+
+
+def _q_triangle_suppliers(sf_dir: str):
+    """Exact triangle count over the supplier co-order graph (two
+    suppliers are adjacent iff they serve the same order): per-order
+    supplier pairs emit in one sorted scan (bounded by the order's line
+    count), then the degree-oriented wedge-check counts triangles —
+    each triangle has exactly one source with oriented out-edges to the
+    other two, so nothing double-counts and hub skew cannot make any
+    single task quadratic (total wedge volume is O(m^1.5))."""
+    import pyarrow as pa
+
+    from raylink.ops.graph import triangle_count
+    from raylink.stages.sortedrun import sorted_group_scan
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey"]
+    )
+    pair_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def order_pairs(group):
+        sk = np.unique(np.asarray(group["l_suppkey"]))
+        if len(sk) < 2:
+            return order_empty(group)
+        iu, ju = np.triu_indices(len(sk), 1)
+        return {"src": sk[iu], "dst": sk[ju]}
+
+    def order_empty(batch):
+        return {
+            "src": np.empty(0, dtype=np.int64),
+            "dst": np.empty(0, dtype=np.int64),
+        }
+
+    pairs = sorted_group_scan(
+        li, "l_orderkey", order_pairs, order_empty, 16,
+        out_schema=pair_schema,
+    )
+    return triangle_count(pairs, num_partitions=16)
 
 
 def _q_locf_events(sf_dir: str):
@@ -2859,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_value_events": _q_drift_value_events,
         "locf_events": _q_locf_events,
         "mi_events": _q_mi_events,
+        "triangle_suppliers": _q_triangle_suppliers,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3378,6 +3418,22 @@ def oracle_sql() -> dict[str, str]:
             FROM j, t
             JOIN mx ON j.event_type = mx.event_type
             JOIN my ON j.user_bucket = my.user_bucket
+        """,
+        "triangle_suppliers": """
+            WITH pairs AS (
+                SELECT DISTINCT l1.l_suppkey AS u, l2.l_suppkey AS v
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_suppkey < l2.l_suppkey
+            )
+            SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
+                   (SELECT count(*)
+                      FROM pairs e1
+                      JOIN pairs e2
+                        ON e2.u = e1.u AND e2.v > e1.v
+                      JOIN pairs e3
+                        ON e3.u = e1.v AND e3.v = e2.v
+                   )::BIGINT AS n_triangles
         """,
         "locf_events": """
             WITH m AS (

@@ -346,4 +346,11 @@ def sorted_group_scan(
         .groupby(key)
         .map_groups(repair_fn, batch_format="numpy")
     )
+    # NOTE: the union (and the sort/map_groups machinery inside it) can
+    # emit zero-row, SCHEMA-LESS blocks for empty partitions; they pass
+    # through map operators untouched (Ray skips empty bundles), every
+    # map/sort/aggregate consumer tolerates them, but Ray's hash-shuffle
+    # JOIN cannot type its empty partitions from such a dataset — a join
+    # consumer must absorb them first with a small repartition() (see
+    # ops/graph.py::triangle_count).
     return interior_out.union(repaired)

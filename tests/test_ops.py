@@ -5663,3 +5663,49 @@ def test_token_window_check_hash_is_independent_family():
     # default call keeps the 4-tuple contract
     out = token_window_hash_starts(texts, 3)
     assert len(out) == 4
+
+
+def test_triangle_count_matches_matrix_power():
+    """Degree-oriented wedge-check vs trace(A^3)/6 on a random graph,
+    with duplicate / reversed / self-loop edges thrown in to exercise
+    normalization."""
+    from raylink.ops.graph import triangle_count
+
+    rng = np.random.default_rng(3)
+    n = 150
+    A = rng.random((n, n)) < 0.06
+    A = np.triu(A, 1)
+    A = A | A.T
+    iu = np.where(np.triu(A, 1))
+    src = np.concatenate([iu[0], iu[1], iu[0][:50], [5, 9]])
+    dst = np.concatenate([iu[1], iu[0], iu[1][:50], [5, 9]])
+    df = pd.DataFrame(
+        {"s": src.astype(np.int64), "d": dst.astype(np.int64)}
+    )
+    out = triangle_count(
+        ray.data.from_pandas(df).repartition(5), "s", "d"
+    ).to_pandas()
+    exp_tri = int(np.trace(np.linalg.matrix_power(A.astype(np.int64), 3)) // 6)
+    assert out["n_triangles"].tolist() == [exp_tri]
+    assert out["n_edges"].tolist() == [int(np.triu(A, 1).sum())]
+
+    # triangle-free control (a star closes nothing)
+    star = pd.DataFrame(
+        {"s": np.zeros(10, dtype=np.int64), "d": np.arange(1, 11)}
+    )
+    out0 = triangle_count(ray.data.from_pandas(star), "s", "d").to_pandas()
+    assert out0["n_triangles"].tolist() == [0]
+    assert out0["n_edges"].tolist() == [10]
+
+    # the wedge-volume guard refuses loudly instead of OOMing.  A star
+    # can't trigger it (orientation gives the hub out-degree 0); in a
+    # clique all degrees tie, so the lowest id gets out-degree k-1.
+    k = 8
+    ci, cj = np.triu_indices(k, 1)
+    clique = pd.DataFrame(
+        {"s": ci.astype(np.int64), "d": cj.astype(np.int64)}
+    )
+    with pytest.raises(Exception, match="max_wedge_degree"):
+        triangle_count(
+            ray.data.from_pandas(clique), "s", "d", max_wedge_degree=5
+        ).to_pandas()
