@@ -2566,6 +2566,28 @@ def _q_triangle_suppliers(sf_dir: str):
     return triangle_count(pairs, num_partitions=16)
 
 
+def _q_k_anon_events(sf_dir: str):
+    """k-anonymity audit over the (user_id, event_type) quasi-identifier
+    pair: per-block partial counts merge in a distributed sorted scan
+    and only groups with fewer than k=5 rows survive — the combinations
+    a privacy-safe release would have to generalize or drop."""
+    from raylink.ops.privacy import k_anonymity_audit
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    return k_anonymity_audit(ev, ["user_id", "event_type"], k=5)
+
+
+def _q_robust_events(sf_dir: str):
+    """Exact per-type median and MAD of event values (the outlier-immune
+    location/scale pair): one sort exchange, both medians computed
+    vectorized per group, e4 fixed point matching DuckDB's
+    median()/mad() interpolation bit-for-bit."""
+    from raylink.ops.normalize import grouped_robust_stats
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    return grouped_robust_stats(ev, "event_type", "value")
+
+
 def _q_locf_events(sf_dir: str):
     """Per-user forward fill (LOCF) of a deterministically-nulled value
     column (every 5th event id drops its value — the testdata carries no
@@ -2899,6 +2921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locf_events": _q_locf_events,
         "mi_events": _q_mi_events,
         "triangle_suppliers": _q_triangle_suppliers,
+        "k_anon_events": _q_k_anon_events,
+        "robust_events": _q_robust_events,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3434,6 +3458,22 @@ def oracle_sql() -> dict[str, str]:
                       JOIN pairs e3
                         ON e3.u = e1.v AND e3.v = e2.v
                    )::BIGINT AS n_triangles
+        """,
+        "k_anon_events": """
+            SELECT user_id, event_type, count(*)::BIGINT AS n
+            FROM events
+            GROUP BY user_id, event_type
+            HAVING count(*) < 5
+        """,
+        "robust_events": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   CAST(floor(median(value)*10000 + 0.5) AS BIGINT)
+                       AS median_e4,
+                   CAST(floor(mad(value)*10000 + 0.5) AS BIGINT)
+                       AS mad_e4
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY event_type
         """,
         "locf_events": """
             WITH m AS (

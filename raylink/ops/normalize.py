@@ -34,7 +34,7 @@ import numpy as np
 import ray
 import ray.data
 
-__all__ = ["group_standardize", "grouped_corr"]
+__all__ = ["group_standardize", "grouped_corr", "grouped_robust_stats"]
 
 
 def _z_e4_column(v: np.ndarray, n, s, ss, value_scale: int):
@@ -285,4 +285,87 @@ def grouped_corr(
                 ),
             }
         )
+    )
+
+
+def grouped_robust_stats(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group robust location/scale: exact median and MAD (median
+    absolute deviation, DuckDB ``mad()`` semantics — the outlier-immune
+    siblings of :func:`group_standardize`'s mean/std).  Output one row
+    per group:
+
+    ``(group_col, n int64, median_e4 int64, mad_e4 int64)``
+
+    with half-up e4 fixed-point values and ``n`` the non-null value
+    count.  Null group keys and null values are excluded like every
+    grouped op in this repo (SQL aggregates skip null inputs).
+
+    Scale shape: one sort exchange, then each group computes both
+    medians in one vectorized pass — the same group-fits-one-task model
+    as ``group_ntile`` / ``group_percent_rank`` (exact medians are not
+    mergeable from partials; the approximate sketch for
+    beyond-task-memory groups is ``ops/sketch.py``'s quantile path).
+    Both engines interpolate even-length medians as the mean of the two
+    middle doubles, so the e4 values match the oracle bit-for-bit.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.sortedrun import sorted_group_scan
+    from .lag import _arrow_schema
+
+    gtype = _arrow_schema(ds).field(group_col).type
+    out_schema = pa.schema(
+        [
+            (group_col, gtype),
+            ("n", pa.int64()),
+            ("median_e4", pa.int64()),
+            ("mad_e4", pa.int64()),
+        ]
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, val_col])
+        return t.filter(
+            pc.and_(
+                pc.is_valid(t.column(group_col)),
+                pc.is_valid(t.column(val_col)),
+            )
+        )
+
+    def group_fn(group: dict[str, np.ndarray]) -> dict:
+        v = np.asarray(group[val_col], dtype=np.float64)
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        return {
+            group_col: np.asarray(group[group_col])[:1],
+            "n": np.array([len(v)], dtype=np.int64),
+            "median_e4": np.array(
+                [np.floor(med * 10_000.0 + 0.5)], dtype=np.int64
+            ),
+            "mad_e4": np.array(
+                [np.floor(mad * 10_000.0 + 0.5)], dtype=np.int64
+            ),
+        }
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            group_col: np.asarray(batch[group_col])[:0],
+            "n": np.empty(0, dtype=np.int64),
+            "median_e4": np.empty(0, dtype=np.int64),
+            "mad_e4": np.empty(0, dtype=np.int64),
+        }
+
+    return sorted_group_scan(
+        ds.map_batches(prune, batch_format="pyarrow"),
+        group_col,
+        group_fn,
+        empty_fn,
+        num_partitions=num_partitions,
+        out_schema=out_schema,
     )
