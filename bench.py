@@ -260,6 +260,9 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "drift_value_events",
         "locf_events",
         "mi_events",
+        "triangle_suppliers",
+        "k_anon_events",
+        "robust_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
