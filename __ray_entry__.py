@@ -2588,6 +2588,35 @@ def _q_robust_events(sf_dir: str):
     return grouped_robust_stats(ev, "event_type", "value")
 
 
+def _q_dedupe_consec_events(sf_dir: str):
+    """Consecutive-duplicate removal per user stream (ordered by ts with
+    the event_id tiebreaker, comparing event_type): the stuttered-
+    sensor / repeated-turn cleaning pass — SQL LAG + IS DISTINCT FROM
+    semantics, one sort exchange, survivors keep all columns."""
+    from raylink.ops.sessions import dedupe_consecutive
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type", "ts"]
+    )
+    out = dedupe_consecutive(
+        ev, "user_id", ["ts", "event_id"], ["event_type"],
+        num_partitions=16,
+    )
+    return out.select_columns(["event_id", "event_type"])
+
+
+def _q_window_distinct_users(sf_dir: str):
+    """Exact distinct active users per 6-hour tumbling window: blocks
+    reduce to distinct (window, user) pairs before the shuffle, the
+    global pair set dedupes in one sorted scan, partial counts build
+    the per-window cardinalities — count(DISTINCT) without ever
+    shuffling raw events."""
+    from raylink.ops.window import tumbling_distinct
+
+    ev = _read(sf_dir, "events").select_columns(["ts", "user_id"])
+    return tumbling_distinct(ev, "ts", "user_id", window_seconds=21600)
+
+
 def _q_locf_events(sf_dir: str):
     """Per-user forward fill (LOCF) of a deterministically-nulled value
     column (every 5th event id drops its value — the testdata carries no
@@ -2923,6 +2952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_suppliers": _q_triangle_suppliers,
         "k_anon_events": _q_k_anon_events,
         "robust_events": _q_robust_events,
+        "dedupe_consec_events": _q_dedupe_consec_events,
+        "window_distinct_users": _q_window_distinct_users,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3474,6 +3505,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
             GROUP BY event_type
+        """,
+        "dedupe_consec_events": """
+            SELECT event_id, event_type FROM (
+                SELECT event_id, event_type,
+                       lag(event_type) OVER w AS prev_type,
+                       row_number() OVER w AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            -- rn = 1: the group's first row always survives (LAG can't
+            -- distinguish no-previous-row from a NULL previous value)
+            WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+        """,
+        "window_distinct_users": """
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600
+                       AS window_start,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1
         """,
         "locf_events": """
             WITH m AS (

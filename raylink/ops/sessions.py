@@ -17,7 +17,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["sessionize"]
+__all__ = ["sessionize", "dedupe_consecutive"]
 
 
 def sessionize(
@@ -77,3 +77,71 @@ def sessionize(
 
     n_part = max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
     return sorted_group_scan(events, user_col, fn, empty, num_partitions=n_part)
+
+
+def dedupe_consecutive(
+    events: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    compare_cols: list[str],
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Drop each row whose ``compare_cols`` tuple equals the PREVIOUS
+    row's (within ``group_col``, ordered by ``order_cols``) — the
+    stream-cleaning pass that removes stuttered sensor readings or
+    repeated identical conversation turns while keeping the first of
+    each run.  Output: the surviving rows, all input columns.
+
+    SQL semantics: ``lag(c) OVER (PARTITION BY group ORDER BY
+    order_cols)`` compared with ``IS NOT DISTINCT FROM`` per column
+    (NULL equals NULL — a repeated null reading is still a repeat);
+    each group's first row always survives (a pure-LAG SQL twin needs
+    an ``OR row_number() = 1`` clause, since LAG cannot distinguish
+    no-previous-row from a null previous value).  Pass a unique tiebreaker
+    in ``order_cols`` or ties make survivorship engine-dependent,
+    exactly as in SQL.
+
+    One sort exchange; per group one lexsort + vectorized
+    adjacent-tuple compare.
+    """
+    if not order_cols or not compare_cols:
+        raise ValueError("order_cols and compare_cols must be non-empty")
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from .lag import _arrow_schema
+
+    in_schema = _arrow_schema(events)
+    cols = in_schema.names
+    out_schema = pa.schema([in_schema.field(c) for c in cols])
+
+    def group_fn(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        order = np.lexsort(
+            tuple(np.asarray(group[c]) for c in reversed(order_cols))
+        )
+        n = len(order)
+        # dup[i] = every compared column equals the previous row's
+        # (NULL equals NULL); the group's first row is never a dup
+        dup = np.zeros(n, dtype=bool)
+        if n > 1:
+            dup[1:] = True
+            for c in compare_cols:
+                s = pd.Series(np.asarray(group[c])[order])
+                prev = s.shift()
+                same = ((s == prev) | (s.isna() & prev.isna())).to_numpy()
+                dup[1:] &= same[1:]
+        sel = order[~dup]
+        return {c: np.asarray(group[c])[sel] for c in cols}
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        return {c: np.asarray(batch[c])[:0] for c in cols}
+
+    return sorted_group_scan(
+        events,
+        group_col,
+        group_fn,
+        empty_fn,
+        num_partitions=num_partitions,
+        out_schema=out_schema,
+    )

@@ -23,10 +23,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
-__all__ = ["tumbling_window_agg", "hopping_window_agg"]
+__all__ = ["tumbling_window_agg", "hopping_window_agg", "tumbling_distinct"]
 
 
 def _epoch_seconds(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -225,3 +226,91 @@ def _merge_window_partials(
         .map_groups(merge, batch_format="numpy")
     )
     return interior_out.union(repaired)
+
+
+def tumbling_distinct(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    key_col: str,
+    window_seconds: int,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-tumbling-window EXACT distinct-key count (distinct active
+    users per hour/day — the cardinality sibling of
+    :func:`tumbling_window_agg`'s count/sum).  Returns
+    ``(window_start int64 epoch seconds, n_distinct int64)``.
+
+    Exact, not sketched: every block first reduces to its DISTINCT
+    (window, key) pairs (the combiner — repeated keys inside a block
+    never shuffle), the global pair set dedupes in one sorted scan
+    keyed by an unambiguous combo, and a partial-count pass produces
+    the per-window cardinalities.  The exchange carries distinct pairs,
+    bounded by windows x keys, never raw events.  Null timestamps and
+    null keys are excluded like every grouped op in this repo (and like
+    SQL ``count(DISTINCT ...)``).  For cardinalities too large to
+    shuffle even as distinct pairs, the HLL sketch path
+    (``ops/sketch.py``) is the approximate alternative.
+    """
+    if window_seconds < 1:
+        raise ValueError("window_seconds must be >= 1")
+    w = int(window_seconds)
+
+    from ..stages.sortedrun import count_by_key, sorted_group_scan
+    from .rollup import _encode_combo
+
+    pair_schema = pa.schema([("_wk", pa.string()), ("ws", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([ts_col, key_col])
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column(ts_col)),
+                pc.is_valid(t.column(key_col)),
+            )
+        )
+        secs = _epoch_seconds(t.column(ts_col))
+        ws = (secs // w) * w
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"ws": ws, "k": k}).drop_duplicates()
+        if len(d):
+            combo = _encode_combo(
+                [
+                    d["ws"].to_numpy(dtype=object),
+                    d["k"].to_numpy(dtype=object),
+                ]
+            )
+        else:
+            combo = np.empty(0, dtype=object)
+        return pa.Table.from_arrays(
+            [
+                pa.array(combo, type=pa.string()),
+                pa.array(
+                    d["ws"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+            ],
+            schema=pair_schema,
+        )
+
+    def merge_group(group: dict[str, np.ndarray]) -> dict:
+        return {"ws": np.asarray(group["ws"])[:1]}
+
+    def merge_empty(batch: dict[str, np.ndarray]) -> dict:
+        return {"ws": np.empty(0, dtype=np.int64)}
+
+    distinct = sorted_group_scan(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "_wk",
+        merge_group,
+        merge_empty,
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("ws", pa.int64())]),
+    )
+    return count_by_key(distinct, "ws").map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": b.column("ws").cast(pa.int64()),
+                "n_distinct": b.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

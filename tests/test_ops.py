@@ -5682,12 +5682,16 @@ def test_triangle_count_matches_matrix_power():
     df = pd.DataFrame(
         {"s": src.astype(np.int64), "d": dst.astype(np.int64)}
     )
-    out = triangle_count(
-        ray.data.from_pandas(df).repartition(5), "s", "d"
-    ).to_pandas()
     exp_tri = int(np.trace(np.linalg.matrix_power(A.astype(np.int64), 3)) // 6)
-    assert out["n_triangles"].tolist() == [exp_tri]
-    assert out["n_edges"].tolist() == [int(np.triu(A, 1).sum())]
+    # both closure paths must agree with the dense brute force:
+    # broadcast (default) and the fully-distributed sort path
+    for thresh in (5_000_000, 0):
+        out = triangle_count(
+            ray.data.from_pandas(df).repartition(5), "s", "d",
+            broadcast_threshold=thresh,
+        ).to_pandas()
+        assert out["n_triangles"].tolist() == [exp_tri]
+        assert out["n_edges"].tolist() == [int(np.triu(A, 1).sum())]
 
     # triangle-free control (a star closes nothing)
     star = pd.DataFrame(
@@ -5810,3 +5814,115 @@ def test_grouped_robust_stats_matches_duckdb():
     assert out["n"].tolist() == exp["n"].tolist()
     assert out["median_e4"].tolist() == exp["median_e4"].tolist()
     assert out["mad_e4"].tolist() == exp["mad_e4"].tolist()
+
+
+def test_dedupe_consecutive_matches_duckdb():
+    """Consecutive-duplicate removal vs the SQL LAG + IS DISTINCT FROM
+    formulation, including null-equals-null runs and multi-column
+    compares."""
+    import duckdb
+
+    from raylink.ops.sessions import dedupe_consecutive
+
+    rng = np.random.default_rng(59)
+    n = 4000
+    et = rng.choice(["a", "a", "a", "b", "c"], n).astype(object)
+    et[rng.random(n) < 0.05] = None  # repeated nulls are repeats too
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 80, n).astype(np.int64),
+            "event_type": et,
+            # coarse grid so ties exist; event_id breaks them
+            "ts": pd.to_datetime(
+                rng.integers(0, 2000, n), unit="s", origin="2026-01-01"
+            ),
+        }
+    )
+    out = (
+        dedupe_consecutive(
+            ray.data.from_pandas(df).repartition(6),
+            "user_id",
+            ["ts", "event_id"],
+            ["event_type"],
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    # rn = 1 restores first-row survival: LAG alone cannot distinguish
+    # "no previous row" from "previous value is NULL"
+    exp = con.execute(
+        "SELECT * FROM (SELECT *, lag(event_type) OVER w AS pv, "
+        "row_number() OVER w AS rn FROM t WINDOW w AS "
+        "(PARTITION BY user_id ORDER BY ts, event_id)) "
+        "WHERE rn = 1 OR pv IS DISTINCT FROM event_type ORDER BY event_id"
+    ).df()
+    assert out["event_id"].tolist() == exp["event_id"].tolist()
+    assert (
+        out["event_type"].isna().to_numpy() == exp["event_type"].isna().to_numpy()
+    ).all()
+    assert len(out) < n  # something was actually deduped
+
+    # two compare columns: a row survives if EITHER changed
+    df2 = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 1],
+            "o": [1, 2, 3, 4],
+            "a": ["x", "x", "x", "x"],
+            "b": ["p", "p", "q", "q"],
+        }
+    )
+    out2 = dedupe_consecutive(
+        ray.data.from_pandas(df2), "g", ["o"], ["a", "b"]
+    ).to_pandas()
+    assert sorted(out2["o"].tolist()) == [1, 3]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        dedupe_consecutive(ray.data.from_pandas(df2), "g", [], ["a"])
+
+
+def test_tumbling_distinct_matches_duckdb():
+    """Exact per-window distinct keys vs count(DISTINCT), including
+    null exclusion and cross-block duplicate pairs."""
+    import duckdb
+
+    from raylink.ops.window import tumbling_distinct
+
+    rng = np.random.default_rng(61)
+    n = 6000
+    uid = rng.integers(0, 120, n).astype(object)
+    uid[rng.random(n) < 0.02] = None
+    df = pd.DataFrame(
+        {
+            "user_id": uid,
+            "ts": pd.to_datetime(
+                rng.integers(0, 5 * 86400, n), unit="s", origin="2026-01-01"
+            ),
+        }
+    )
+    df.loc[0, "ts"] = pd.NaT
+    out = (
+        tumbling_distinct(
+            ray.data.from_pandas(df).repartition(8),
+            "ts",
+            "user_id",
+            window_seconds=21600,
+        )
+        .to_pandas()
+        .sort_values("window_start", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS w, "
+        "count(DISTINCT user_id)::BIGINT AS n FROM t "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+        "GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert out["window_start"].tolist() == exp["w"].tolist()
+    assert out["n_distinct"].tolist() == exp["n"].tolist()
+
+    with pytest.raises(ValueError, match="window_seconds"):
+        tumbling_distinct(ray.data.from_pandas(df), "ts", "user_id", 0)
