@@ -263,6 +263,8 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "triangle_suppliers",
         "k_anon_events",
         "robust_events",
+        "dedupe_consec_events",
+        "window_distinct_users",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
