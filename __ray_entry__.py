@@ -3519,7 +3519,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
         """,
         "window_distinct_users": """
-            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600
+            -- floor division, not //: DuckDB // truncates toward zero,
+            -- which would misalign pre-1970 windows vs the engine
+            SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600
                        AS window_start,
                    count(DISTINCT user_id)::BIGINT AS n_distinct
             FROM events

@@ -467,6 +467,20 @@ def triangle_count(
     def tri_empty(batch: dict[str, np.ndarray]) -> dict:
         return {"n_tri": np.empty(0, dtype=np.int64)}
 
+    def out_neighbors(group: dict[str, np.ndarray]) -> np.ndarray | None:
+        """Sorted out-neighbor array of one source, None below wedge
+        size, loud refusal above the cap (shared by both paths)."""
+        nb = np.sort(np.asarray(group["b"]))
+        k = len(nb)
+        if k > max_wedge_degree:
+            raise ValueError(
+                f"oriented out-degree {k} of node "
+                f"{int(np.asarray(group['a'])[0])} exceeds "
+                f"max_wedge_degree={max_wedge_degree}; raise the cap "
+                "explicitly if the wedge volume is intended"
+            )
+        return nb if k >= 2 else None
+
     def finish(n_tri_ds: ray.data.Dataset) -> ray.data.Dataset:
         n_tri = n_tri_ds.sum("n_tri")
         return ray.data.from_arrow(
@@ -498,21 +512,23 @@ def triangle_count(
         edges_ref = ray.put(packed)
 
         def count_group(
-            group: dict[str, np.ndarray], _nref=nodes_ref, _eref=edges_ref
+            group: dict[str, np.ndarray],
+            _nref=nodes_ref,
+            _eref=edges_ref,
+            _cache={},  # noqa: B006 - intentional per-task ref cache
         ) -> dict:
-            nb = np.sort(np.asarray(group["b"]))
-            k = len(nb)
-            if k > max_wedge_degree:
-                raise ValueError(
-                    f"oriented out-degree {k} of node "
-                    f"{int(np.asarray(group['a'])[0])} exceeds "
-                    f"max_wedge_degree={max_wedge_degree}; raise the "
-                    "cap explicitly if the wedge volume is intended"
-                )
-            if k < 2:
+            nb = out_neighbors(group)
+            if nb is None:
                 return tri_empty(group)
-            na = ray.get(_nref)
-            pk = ray.get(_eref)
+            k = len(nb)
+            # resolve the broadcast refs once per task, not per group —
+            # group_fn runs once per source node, and millions of
+            # ray.get round-trips add pure overhead (pagerank resolves
+            # per batch; a group scan has no batch hook, so memoize)
+            if "pk" not in _cache:
+                _cache["na"] = ray.get(_nref)
+                _cache["pk"] = ray.get(_eref)
+            na, pk = _cache["na"], _cache["pk"]
             r = np.searchsorted(na, nb).astype(np.uint64)
             iu, ju = np.triu_indices(k, 1)
             keys = (r[iu] << np.uint64(32)) | r[ju]
@@ -535,17 +551,10 @@ def triangle_count(
     )
 
     def wedge_group(group: dict[str, np.ndarray]) -> dict:
-        nb = np.sort(np.asarray(group["b"]))
-        k = len(nb)
-        if k > max_wedge_degree:
-            raise ValueError(
-                f"oriented out-degree {k} of node "
-                f"{int(np.asarray(group['a'])[0])} exceeds "
-                f"max_wedge_degree={max_wedge_degree}; raise the cap "
-                "explicitly if the wedge volume is intended"
-            )
-        if k < 2:
+        nb = out_neighbors(group)
+        if nb is None:
             return wedge_empty(group)
+        k = len(nb)
         iu, ju = np.triu_indices(k, 1)
         return {
             "x": nb[iu],

@@ -28,31 +28,6 @@ import ray.data
 
 __all__ = ["k_anonymity_audit"]
 
-_SEP = "\x1f"
-
-
-def _nullable_combo(
-    cols: list[np.ndarray], nulls: list[np.ndarray]
-) -> np.ndarray:
-    """Length-prefixed composite key where NULL gets its own marker
-    piece (``N SEP``) that no length-prefixed value piece can collide
-    with (those always start with a digit)."""
-    combo: np.ndarray | None = None
-    for vals, isnull in zip(cols, nulls):
-        pu = vals.astype(str)
-        piece = np.char.add(
-            np.char.add(np.char.str_len(pu).astype(str), _SEP), pu
-        ).astype(object)
-        piece[isnull] = "N" + _SEP
-        combo = (
-            piece
-            if combo is None
-            else np.char.add(combo.astype(str), piece.astype(str)).astype(
-                object
-            )
-        )
-    return combo
-
 
 def k_anonymity_audit(
     ds: ray.data.Dataset,
@@ -68,10 +43,14 @@ def k_anonymity_audit(
 
     NULL QI values form their own group, exactly like SQL ``GROUP BY``
     (a null birth date is itself an identifying signature) — for string
-    and float columns; a null in an INTEGER-typed QI column is refused
-    loudly (the scan's numpy transport cannot carry int64 nulls without
-    a lossy float detour — cast the column to string first).  An empty
-    result means the table IS k-anonymous over ``qi_cols``.
+    columns; a null in an INTEGER-typed QI column is refused loudly
+    (int64 nulls cannot survive the scan's numpy transport without a
+    lossy float detour — cast the column to string first), and FLOAT
+    QI columns are refused outright (NaN-vs-NULL and -0.0-vs-0.0 have
+    no single grouping the pandas block layer can represent faithfully;
+    a float is not a quasi-identifier — bucket or round it to a string
+    first).  An empty result means the table IS k-anonymous over
+    ``qi_cols``.
     """
     if k < 2:
         raise ValueError("k must be >= 2 (k=1 can never be violated)")
@@ -80,9 +59,19 @@ def k_anonymity_audit(
 
     from ..stages.sortedrun import sorted_group_scan
     from .lag import _arrow_schema
+    from .rollup import _encode_combo
 
     in_schema = _arrow_schema(ds)
     qi_types = {c: in_schema.field(c).type for c in qi_cols}
+    for c in qi_cols:
+        if pa.types.is_floating(qi_types[c]) or pa.types.is_decimal(
+            qi_types[c]
+        ):
+            raise TypeError(
+                f"float QI column {c!r}: NaN-vs-NULL and -0.0 grouping "
+                "cannot be represented faithfully — bucket or round it "
+                "to a string first"
+            )
     cell_schema = pa.schema(
         [("_combo", pa.string())]
         + [(c, qi_types[c]) for c in qi_cols]
@@ -103,9 +92,9 @@ def k_anonymity_audit(
             .reset_index(name="n")
         )
         if len(g):
-            combo = _nullable_combo(
+            combo = _encode_combo(
                 [g[c].to_numpy(dtype=object) for c in qi_cols],
-                [g[c].isna().to_numpy() for c in qi_cols],
+                nulls=[g[c].isna().to_numpy() for c in qi_cols],
             )
         else:
             combo = np.empty(0, dtype=object)

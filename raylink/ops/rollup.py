@@ -38,18 +38,31 @@ __all__ = ["grouped_rollup", "grouped_cube", "grouped_grouping_sets"]
 _SEP = "\x1f"
 
 
-def _encode_combo(parts: list[np.ndarray]) -> np.ndarray:
+def _encode_combo(
+    parts: list[np.ndarray], nulls: list[np.ndarray] | None = None
+) -> np.ndarray:
     """Unambiguous composite key: each part is length-prefixed
     (``len SEP value`` concatenated), so key values containing the
     separator cannot merge distinct groups (same convention as
-    ops/matching.py)."""
+    ops/matching.py).  With ``nulls`` (one boolean mask per part, or
+    None for an all-valid part), NULL positions get their own marker
+    piece (``N SEP``) that no length-prefixed value piece can collide
+    with — value pieces always start with a digit."""
     combo = None
-    for p in parts:
+    for i, p in enumerate(parts):
         pu = p.astype(str)
         piece = np.char.add(
             np.char.add(np.char.str_len(pu).astype(str), _SEP), pu
         )
-        combo = piece if combo is None else np.char.add(combo, piece)
+        mask = nulls[i] if nulls is not None else None
+        if mask is not None and mask.any():
+            piece = piece.astype(object)
+            piece[mask] = "N" + _SEP
+        combo = (
+            piece.astype(str)
+            if combo is None
+            else np.char.add(combo, piece.astype(str))
+        )
     return combo.astype(object)
 
 

@@ -122,15 +122,18 @@ def dedupe_consecutive(
         )
         n = len(order)
         # dup[i] = every compared column equals the previous row's
-        # (NULL equals NULL); the group's first row is never a dup
+        # (NULL equals NULL); the group's first row is never a dup.
+        # Adjacent compare stays in the column's own dtype — a
+        # Series.shift() detour would cast int64 to float64 and
+        # falsely equate distinct values above 2^53 (epoch-us, IDs)
         dup = np.zeros(n, dtype=bool)
         if n > 1:
             dup[1:] = True
             for c in compare_cols:
-                s = pd.Series(np.asarray(group[c])[order])
-                prev = s.shift()
-                same = ((s == prev) | (s.isna() & prev.isna())).to_numpy()
-                dup[1:] &= same[1:]
+                a = np.asarray(group[c])[order]
+                na = pd.isna(a)
+                same = (a[1:] == a[:-1]) | (na[1:] & na[:-1])
+                dup[1:] &= np.asarray(same, dtype=bool)
         sel = order[~dup]
         return {c: np.asarray(group[c])[sel] for c in cols}
 

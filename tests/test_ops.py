@@ -5916,7 +5916,7 @@ def test_tumbling_distinct_matches_duckdb():
     con = duckdb.connect()
     con.register("t", df)
     exp = con.execute(
-        "SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS w, "
+        "SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS w, "
         "count(DISTINCT user_id)::BIGINT AS n FROM t "
         "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
         "GROUP BY 1 ORDER BY 1"
@@ -5926,3 +5926,58 @@ def test_tumbling_distinct_matches_duckdb():
 
     with pytest.raises(ValueError, match="window_seconds"):
         tumbling_distinct(ray.data.from_pandas(df), "ts", "user_id", 0)
+
+
+def test_review_round4b_regressions():
+    """Pin the second round-4 review pass: big-int64 adjacent compare
+    (no float detour), pre-1970 window alignment, float QI refusal."""
+    import duckdb
+
+    from raylink.ops.privacy import k_anonymity_audit
+    from raylink.ops.sessions import dedupe_consecutive
+    from raylink.ops.window import tumbling_distinct
+
+    # adjacent int64 values above 2^53 differing by 1 must NOT dedupe
+    # (a Series.shift() float detour falsely equated them)
+    big = 1_700_000_000_000_123_456
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1],
+            "o": [1, 2, 3],
+            "v": np.array([big, big + 1, big + 1], dtype=np.int64),
+        }
+    )
+    out = dedupe_consecutive(
+        ray.data.from_pandas(df), "g", ["o"], ["v"]
+    ).to_pandas()
+    assert sorted(out["o"].tolist()) == [1, 2]
+
+    # pre-1970 timestamps: engine floor-aligns; the oracle SQL must too
+    dfw = pd.DataFrame(
+        {
+            "user_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                [-100, -100, 100], unit="s", origin="1970-01-01"
+            ),
+        }
+    )
+    outw = (
+        tumbling_distinct(ray.data.from_pandas(dfw), "ts", "user_id", 21600)
+        .to_pandas()
+        .sort_values("window_start", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", dfw)
+    expw = con.execute(
+        "SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS w, "
+        "count(DISTINCT user_id)::BIGINT AS n FROM t GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert outw["window_start"].tolist() == expw["w"].tolist() == [-21600, 0]
+    assert outw["n_distinct"].tolist() == expw["n"].tolist() == [2, 1]
+
+    # float QI columns are refused outright (NaN-vs-NULL has no faithful
+    # grouping through the pandas block layer)
+    with pytest.raises(TypeError, match="float QI"):
+        k_anonymity_audit(
+            ray.data.from_pandas(pd.DataFrame({"f": [1.0, 2.0]})), ["f"], 2
+        )
