@@ -342,9 +342,9 @@ def triangle_count(
       (two searchsorted per group) — wedge rows never materialize in
       the object store, let alone shuffle.  On the dense supplier
       co-order graph at bench sf0.1 (454k edges, 124M triangles) this
-      cut the query wall 2x vs the sort path (41.9 s -> 21.1 s, 32
-      CPUs) — the remaining wall is the ~1.2e8 wedge membership
-      probes themselves.
+      cut the in-bench query wall 7x vs the sort path (41.9 s ->
+      6.0 s, 32 CPUs) — the remaining wall is the ~1.2e8 wedge
+      membership probes themselves.
     - **sort path** (edge sets no heap holds): wedge rows union with
       the tagged edge set and close in one more co-grouped sorted
       scan — everything stays distributed, nothing is broadcast.
