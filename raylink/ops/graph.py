@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..stages.sortedrun import count_by_key, sum_by_key
+from ..stages.sortedrun import absorb_blank_blocks, count_by_key, sum_by_key
 from .joins import hash_join
 
 __all__ = ["pagerank", "triangle_count"]
@@ -234,6 +234,12 @@ def _pagerank_join(
     """Fully-distributed loop state: the rank table never sits on one
     machine.  Per iteration: edges ⋈ ranks, grouped contribution sum,
     nodes LEFT JOIN sums."""
+    # the scan-union aggregates (deg / nodes / per-iteration sums) can
+    # carry schema-less empty blocks that break the hash join's empty-
+    # partition typing under key skew — absorb them first (cheap: these
+    # are aggregate tables, not raw edges)
+    deg = absorb_blank_blocks(deg, max(2, num_partitions // 4))
+    nodes = absorb_blank_blocks(nodes, max(2, num_partitions // 4))
     # out-degree joins the edges ONCE; iterations reuse this table
     e_deg = hash_join(
         e, deg, on="src", num_partitions=num_partitions
@@ -277,6 +283,7 @@ def _pagerank_join(
             "c",
             num_partitions=num_partitions,
         ).materialize()
+        sums = absorb_blank_blocks(sums, max(2, num_partitions // 4))
         # linked sources emit exactly their rank mass, so the shortfall
         # from 1.0 is the dangling mass — no anti-join needed
         total = sums.sum("sum") or 0
@@ -427,12 +434,11 @@ def triangle_count(
     # rows/partition (see hash_join's guidance) — a small graph on a
     # small CPU budget would otherwise stall on actor scheduling
     join_parts = max(2, min(num_partitions // 4, n_edges // 250_000 + 1))
-    # absorb the scan union's schema-less empty blocks (see the NOTE in
-    # sorted_group_scan): Ray's join types EMPTY shuffle partitions from
-    # the dataset schema, which a blank-block-bearing union can't
-    # provide — one small repartition restores it
-    dedup_j = dedup.repartition(join_parts)
-    deg_j = deg.repartition(join_parts)
+    # absorb the scan union's schema-less empty blocks (see
+    # absorb_blank_blocks): Ray's join types EMPTY shuffle partitions
+    # from the dataset schema, which a blank-bearing union can't provide
+    dedup_j = absorb_blank_blocks(dedup, join_parts)
+    deg_j = absorb_blank_blocks(deg, join_parts)
     with_du = hash_join(
         dedup_j, deg_j, on="u", right_on="node", num_partitions=join_parts
     ).map_batches(

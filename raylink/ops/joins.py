@@ -157,6 +157,20 @@ def hash_join(
     how_map = {"inner": "inner", "left": "left_outer"}
     if how not in how_map:
         raise ValueError(f"how must be one of {sorted(how_map)}: {how!r}")
+    # Ray's join reserves 0.125 CPU per partition for its aggregator
+    # actors: at num_partitions = 8x the CPU count the reservation
+    # consumes the ENTIRE budget and the shuffle-send tasks starve (a
+    # borderline scheduling stall, observed flaky at 32 partitions on a
+    # 4-CPU session).  Cap partitions at 4x the cluster CPUs so the
+    # aggregators can reserve at most half the budget.
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    if cpus > 0:
+        num_partitions = min(num_partitions, max(2, cpus * 4))
     return left.join(
         right,
         join_type=how_map[how],

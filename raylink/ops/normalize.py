@@ -170,6 +170,11 @@ def group_standardize(
     stats_ds = sorted_group_scan(
         partials, group_col, merge, empty, num_partitions=num_partitions
     )
+    # the scan union can carry schema-less empty blocks that break the
+    # join's empty-partition typing under key skew — absorb them first
+    from ..stages.sortedrun import absorb_blank_blocks
+
+    stats_ds = absorb_blank_blocks(stats_ds, max(2, num_partitions // 8))
     joined = hash_join(
         ds, stats_ds, on=group_col, how="left", num_partitions=num_partitions
     )

@@ -25,7 +25,13 @@ import numpy as np
 
 import ray.data
 
-__all__ = ["sorted_group_scan", "sort_by_key", "count_by_key", "sum_by_key"]
+__all__ = [
+    "sorted_group_scan",
+    "sort_by_key",
+    "count_by_key",
+    "sum_by_key",
+    "absorb_blank_blocks",
+]
 
 
 def _group_slices(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -354,3 +360,24 @@ def sorted_group_scan(
     # consumer must absorb them first with a small repartition() (see
     # ops/graph.py::triangle_count).
     return interior_out.union(repaired)
+
+
+def absorb_blank_blocks(
+    ds: "ray.data.Dataset", num_blocks: int = 2
+) -> "ray.data.Dataset":
+    """Rebuild ``ds``'s blocks so schema-less empties disappear.
+
+    The scan-union outputs in this module (``sorted_group_scan``,
+    ``count_by_key``/``sum_by_key`` at-scale paths) can carry zero-row
+    blocks with NO schema (empty sort partitions and empty
+    ``map_groups`` outputs).  Map operators skip empty blocks, so they
+    cannot repair them; every map/sort/aggregate consumer tolerates
+    them, but Ray's hash-shuffle join types its EMPTY shuffle
+    partitions from the dataset schema, which a blank-bearing dataset
+    cannot provide — under key skew a join partition receiving only
+    blanks fails with an Acero FieldRef error.  ``repartition`` is the
+    one operator that rebuilds every block, so it absorbs the blanks;
+    call this on any scan output that feeds a join, sized small (the
+    inputs are aggregate tables, not raw data).
+    """
+    return ds.repartition(num_blocks)

@@ -5981,3 +5981,38 @@ def test_review_round4b_regressions():
         k_anonymity_audit(
             ray.data.from_pandas(pd.DataFrame({"f": [1.0, 2.0]})), ["f"], 2
         )
+
+
+def test_scan_output_joins_survive_key_skew():
+    """Regression: scan-union outputs carry schema-less empty blocks;
+    a hash join whose partition receives ONLY those blanks used to fail
+    with an Acero FieldRef error.  A single-key (maximally skewed)
+    dataset through group_standardize's join-based scale path exercises
+    exactly that case."""
+    from raylink.ops.normalize import group_standardize
+
+    n = 400
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "k": ["only"] * n,  # one group: every other join partition
+            "v": np.linspace(0.0, 4.0, n),  # receives no real block
+        }
+    )
+    out = (
+        group_standardize(
+            ray.data.from_pandas(df).repartition(5),
+            "k",
+            "v",
+            driver_threshold=0,  # force the sorted-run + hash-join path
+        )
+        .to_pandas()
+        .sort_values("rid", ignore_index=True)
+    )
+    assert len(out) == n
+    v = df["v"].to_numpy()
+    z = (v - v.mean()) / v.std(ddof=0)
+    got = out["z_e4"].to_numpy(dtype=np.float64) / 1e4
+    # value_scale=100 quantizes v to 0.01 steps before the moments, so
+    # the z error bound is quantization-sized, not e4-sized
+    assert np.abs(got - z).max() < 5e-3
