@@ -236,10 +236,14 @@ def _pagerank_join(
     nodes LEFT JOIN sums."""
     # the scan-union aggregates (deg / nodes / per-iteration sums) can
     # carry schema-less empty blocks that break the hash join's empty-
-    # partition typing under key skew — absorb them first (cheap: these
-    # are aggregate tables, not raw edges)
-    deg = absorb_blank_blocks(deg, max(2, num_partitions // 4))
-    nodes = absorb_blank_blocks(nodes, max(2, num_partitions // 4))
+    # partition typing under key skew — absorb them first, at the SAME
+    # partition count the join uses (this path exists for node sets no
+    # single heap holds, so fewer blocks would concentrate the table
+    # into a handful of repartition tasks).  nodes re-joins every
+    # iteration: materialize the absorbed form once so the repartition
+    # doesn't re-execute per iteration.
+    deg = absorb_blank_blocks(deg, num_partitions)
+    nodes = absorb_blank_blocks(nodes, num_partitions).materialize()
     # out-degree joins the edges ONCE; iterations reuse this table
     e_deg = hash_join(
         e, deg, on="src", num_partitions=num_partitions
@@ -283,10 +287,14 @@ def _pagerank_join(
             "c",
             num_partitions=num_partitions,
         ).materialize()
-        sums = absorb_blank_blocks(sums, max(2, num_partitions // 4))
         # linked sources emit exactly their rank mass, so the shortfall
-        # from 1.0 is the dangling mass — no anti-join needed
+        # from 1.0 is the dangling mass — no anti-join needed.  The sum
+        # reads the materialized table directly (aggregates tolerate
+        # blank blocks); only the JOIN below needs the absorbed form,
+        # and absorbing after the sum keeps the repartition to exactly
+        # one execution per iteration.
         total = sums.sum("sum") or 0
+        sums = absorb_blank_blocks(sums, num_partitions)
         dangling_share = damping * (1.0 - total / _E12) / n
 
         new = hash_join(

@@ -35,6 +35,8 @@ streaming executor.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 
@@ -129,6 +131,7 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = 32,
     suffix: str = "_r",
+    enforce_partitions: bool = False,
 ) -> ray.data.Dataset:
     """Big ⋈ big distributed equi-join — the shuffle plan.
 
@@ -162,15 +165,24 @@ def hash_join(
     # consumes the ENTIRE budget and the shuffle-send tasks starve (a
     # borderline scheduling stall, observed flaky at 32 partitions on a
     # 4-CPU session).  Cap partitions at 4x the cluster CPUs so the
-    # aggregators can reserve at most half the budget.
-    try:
-        import ray as _ray
-
-        cpus = int(_ray.cluster_resources().get("CPU", 0))
-    except Exception:
-        cpus = 0
-    if cpus > 0:
-        num_partitions = min(num_partitions, max(2, cpus * 4))
+    # aggregators can reserve at most half the budget.  When the
+    # memory-driven sizing in the docstring genuinely needs more
+    # partitions than the CPU budget allows (few cores, huge sides),
+    # pass enforce_partitions=True and accept the scheduling risk —
+    # the honest alternative is more cores or more heap per aggregator.
+    if not enforce_partitions:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            cpus = 0
+        cap = max(2, cpus * 4)
+        if cpus > 0 and num_partitions > cap:
+            logging.getLogger(__name__).warning(
+                "hash_join: capping num_partitions %d -> %d (4x the %d-"
+                "CPU budget); pass enforce_partitions=True to override",
+                num_partitions, cap, cpus,
+            )
+            num_partitions = cap
     return left.join(
         right,
         join_type=how_map[how],

@@ -148,7 +148,7 @@ def group_standardize(
     # shuffle there), then ONE hash-shuffle join of the 4-column stats
     # table back onto the rows — unavoidable once the stats exceed a
     # broadcastable size
-    from ..stages.sortedrun import sorted_group_scan
+    from ..stages.sortedrun import absorb_blank_blocks, sorted_group_scan
     from .joins import hash_join
 
     def merge(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -171,10 +171,11 @@ def group_standardize(
         partials, group_col, merge, empty, num_partitions=num_partitions
     )
     # the scan union can carry schema-less empty blocks that break the
-    # join's empty-partition typing under key skew — absorb them first
-    from ..stages.sortedrun import absorb_blank_blocks
-
-    stats_ds = absorb_blank_blocks(stats_ds, max(2, num_partitions // 8))
+    # join's empty-partition typing under key skew — absorb them first,
+    # at the SAME granularity as the scan (this branch exists for stats
+    # tables too big to broadcast; fewer blocks would concentrate a
+    # beyond-driver table into a handful of repartition tasks)
+    stats_ds = absorb_blank_blocks(stats_ds, num_partitions)
     joined = hash_join(
         ds, stats_ds, on=group_col, how="left", num_partitions=num_partitions
     )
