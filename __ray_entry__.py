@@ -2566,6 +2566,42 @@ def _q_triangle_suppliers(sf_dir: str):
     return triangle_count(pairs, num_partitions=16)
 
 
+def _q_label_prop_communities(sf_dir: str):
+    """Label-propagation communities over the supplier co-order graph
+    (the same bounded per-order pair emission the triangle query uses):
+    deterministic synchronous LP with exact int64 vote counts.
+    Rows-only (iterative, no SQL twin); the correctness evidence is the
+    planted-clique pytest with cross-parallelism bit-equality."""
+    import pyarrow as pa
+
+    from raylink.ops.graph import label_propagation
+    from raylink.stages.sortedrun import sorted_group_scan
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey"]
+    )
+    pair_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def order_pairs(group):
+        sk = np.unique(np.asarray(group["l_suppkey"]))
+        if len(sk) < 2:
+            return order_empty(group)
+        iu, ju = np.triu_indices(len(sk), 1)
+        return {"src": sk[iu], "dst": sk[ju]}
+
+    def order_empty(batch):
+        return {
+            "src": np.empty(0, dtype=np.int64),
+            "dst": np.empty(0, dtype=np.int64),
+        }
+
+    edges = sorted_group_scan(
+        li, "l_orderkey", order_pairs, order_empty, 16,
+        out_schema=pair_schema,
+    )
+    return label_propagation(edges, n_iter=5, num_partitions=16)
+
+
 def _q_k_anon_events(sf_dir: str):
     """k-anonymity audit over the (user_id, event_type) quasi-identifier
     pair: per-block partial counts merge in a distributed sorted scan
@@ -3010,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_trigram_docs": _q_langid_trigram,
         "bpe_merges_docs": _q_bpe_merges,
         "pagerank_suppliers": _q_pagerank_suppliers,
+        "label_prop_communities": _q_label_prop_communities,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "kmeans_embeddings": _q_kmeans_embeddings,

@@ -265,6 +265,7 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "robust_events",
         "dedupe_consec_events",
         "window_distinct_users",
+        "label_prop_communities",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

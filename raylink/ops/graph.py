@@ -41,7 +41,7 @@ import ray.data
 from ..stages.sortedrun import absorb_blank_blocks, count_by_key, sum_by_key
 from .joins import hash_join
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "label_propagation"]
 
 _E12 = 1_000_000_000_000
 
@@ -619,5 +619,191 @@ def triangle_count(
         sorted_group_scan(
             tagged, "x", close_group, tri_empty,
             num_partitions, out_schema=tri_schema,
+        )
+    )
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 10,
+    num_partitions: int = 32,
+    broadcast_threshold: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over an undirected view of the edge table.  Returns
+    ``(node int64, label int64)`` where nodes sharing a label form one
+    community; labels are community-member node ids.
+
+    DETERMINISTIC at any parallelism, unlike textbook async LP: every
+    node starts labeled with its own id and each round SIMULTANEOUSLY
+    adopts the most frequent label among its neighbors plus itself
+    (the self-vote damps the 2-cycle oscillation synchronous LP is
+    prone to), ties broken by the smallest label.  Neighbor-label
+    counts are exact int64 partials, so two cluster sizes can never
+    disagree.  Stops early when no label changes.
+
+    Scale shape (the pagerank broadcast pattern): the label vector is
+    one ``ray.put`` per round read zero-copy by every task; each round
+    is ONE edge scan emitting per-(node, label) partial counts (the
+    combiner — repeated votes inside a block never shuffle) merged in
+    a sorted scan whose per-node argmax produces the next vector.
+    Node sets above ``broadcast_threshold`` are refused loudly — at
+    that size use the pagerank-style distributed-rank-table
+    formulation (a label table join per round), which this op does not
+    implement because LP's variable per-round label cardinality makes
+    the join path's cost profile workload-specific.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    from ..stages.sortedrun import sorted_group_scan
+
+    e = _normalize_edges(edges, src_col, dst_col, None)
+
+    # undirected vote stream: each edge votes in both directions;
+    # self-loops collapse into the self-vote and are dropped here
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate([s, d]), type=pa.int64()
+                ),
+                "nbr": pa.array(
+                    np.concatenate([d, s]), type=pa.int64()
+                ),
+            }
+        )
+
+    votes = e.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    ndf = count_by_key(
+        votes.map_batches(
+            lambda b: b.select(["node"]), batch_format="pyarrow"
+        ),
+        "node",
+    ).to_pandas()
+    # empty-first: Ray's to_pandas() drops the columns of an all-empty
+    # dataset, so ndf["node"] would KeyError on a voteless graph
+    n = len(ndf)
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "label": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    node_arr = np.sort(ndf["node"].to_numpy().astype(np.int64))
+    if n > broadcast_threshold:
+        raise ValueError(
+            f"{n} nodes exceed broadcast_threshold={broadcast_threshold}; "
+            "label propagation at that scale needs the distributed "
+            "label-table formulation (see pagerank's join path)"
+        )
+    nodes_ref = ray.put(node_arr)
+    labels = node_arr.copy()  # own id first
+
+    count_schema = pa.schema(
+        [("node", pa.int64()), ("lab", pa.int64()), ("c", pa.int64())]
+    )
+    out_schema = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+
+    for _ in range(n_iter):
+        lab_ref = ray.put(labels)
+
+        def partial(
+            batch: pa.Table, _nref=nodes_ref, _lref=lab_ref
+        ) -> pa.Table:
+            na = ray.get(_nref)
+            la = ray.get(_lref)
+            node = batch.column("node").to_numpy(zero_copy_only=False)
+            nbr = batch.column("nbr").to_numpy(zero_copy_only=False)
+            lab = la[np.searchsorted(na, nbr)]
+            order = np.lexsort((lab, node))
+            no, lo = node[order], lab[order]
+            first = np.ones(len(no), dtype=bool)
+            first[1:] = (no[1:] != no[:-1]) | (lo[1:] != lo[:-1])
+            starts = np.flatnonzero(first)
+            c = np.diff(np.append(starts, len(no)))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(no[starts], type=pa.int64()),
+                    pa.array(lo[starts], type=pa.int64()),
+                    pa.array(c.astype(np.int64), type=pa.int64()),
+                ],
+                schema=count_schema,
+            )
+
+        # the self-vote ships as ONE n-row driver table unioned with the
+        # block partials (not a closure over the label array — that
+        # would serialize the full vector into every task)
+        self_votes = ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [
+                    pa.array(node_arr, type=pa.int64()),
+                    pa.array(labels, type=pa.int64()),
+                    pa.array(np.ones(n, dtype=np.int64), type=pa.int64()),
+                ],
+                schema=count_schema,
+            )
+        )
+
+        def vote_group(group: dict[str, np.ndarray]) -> dict:
+            lab = np.asarray(group["lab"])
+            c = np.asarray(group["c"])
+            # merge same-label partials (self-vote already in the
+            # stream), then pick (count desc, label asc) — exact ints
+            node = int(np.asarray(group["node"])[0])
+            order = np.argsort(lab, kind="stable")
+            ls, cs = lab[order], c[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ls[1:] != ls[:-1]))
+            )
+            totals = np.add.reduceat(cs, starts)
+            uls = ls[starts]
+            best = np.lexsort((uls, -totals))[0]
+            return {
+                "node": np.array([node], dtype=np.int64),
+                "lab": np.array([uls[best]], dtype=np.int64),
+            }
+
+        def vote_empty(batch: dict[str, np.ndarray]) -> dict:
+            return {
+                "node": np.empty(0, dtype=np.int64),
+                "lab": np.empty(0, dtype=np.int64),
+            }
+
+        new_df = (
+            sorted_group_scan(
+                votes.map_batches(partial, batch_format="pyarrow").union(
+                    self_votes
+                ),
+                "node",
+                vote_group,
+                vote_empty,
+                num_partitions=num_partitions,
+                out_schema=out_schema,
+            )
+            .to_pandas()
+        )
+        new_labels = labels.copy()  # isolated nodes keep their label
+        idx = np.searchsorted(node_arr, new_df["node"].to_numpy())
+        new_labels[idx] = new_df["lab"].to_numpy()
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(node_arr, type=pa.int64()),
+                "label": pa.array(labels, type=pa.int64()),
+            }
         )
     )

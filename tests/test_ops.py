@@ -6016,3 +6016,47 @@ def test_scan_output_joins_survive_key_skew():
     # value_scale=100 quantizes v to 0.01 steps before the moments, so
     # the z error bound is quantization-sized, not e4-sized
     assert np.abs(got - z).max() < 5e-3
+
+
+def test_label_propagation_finds_planted_communities():
+    """Synchronous min-tie LP: two planted cliques joined by one bridge
+    resolve to two communities, labels are deterministic across
+    parallelism, and the broadcast guard refuses loudly."""
+    import itertools
+
+    from raylink.ops.graph import label_propagation
+
+    c1 = list(itertools.combinations(range(6), 2))
+    c2 = list(itertools.combinations(range(10, 16), 2))
+    edges = c1 + c2 + [(0, 10)]
+    df = pd.DataFrame(
+        {
+            "s": np.array([a for a, _ in edges], dtype=np.int64),
+            "d": np.array([b for _, b in edges], dtype=np.int64),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        out = (
+            label_propagation(
+                ray.data.from_pandas(df).repartition(parts), "s", "d"
+            )
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        lab = dict(zip(out["node"], out["label"]))
+        assert {lab[i] for i in range(6)} == {0}
+        assert {lab[i] for i in range(10, 16)} == {10}
+        outs.append(out)
+    # bit-identical at any parallelism
+    assert outs[0]["label"].tolist() == outs[1]["label"].tolist()
+
+    with pytest.raises(ValueError, match="broadcast_threshold"):
+        label_propagation(
+            ray.data.from_pandas(df), "s", "d", broadcast_threshold=3
+        )
+    # empty graph -> empty result
+    empty = label_propagation(
+        ray.data.from_pandas(pd.DataFrame({"s": [7], "d": [7]})), "s", "d"
+    ).to_pandas()
+    assert len(empty) == 0  # a lone self-loop has no votes
