@@ -2624,6 +2624,30 @@ def _q_robust_events(sf_dir: str):
     return grouped_robust_stats(ev, "event_type", "value")
 
 
+def _q_moments_events(sf_dir: str):
+    """Per-type sample skewness and excess kurtosis (DuckDB
+    skewness()/kurtosis() semantics, e4 fixed point): two combiner-first
+    passes — exact per-group mean, then centered power-sum partials —
+    so no raw row ever shuffles and float cancellation never exceeds
+    the e4 rounding tolerance."""
+    from raylink.ops.normalize import grouped_higher_moments
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    return grouped_higher_moments(ev, "event_type", "value")
+
+
+def _q_pmi_docs(sf_dir: str):
+    """Top-100 PMI collocations (Church-Hanks pointwise mutual
+    information over within-document adjacent token pairs, min_count=5):
+    unigram/bigram tables via combiner-first n-gram counts, min-count
+    prune BEFORE the two hash-shuffle unigram joins, one float64 PMI
+    expression shaped exactly like the SQL oracle's."""
+    from raylink.ops.collocations import pmi_collocations
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+    return pmi_collocations(docs, "text", min_count=5, top_k=100)
+
+
 def _q_dedupe_consec_events(sf_dir: str):
     """Consecutive-duplicate removal per user stream (ordered by ts with
     the event_id tiebreaker, comparing event_type): the stuttered-
@@ -2988,6 +3012,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_suppliers": _q_triangle_suppliers,
         "k_anon_events": _q_k_anon_events,
         "robust_events": _q_robust_events,
+        "moments_events": _q_moments_events,
+        "pmi_docs": _q_pmi_docs,
         "dedupe_consec_events": _q_dedupe_consec_events,
         "window_distinct_users": _q_window_distinct_users,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
@@ -3542,6 +3568,43 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
             GROUP BY event_type
+        """,
+        "moments_events": """
+            SELECT event_type, count(value)::BIGINT AS n,
+                   CAST(floor(skewness(value)*10000 + 0.5) AS BIGINT)
+                       AS skew_e4,
+                   CAST(floor(kurtosis(value)*10000 + 0.5) AS BIGINT)
+                       AS kurt_e4
+            FROM events
+            WHERE event_type IS NOT NULL
+            GROUP BY event_type
+        """,
+        "pmi_docs": r"""
+            WITH tok AS (
+                SELECT list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\s+'),
+                       x -> x <> '') AS arr
+                FROM documents
+            ), uni AS (
+                SELECT w, count(*)::BIGINT AS c
+                FROM (SELECT unnest(arr) AS w FROM tok) GROUP BY w
+            ), big AS (
+                SELECT arr[i] AS w1, arr[i+1] AS w2, count(*)::BIGINT AS cnt
+                FROM tok, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+                WHERE len(arr) >= 2 GROUP BY arr[i], arr[i+1]
+            ), tot AS (
+                SELECT (SELECT sum(c) FROM uni)::BIGINT AS n_tok,
+                       (SELECT sum(cnt) FROM big)::BIGINT AS n_big
+            )
+            SELECT b.w1, b.w2, b.cnt,
+                   CAST(floor(ln((b.cnt::DOUBLE * t.n_tok * t.n_tok) /
+                                 (t.n_big::DOUBLE * u1.c * u2.c))
+                              * 10000 + 0.5) AS BIGINT) AS pmi_e4
+            FROM big b JOIN uni u1 ON b.w1 = u1.w
+                       JOIN uni u2 ON b.w2 = u2.w
+            CROSS JOIN tot t
+            WHERE b.cnt >= 5
+            ORDER BY pmi_e4 DESC, b.w1, b.w2 LIMIT 100
         """,
         "dedupe_consec_events": """
             SELECT event_id, event_type FROM (

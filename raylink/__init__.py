@@ -82,7 +82,8 @@ from .ops.quantiles import clip_to_group_quantiles, grouped_quantiles  # noqa: F
 from .ops.tfidf import tfidf_top_terms, unigram_logprob  # noqa: F401
 from .ops.histogram import grouped_histogram  # noqa: F401
 from .ops.ngrams import ngram_counts  # noqa: F401
-from .ops.normalize import grouped_corr  # noqa: F401
+from .ops.collocations import pmi_collocations  # noqa: F401
+from .ops.normalize import grouped_corr, grouped_higher_moments  # noqa: F401
 from .ops.topk import grouped_weighted_top_k  # noqa: F401
 from .ops.matching import mutual_best_pairs  # noqa: F401
 from .ops.dupspans import duplicate_ngram_stats  # noqa: F401

@@ -34,7 +34,12 @@ import numpy as np
 import ray
 import ray.data
 
-__all__ = ["group_standardize", "grouped_corr", "grouped_robust_stats"]
+__all__ = [
+    "group_standardize",
+    "grouped_corr",
+    "grouped_robust_stats",
+    "grouped_higher_moments",
+]
 
 
 def _z_e4_column(v: np.ndarray, n, s, ss, value_scale: int):
@@ -375,3 +380,204 @@ def grouped_robust_stats(
         num_partitions=num_partitions,
         out_schema=out_schema,
     )
+
+
+def grouped_higher_moments(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    driver_threshold: int = 2_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group sample skewness and excess kurtosis, DuckDB
+    ``skewness()`` / ``kurtosis()`` semantics (adjusted Fisher-Pearson
+    skewness; bias-corrected excess kurtosis) — the tail-shape profile
+    behind distribution drift checks and outlier-regime detection.
+    Output one row per group:
+
+    ``(group_col, n int64, skew_e4 int64|null, kurt_e4 int64|null)``
+
+    with half-up e4 fixed point; ``skew_e4`` is null when n < 3 or the
+    group has zero variance, ``kurt_e4`` when n < 4 or zero variance
+    (probed DuckDB behaviour).  Null keys/values excluded as usual.
+
+    Two combiner-first passes (higher central moments are not
+    order-independently mergeable in float, and raw power sums of
+    e-scaled ints overflow int64 at corpus scale):
+
+    1. per-block ``(n, sum)`` partials -> per-group mean.  Partial rows
+       at or below ``driver_threshold`` merge on the driver and
+       broadcast as a LUT (zero row movement — the common low-
+       cardinality case); above it they merge in a sorted-run scan and
+       reach the rows through one hash-shuffle join (the honest cost
+       once the group table exceeds broadcast size).
+    2. per-block centered power sums sum((v-mean)^k), k=2..4, merged in
+       a sorted-run scan; the final formula map emits one row per group.
+
+    Exactness contract: centering bounds the float64 partial-sum error
+    at ~1e-12 relative (vs the cancellation catastrophe of raw power
+    sums), the same order as DuckDB's own streaming accumulation, so
+    both engines' doubles round to the same e4 integer except on
+    measure-zero boundaries — the same tolerance argument as every
+    e4-rounded float op in this repo.
+    """
+    import pyarrow as pa
+
+    from ..stages.sortedrun import absorb_blank_blocks, sorted_group_scan
+    from .joins import hash_join
+    from .lag import _arrow_schema
+
+    gtype = _arrow_schema(ds).field(group_col).type
+    rows = ds.select_columns([group_col, val_col])
+
+    def partial1(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        g = np.asarray(batch[group_col])
+        v = np.asarray(batch[val_col], dtype=np.float64)
+        ok = ~(np.isnan(v) | pd_isna(g))
+        g, v = g[ok], v[ok]
+        uniq, inv = np.unique(g, return_inverse=True)
+        n = np.zeros(len(uniq), dtype=np.int64)
+        s = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, v)
+        return {group_col: uniq, "n": n, "s": s}
+
+    partials1 = rows.map_batches(
+        partial1, batch_format="numpy"
+    ).materialize()
+
+    broadcast = partials1.count() <= driver_threshold
+    if broadcast:
+        parts = partials1.to_pandas()
+        stats = parts.groupby(group_col)[["n", "s"]].sum()
+        lut_ref = ray.put(
+            dict(
+                zip(
+                    stats.index,
+                    zip(stats["n"].astype(int), stats["s"].astype(float)),
+                )
+            )
+        )
+
+        def with_stats(batch: dict[str, np.ndarray]):
+            lut = ray.get(lut_ref)
+            g = np.asarray(batch[group_col])
+            uniq, inv = np.unique(g, return_inverse=True)
+            n = np.asarray(
+                [lut.get(k, (0, 0.0))[0] for k in uniq], dtype=np.int64
+            )[inv]
+            s = np.asarray(
+                [lut.get(k, (0, 0.0))[1] for k in uniq], dtype=np.float64
+            )[inv]
+            return {
+                group_col: g,
+                val_col: np.asarray(batch[val_col], dtype=np.float64),
+                "_hm_n": n,
+                "_hm_s": s,
+            }
+
+        staged = rows.map_batches(with_stats, batch_format="numpy")
+    else:
+        def merge1(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            return {
+                group_col: np.asarray(group[group_col])[:1],
+                "_hm_n": np.asarray([np.sum(group["n"])], dtype=np.int64),
+                "_hm_s": np.asarray([np.sum(group["s"])], dtype=np.float64),
+            }
+
+        def empty1(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+            return {
+                group_col: np.asarray(batch[group_col])[:0],
+                "_hm_n": np.empty(0, dtype=np.int64),
+                "_hm_s": np.empty(0, dtype=np.float64),
+            }
+
+        stats_ds = sorted_group_scan(
+            partials1, group_col, merge1, empty1,
+            num_partitions=num_partitions,
+        )
+        stats_ds = absorb_blank_blocks(stats_ds, num_partitions)
+        staged = hash_join(
+            rows, stats_ds, on=group_col, how="left",
+            num_partitions=num_partitions,
+        )
+
+    def partial2(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        g = np.asarray(batch[group_col])
+        v = np.asarray(batch[val_col], dtype=np.float64)
+        n = np.asarray(batch["_hm_n"], dtype=np.float64)
+        s = np.asarray(batch["_hm_s"], dtype=np.float64)
+        ok = ~(np.isnan(v) | pd_isna(g)) & (n > 0)
+        g, v, n, s = g[ok], v[ok], n[ok], s[ok]
+        d = v - s / n
+        uniq, inv = np.unique(g, return_inverse=True)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        d2 = np.zeros(len(uniq), dtype=np.float64)
+        d3 = np.zeros(len(uniq), dtype=np.float64)
+        d4 = np.zeros(len(uniq), dtype=np.float64)
+        sq = d * d
+        np.add.at(cnt, inv, 1)
+        np.add.at(d2, inv, sq)
+        np.add.at(d3, inv, sq * d)
+        np.add.at(d4, inv, sq * sq)
+        return {group_col: uniq, "cnt": cnt, "d2": d2, "d3": d3, "d4": d4}
+
+    partials2 = staged.map_batches(partial2, batch_format="numpy")
+
+    out_schema = pa.schema(
+        [
+            (group_col, gtype),
+            ("n", pa.int64()),
+            ("skew_e4", pa.int64()),
+            ("kurt_e4", pa.int64()),
+        ]
+    )
+
+    def finish(group: dict[str, np.ndarray]) -> dict:
+        n = int(np.sum(np.asarray(group["cnt"], dtype=np.int64)))
+        d2 = float(np.sum(np.asarray(group["d2"], dtype=np.float64)))
+        d3 = float(np.sum(np.asarray(group["d3"], dtype=np.float64)))
+        d4 = float(np.sum(np.asarray(group["d4"], dtype=np.float64)))
+        skew = kurt = None
+        if n >= 3 and d2 > 0.0:
+            m2 = d2 / n
+            g1 = (d3 / n) / m2**1.5
+            skew = np.floor(
+                g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0) * 10_000.0 + 0.5
+            )
+        if n >= 4 and d2 > 0.0:
+            m2 = d2 / n
+            g2 = (d4 / n) / (m2 * m2) - 3.0
+            kurt = np.floor(
+                (n - 1.0) / ((n - 2.0) * (n - 3.0))
+                * ((n + 1.0) * g2 + 6.0)
+                * 10_000.0
+                + 0.5
+            )
+        return {
+            group_col: np.asarray(group[group_col])[:1],
+            "n": np.array([n], dtype=np.int64),
+            "skew_e4": [None if skew is None else int(skew)],
+            "kurt_e4": [None if kurt is None else int(kurt)],
+        }
+
+    def empty2(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            group_col: np.asarray(batch[group_col])[:0],
+            "n": np.empty(0, dtype=np.int64),
+            "skew_e4": np.empty(0, dtype=np.int64),
+            "kurt_e4": np.empty(0, dtype=np.int64),
+        }
+
+    return sorted_group_scan(
+        partials2, group_col, finish, empty2,
+        num_partitions=num_partitions, out_schema=out_schema,
+    )
+
+
+def pd_isna(arr: np.ndarray) -> np.ndarray:
+    """Elementwise null mask that is total over object/str/numeric key
+    arrays (np.isnan alone rejects object dtype)."""
+    import pandas as pd
+
+    return pd.isna(arr)

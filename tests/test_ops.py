@@ -6060,3 +6060,135 @@ def test_label_propagation_finds_planted_communities():
         ray.data.from_pandas(pd.DataFrame({"s": [7], "d": [7]})), "s", "d"
     ).to_pandas()
     assert len(empty) == 0  # a lone self-loop has no votes
+
+
+def test_grouped_higher_moments_matches_duckdb():
+    """Sample skewness / excess kurtosis vs DuckDB skewness()/kurtosis()
+    at e4 fixed point, on both execution paths (broadcast LUT and the
+    hash-join scale path), including null exclusion and the probed
+    small-n / zero-variance NULL contract."""
+    import duckdb
+
+    from raylink.ops.normalize import grouped_higher_moments
+
+    rng = np.random.default_rng(43)
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], n),
+            "v": np.round(rng.gamma(2.0, 3.0, n), 3),
+        }
+    )
+    df.loc[df.index % 41 == 0, "v"] = None
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT g, count(v)::BIGINT AS n, "
+        "CAST(floor(skewness(v)*10000 + 0.5) AS BIGINT) AS skew_e4, "
+        "CAST(floor(kurtosis(v)*10000 + 0.5) AS BIGINT) AS kurt_e4 "
+        "FROM t GROUP BY g ORDER BY g"
+    ).df()
+    for thresh in (2_000_000, 1):  # broadcast path, then hash-join path
+        out = (
+            grouped_higher_moments(
+                ray.data.from_pandas(df).repartition(7),
+                "g",
+                "v",
+                driver_threshold=thresh,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+        assert out["g"].tolist() == exp["g"].tolist()
+        assert out["n"].tolist() == exp["n"].tolist()
+        assert out["skew_e4"].tolist() == exp["skew_e4"].tolist()
+        assert out["kurt_e4"].tolist() == exp["kurt_e4"].tolist()
+
+
+def test_grouped_higher_moments_null_contract():
+    """n<3 -> null skew; n<4 -> null kurt; zero variance -> both null
+    (DuckDB-probed semantics)."""
+    from raylink.ops.normalize import grouped_higher_moments
+
+    df = pd.DataFrame(
+        {
+            "g": ["x"] * 3 + ["y"] * 2 + ["z"] * 4 + ["c"] * 5,
+            "v": [1.0, 2.0, 4.0, 1.0, 2.0, 1.0, 2.0, 4.0, 8.0, 5.0,
+                  5.0, 5.0, 5.0, 5.0],
+        }
+    )
+    out = (
+        grouped_higher_moments(
+            ray.data.from_pandas(df).repartition(3), "g", "v",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    assert pd.isna(out.loc["y", "skew_e4"])  # n=2
+    assert pd.isna(out.loc["x", "kurt_e4"])  # n=3
+    assert not pd.isna(out.loc["x", "skew_e4"])
+    assert not pd.isna(out.loc["z", "kurt_e4"])  # n=4
+    assert pd.isna(out.loc["c", "skew_e4"])  # zero variance
+    assert pd.isna(out.loc["c", "kurt_e4"])
+
+
+def test_pmi_collocations_matches_python():
+    """PMI collocations vs a direct Python recomputation: counts, the
+    min_count prune, PMI values, and the deterministic top-k order."""
+    from collections import Counter
+
+    from raylink.ops.collocations import pmi_collocations
+
+    rng = np.random.default_rng(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = []
+    for _ in range(300):
+        toks = list(rng.choice(vocab, size=rng.integers(2, 12)))
+        # plant a sticky pair
+        if rng.random() < 0.5:
+            toks += ["new", "york"]
+        texts.append(" ".join(toks))
+    texts += [None, "", "solo"]
+    docs = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(5)
+    got = pmi_collocations(
+        docs, "text", min_count=3, top_k=20, num_partitions=3
+    ).to_pandas()
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in texts:
+        toks = (t or "").split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n_tok = float(sum(uni.values()))
+    n_big = float(sum(big.values()))
+    rows = []
+    for (w1, w2), c in big.items():
+        if c < 3:
+            continue
+        pmi = np.log(
+            (float(c) * n_tok * n_tok)
+            / (n_big * float(uni[w1]) * float(uni[w2]))
+        )
+        rows.append((w1, w2, c, int(np.floor(pmi * 10000 + 0.5))))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    exp = rows[:20]
+    assert list(map(tuple, got.to_numpy())) == exp
+    # the planted collocation dominates
+    assert (got.iloc[0]["w1"], got.iloc[0]["w2"]) == ("new", "york")
+
+
+def test_pmi_collocations_empty_and_guard():
+    from raylink.ops.collocations import pmi_collocations
+
+    docs = ray.data.from_pandas(pd.DataFrame({"text": [None, "", "one"]}))
+    out = pmi_collocations(docs, "text", min_count=1, top_k=10)
+    # no bigram windows at all -> empty result with the pinned schema
+    # (Ray's to_pandas drops columns on zero-row datasets, so assert on
+    # the dataset schema)
+    assert out.schema().names == ["w1", "w2", "cnt", "pmi_e4"]
+    assert out.count() == 0
+    with pytest.raises(ValueError):
+        pmi_collocations(docs, "text", min_count=0)
