@@ -2648,6 +2648,56 @@ def _q_pmi_docs(sf_dir: str):
     return pmi_collocations(docs, "text", min_count=5, top_k=100)
 
 
+def _q_entropy_events(sf_dir: str):
+    """Per-type Shannon entropy (bits) of the user distribution —
+    DuckDB entropy() semantics: per-block (type, user) count partials
+    merge in one sorted-run scan (bounded by vocabulary x blocks), each
+    group's entropy computed vectorized from its merged counts."""
+    from raylink.ops.mutualinfo import grouped_entropy
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+    return grouped_entropy(ev, "event_type", "user_id")
+
+
+def _q_quality_classifier_docs(sf_dir: str):
+    """Trained quality gate (the fasttext/CCNet corpus-curation pattern,
+    public-knowledge core): fit a distributed logistic regression on the
+    deterministically hash-sampled half of the corpus — labels are a
+    held-out quality heuristic, features the raw integer signals — then
+    score EVERY document map-only with the broadcast weights.  Rows-only
+    (iterative optimizer, no SQL twin); the learnability evidence is the
+    planted-rule pytest."""
+    from raylink.ops.logreg import fit_logistic_regression, predict_proba
+    from raylink.ops.sample import hash_sample
+    from raylink.ops.text import with_quality_scores
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    feats = with_quality_scores(docs).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_punct", "stop_hits",
+         "stopword_ratio"]
+    )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def label(batch: pa.Table) -> pa.Table:
+        # weak label: stopword-heavy docs, split near the corpus median
+        # ratio (the trainable proxy; the features exclude the ratio so
+        # the fit is non-degenerate)
+        y = pc.greater_equal(batch.column("stopword_ratio"), 0.06)
+        return batch.append_column(
+            "y", pc.cast(y, pa.int64())
+        ).drop_columns(["stopword_ratio"])
+
+    labeled = feats.map_batches(label, batch_format="pyarrow")
+    feature_cols = ["n_chars", "n_tokens", "n_punct", "stop_hits"]
+    train = hash_sample(labeled, "doc_id", fraction=0.5)
+    model = fit_logistic_regression(
+        train, feature_cols, "y", n_iter=40, lr=1.0
+    )
+    scored = predict_proba(labeled, model, feature_cols)
+    return scored.select_columns(["doc_id", "y", "prob_e4"])
+
+
 def _q_dedupe_consec_events(sf_dir: str):
     """Consecutive-duplicate removal per user stream (ordered by ts with
     the event_id tiebreaker, comparing event_type): the stuttered-
@@ -3014,6 +3064,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_events": _q_robust_events,
         "moments_events": _q_moments_events,
         "pmi_docs": _q_pmi_docs,
+        "entropy_events": _q_entropy_events,
+        # rows-only (iterative optimizer, no SQL twin — driver records
+        # the weaker rows-only check; learnability pinned in pytest)
+        "quality_classifier_docs": _q_quality_classifier_docs,
         "dedupe_consec_events": _q_dedupe_consec_events,
         "window_distinct_users": _q_window_distinct_users,
         # --- block 2: verified green in CORRECTNESS_r03.json ---
@@ -3577,6 +3631,15 @@ def oracle_sql() -> dict[str, str]:
                        AS kurt_e4
             FROM events
             WHERE event_type IS NOT NULL
+            GROUP BY event_type
+        """,
+        "entropy_events": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct,
+                   CAST(floor(entropy(user_id)*10000 + 0.5) AS BIGINT)
+                       AS entropy_e4
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
             GROUP BY event_type
         """,
         "pmi_docs": r"""

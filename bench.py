@@ -657,6 +657,27 @@ def run_quality_grades(sf_dir: str) -> dict:
     ]
     out["hll_max_rel_error"] = round(float(max(errs)), 4)
 
+    # --- count-min sketch vs exact token counts ---------------------------
+    from raylink.ops.sketch import count_min_estimate, count_min_sketch
+
+    docs_pd = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).to_pandas()
+    toks = docs_pd["text"].fillna("").str.split().explode()
+    toks = toks[toks.notna() & (toks != "")]
+    exact_tok = toks.value_counts()
+    tok_ds = ray.data.from_pandas(
+        pd.DataFrame({"token": toks.to_numpy(dtype=object)})
+    ).repartition(16)
+    cms = count_min_sketch(tok_ds, "token", width=4096, depth=4)
+    top = exact_tok.head(100)
+    est = count_min_estimate(cms, np.asarray(top.index, dtype=object))
+    under = int((est < top.to_numpy()).sum())
+    out["cms_underestimates"] = under  # guarantee: must be 0
+    out["cms_top100_max_rel_err"] = round(
+        float(np.max((est - top.to_numpy()) / top.to_numpy())), 4
+    )
+
     # --- decayed sum vs brute force ---------------------------------------
     from raylink.ops.lag import group_decayed_sum
 

@@ -74,7 +74,15 @@ from .ops.sample import (  # noqa: F401
 )
 from .ops.semijoin import semi_anti_join  # noqa: F401
 from .ops.simjoin import similarity_link_join, similarity_self_join  # noqa: F401
-from .ops.sketch import approx_distinct, approx_quantiles, frequent_items  # noqa: F401
+from .ops.sketch import (  # noqa: F401
+    approx_distinct,
+    approx_quantiles,
+    count_min_estimate,
+    count_min_sketch,
+    frequent_items,
+)
+from .ops.logreg import fit_logistic_regression, predict_proba  # noqa: F401
+from .ops.mutualinfo import grouped_entropy, mutual_information  # noqa: F401
 from .ops.transitions import transition_counts  # noqa: F401
 from .ops.window import hopping_window_agg, tumbling_window_agg  # noqa: F401
 from .ops.rank import group_ntile, keep_top_fraction  # noqa: F401

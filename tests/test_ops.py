@@ -6192,3 +6192,145 @@ def test_pmi_collocations_empty_and_guard():
     assert out.count() == 0
     with pytest.raises(ValueError):
         pmi_collocations(docs, "text", min_count=0)
+
+
+def test_count_min_sketch_never_underestimates():
+    """CMS point queries are lower-bounded by the true count for EVERY
+    value, and heavy hitters estimate within the 2N/width error bound;
+    partial merging is order-insensitive (partitioning-invariant)."""
+    from collections import Counter
+
+    from raylink.ops.sketch import count_min_estimate, count_min_sketch
+
+    rng = np.random.default_rng(23)
+    # zipf-ish: a few heavy tokens + a long tail
+    heavy = [f"hot{i}" for i in range(5)]
+    tail = [f"t{i}" for i in range(2000)]
+    vals = list(rng.choice(heavy, 6000)) + list(rng.choice(tail, 4000))
+    rng.shuffle(vals)
+    vals += [None] * 50  # nulls excluded
+    df = pd.DataFrame({"v": vals})
+    truth = Counter(v for v in vals if v is not None)
+
+    sk = count_min_sketch(
+        ray.data.from_pandas(df).repartition(7), "v", width=1024, depth=4
+    )
+    assert sk.shape == (4, 1024)
+    n = sum(truth.values())
+    assert int(sk[0].sum()) == n  # every row sums to N (exact merge)
+
+    keys = np.array(list(truth.keys()), dtype=object)
+    est = count_min_estimate(sk, keys)
+    true = np.array([truth[k] for k in keys], dtype=np.int64)
+    assert (est >= true).all()  # one-sided error guarantee
+    # heavy hitters within the CM bound (2N/width, here ~20)
+    hv = np.array(heavy, dtype=object)
+    he = count_min_estimate(sk, hv)
+    ht = np.array([truth[k] for k in heavy], dtype=np.int64)
+    assert (he - ht <= 2 * n / 1024).all()
+
+    # partitioning invariance: same sketch from a different block split
+    sk2 = count_min_sketch(
+        ray.data.from_pandas(df).repartition(3), "v", width=1024, depth=4
+    )
+    assert (sk == sk2).all()
+
+    with pytest.raises(ValueError):
+        count_min_sketch(ray.data.from_pandas(df), "v", width=1, depth=0)
+
+
+def test_logistic_regression_learns_separable_rule():
+    """GD on per-block gradient partials recovers a planted linear rule:
+    high accuracy, calibrated direction, and partitioning-invariant fit
+    (same data split differently -> same raw-space weights to ~1e-9)."""
+    from raylink.ops.logreg import fit_logistic_regression, predict_proba
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    # two informative features on very different scales + one noise col
+    x1 = rng.normal(500.0, 200.0, n)   # token-count-like
+    x2 = rng.uniform(0.0, 1.0, n)      # ratio-like
+    x3 = rng.normal(0.0, 1.0, n)       # noise
+    margin = 0.004 * (x1 - 500.0) + 3.0 * (x2 - 0.5)
+    y = (margin + rng.normal(0, 0.1, n) > 0).astype(np.int64)
+    df = pd.DataFrame({"f1": x1, "f2": x2, "f3": x3, "y": y})
+    df.loc[df.index % 211 == 0, "f1"] = np.nan  # nulls excluded
+
+    ds = ray.data.from_pandas(df).repartition(6)
+    model = fit_logistic_regression(
+        ds, ["f1", "f2", "f3"], "y", n_iter=120, lr=1.0
+    )
+    assert model["n"] == int((~df["f1"].isna()).sum())
+    assert model["loss"][-1] < model["loss"][0]  # optimizer descended
+
+    scored = predict_proba(ds, model, ["f1", "f2", "f3"]).to_pandas()
+    ok = ~scored["f1"].isna()
+    pred = (scored.loc[ok, "prob_e4"].astype(float) >= 5000).astype(int)
+    acc = (pred.to_numpy() == scored.loc[ok, "y"].to_numpy()).mean()
+    assert acc > 0.95
+    # null feature -> null score
+    assert scored.loc[~ok, "prob_e4"].isna().all()
+    # informative weights dominate noise; direction matches the rule
+    w = model["weights"]
+    assert w[0] > 0 and w[1] > 0
+    assert abs(w[2]) < 0.1 * abs(w[1] * 1.0)
+
+    model2 = fit_logistic_regression(
+        ray.data.from_pandas(df).repartition(13),
+        ["f1", "f2", "f3"], "y", n_iter=120, lr=1.0,
+    )
+    np.testing.assert_allclose(
+        model2["weights"], model["weights"], rtol=1e-9, atol=1e-12
+    )
+
+    with pytest.raises(ValueError):
+        fit_logistic_regression(ds, [], "y")
+    bad = ray.data.from_pandas(pd.DataFrame({"f": [1.0], "y": [2.0]}))
+    with pytest.raises(Exception):
+        fit_logistic_regression(bad, ["f"], "y", n_iter=1)
+
+
+def test_grouped_entropy_matches_duckdb():
+    """Per-group Shannon entropy vs DuckDB entropy() at e4, including
+    null exclusion, single-valued groups (0), and partitioning
+    invariance of the combiner-first merge."""
+    import duckdb
+
+    from raylink.ops.mutualinfo import grouped_entropy
+
+    rng = np.random.default_rng(47)
+    n = 8000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.choice([f"v{i}" for i in range(40)], n).astype(object),
+        }
+    )
+    df.loc[df.index % 53 == 0, "v"] = None
+    df = pd.concat(
+        [df, pd.DataFrame({"g": ["solo"] * 5, "v": ["only"] * 5})],
+        ignore_index=True,
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT g, count(*)::BIGINT AS n, "
+        "count(DISTINCT v)::BIGINT AS n_distinct, "
+        "CAST(floor(entropy(v)*10000 + 0.5) AS BIGINT) AS entropy_e4 "
+        "FROM t WHERE g IS NOT NULL AND v IS NOT NULL "
+        "GROUP BY g ORDER BY g"
+    ).df()
+    for parts in (3, 11):
+        out = (
+            grouped_entropy(
+                ray.data.from_pandas(df).repartition(parts), "g", "v",
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+        assert out["g"].tolist() == exp["g"].tolist()
+        assert out["n"].tolist() == exp["n"].tolist()
+        assert out["n_distinct"].tolist() == exp["n_distinct"].tolist()
+        assert out["entropy_e4"].tolist() == exp["entropy_e4"].tolist()
+    assert out.set_index("g").loc["solo", "entropy_e4"] == 0
