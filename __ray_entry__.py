@@ -2636,6 +2636,23 @@ def _q_moments_events(sf_dir: str):
     return grouped_higher_moments(ev, "event_type", "value")
 
 
+def _q_regr_lineitem(sf_dir: str):
+    """Per-returnflag OLS fit of extended price on quantity (SQL
+    regr_slope/regr_intercept/regr_r2 semantics, e4 fixed point): the
+    same combiner-first two-pass shape as moments_events — exact
+    per-group means, then centered cross-product partials — so no raw
+    row ever shuffles and float cancellation stays below the e4
+    rounding tolerance."""
+    from raylink.ops.regression import grouped_linear_fit
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    return grouped_linear_fit(
+        li, "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
 def _q_pmi_docs(sf_dir: str):
     """Top-100 PMI collocations (Church-Hanks pointwise mutual
     information over within-document adjacent token pairs, min_count=5):
@@ -3063,6 +3080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anon_events": _q_k_anon_events,
         "robust_events": _q_robust_events,
         "moments_events": _q_moments_events,
+        "regr_lineitem": _q_regr_lineitem,
         "pmi_docs": _q_pmi_docs,
         "entropy_events": _q_entropy_events,
         # rows-only (iterative optimizer, no SQL twin — driver records
@@ -3622,6 +3640,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
             GROUP BY event_type
+        """,
+        "regr_lineitem": """
+            SELECT l_returnflag,
+                   regr_count(l_extendedprice, l_quantity)::BIGINT AS n,
+                   CAST(floor(regr_slope(l_extendedprice, l_quantity)
+                        *10000 + 0.5) AS BIGINT) AS slope_e4,
+                   CAST(floor(regr_intercept(l_extendedprice, l_quantity)
+                        *10000 + 0.5) AS BIGINT) AS intercept_e4,
+                   CAST(floor(regr_r2(l_extendedprice, l_quantity)
+                        *10000 + 0.5) AS BIGINT) AS r2_e4
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL
+            GROUP BY l_returnflag
         """,
         "moments_events": """
             SELECT event_type, count(value)::BIGINT AS n,

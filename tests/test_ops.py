@@ -6334,3 +6334,86 @@ def test_grouped_entropy_matches_duckdb():
         assert out["n_distinct"].tolist() == exp["n_distinct"].tolist()
         assert out["entropy_e4"].tolist() == exp["entropy_e4"].tolist()
     assert out.set_index("g").loc["solo", "entropy_e4"] == 0
+
+
+def test_grouped_linear_fit_matches_duckdb():
+    """Per-group OLS vs DuckDB regr_slope/regr_intercept/regr_r2 at e4
+    fixed point, on both execution paths (broadcast LUT and hash-join
+    scale path), including either-side-null pair drops."""
+    import duckdb
+
+    from raylink.ops.regression import grouped_linear_fit
+
+    rng = np.random.default_rng(47)
+    n = 20000
+    x = np.round(rng.uniform(1.0, 50.0, n), 3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], n),
+            "x": x,
+            "y": np.round(3.5 * x + rng.normal(0, 8.0, n) + 10.0, 3),
+        }
+    )
+    df.loc[df.index % 37 == 0, "x"] = None
+    df.loc[df.index % 53 == 0, "y"] = None
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT g, regr_count(y, x)::BIGINT AS n, "
+        "CAST(floor(regr_slope(y, x)*10000 + 0.5) AS BIGINT) "
+        "  AS slope_e4, "
+        "CAST(floor(regr_intercept(y, x)*10000 + 0.5) AS BIGINT) "
+        "  AS intercept_e4, "
+        "CAST(floor(regr_r2(y, x)*10000 + 0.5) AS BIGINT) AS r2_e4 "
+        "FROM t GROUP BY g ORDER BY g"
+    ).df()
+    for thresh in (2_000_000, 1):
+        out = (
+            grouped_linear_fit(
+                ray.data.from_pandas(df).repartition(7),
+                "g",
+                "x",
+                "y",
+                driver_threshold=thresh,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+        assert out["g"].tolist() == exp["g"].tolist()
+        assert out["n"].tolist() == exp["n"].tolist()
+        assert out["slope_e4"].tolist() == exp["slope_e4"].tolist()
+        assert (
+            out["intercept_e4"].tolist() == exp["intercept_e4"].tolist()
+        )
+        assert out["r2_e4"].tolist() == exp["r2_e4"].tolist()
+
+
+def test_grouped_linear_fit_degenerate_contract():
+    """Probed DuckDB edge semantics: var(x)=0 or n<2 -> all null;
+    var(y)=0 with var(x)>0 -> slope 0, intercept mean(y), r2 = 1."""
+    from raylink.ops.regression import grouped_linear_fit
+
+    df = pd.DataFrame(
+        {
+            "g": ["constx"] * 3 + ["single"] + ["consty"] * 3 + ["ok"] * 3,
+            "x": [2.0, 2.0, 2.0, 1.0, 1.0, 2.0, 3.0, 1.0, 2.0, 3.0],
+            "y": [1.0, 2.0, 3.0, 2.0, 7.0, 7.0, 7.0, 2.0, 4.0, 6.0],
+        }
+    )
+    out = (
+        grouped_linear_fit(
+            ray.data.from_pandas(df).repartition(3), "g", "x", "y",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    assert pd.isna(out.loc["constx", "slope_e4"])
+    assert pd.isna(out.loc["single", "r2_e4"])
+    assert out.loc["consty", "slope_e4"] == 0
+    assert out.loc["consty", "intercept_e4"] == 70000
+    assert out.loc["consty", "r2_e4"] == 10000
+    assert out.loc["ok", "slope_e4"] == 20000
+    assert out.loc["ok", "intercept_e4"] == 0
+    assert out.loc["ok", "r2_e4"] == 10000
