@@ -2636,6 +2636,21 @@ def _q_moments_events(sf_dir: str):
     return grouped_higher_moments(ev, "event_type", "value")
 
 
+def _q_snm_pairs_part(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): candidate pairs
+    within a 5-position window of the part-name sort order — the
+    skew-immune linear-pair-count alternative to equality blocking.
+    Global ranks come from a sample-based range partition (bounded
+    driver state: one boundary sample + one count per partition); pairs
+    emit slab-wise with window-1 vectorized shifted-slice compares."""
+    from raylink.ops.snm import sorted_neighborhood_pairs
+
+    part = _read(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    return sorted_neighborhood_pairs(
+        part, "p_name", "p_partkey", window=5
+    )
+
+
 def _q_regr_lineitem(sf_dir: str):
     """Per-returnflag OLS fit of extended price on quantity (SQL
     regr_slope/regr_intercept/regr_r2 semantics, e4 fixed point): the
@@ -3081,6 +3096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_events": _q_robust_events,
         "moments_events": _q_moments_events,
         "regr_lineitem": _q_regr_lineitem,
+        "snm_pairs_part": _q_snm_pairs_part,
         "pmi_docs": _q_pmi_docs,
         "entropy_events": _q_entropy_events,
         # rows-only (iterative optimizer, no SQL twin — driver records
@@ -3640,6 +3656,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
             GROUP BY event_type
+        """,
+        "snm_pairs_part": """
+            WITH r AS (
+                SELECT p_partkey AS id,
+                       ROW_NUMBER() OVER (ORDER BY p_name, p_partkey)
+                           - 1 AS rn
+                FROM part WHERE p_name IS NOT NULL
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   (b.rn - a.rn)::BIGINT AS dist
+            FROM r a JOIN r b
+              ON b.rn > a.rn AND b.rn - a.rn <= 4
         """,
         "regr_lineitem": """
             SELECT l_returnflag,

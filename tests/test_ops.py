@@ -6417,3 +6417,91 @@ def test_grouped_linear_fit_degenerate_contract():
     assert out.loc["ok", "slope_e4"] == 20000
     assert out.loc["ok", "intercept_e4"] == 0
     assert out.loc["ok", "r2_e4"] == 10000
+
+
+def test_global_rank_matches_sort_order():
+    """Exact dense global row numbers under ORDER BY (key, id),
+    including duplicate keys broken by the id tiebreaker, at several
+    partition counts (ranks are a property of the total order, so
+    results must be identical at any parallelism)."""
+    from raylink.ops.snm import global_rank
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["aa", "ab", "ba", "bb", "zz"], n),
+            "id": rng.permutation(n).astype(np.int64),
+        }
+    )
+    exp = df.sort_values(["k", "id"], ignore_index=True)
+    for parts in (1, 4, 16):
+        out = (
+            global_rank(
+                ray.data.from_pandas(df).repartition(5), "k", "id",
+                num_partitions=parts,
+            )
+            .to_pandas()
+            .sort_values("rn", ignore_index=True)
+        )
+        assert out["rn"].tolist() == list(range(n))
+        assert out["k"].tolist() == exp["k"].tolist()
+        assert out["id"].tolist() == exp["id"].tolist()
+
+
+def test_global_rank_null_key_refused():
+    from raylink.ops.snm import global_rank
+
+    df = pd.DataFrame({"k": ["a", None, "c"], "id": [1, 2, 3]})
+    with pytest.raises(Exception, match="null"):
+        global_rank(ray.data.from_pandas(df), "k", "id").materialize()
+
+
+def test_sorted_neighborhood_pairs_matches_bruteforce():
+    """SNM candidate pairs vs brute force over the sorted order, with a
+    slab size small enough to force many seam crossings; exact pair set
+    (no duplicates, no misses), null keys excluded."""
+    from raylink.ops.snm import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": [
+                "key_" + "".join(rng.choice(list("abcdef"), 5))
+                for _ in range(n)
+            ],
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    df.loc[df.index % 97 == 0, "k"] = None
+    w = 5
+    pairs = sorted_neighborhood_pairs(
+        ray.data.from_pandas(df).repartition(7), "k", "id",
+        window=w, slab_rows=128, num_partitions=4,
+    ).to_pandas()
+    order = df.dropna(subset=["k"]).sort_values(
+        ["k", "id"], ignore_index=True
+    )
+    ids = order["id"].tolist()
+    m = len(ids)
+    expected = {
+        (ids[i], ids[i + d], d)
+        for i in range(m)
+        for d in range(1, w)
+        if i + d < m
+    }
+    got = set(zip(pairs["id_a"], pairs["id_b"], pairs["dist"]))
+    assert got == expected
+    assert len(pairs) == len(got)  # no duplicate emissions
+
+
+def test_sorted_neighborhood_window_guards():
+    from raylink.ops.snm import sorted_neighborhood_pairs
+
+    df = pd.DataFrame({"k": ["a", "b"], "id": [1, 2]})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(ds, "k", "id", window=1)
+    with pytest.raises(ValueError, match="slab_rows"):
+        sorted_neighborhood_pairs(ds, "k", "id", window=64, slab_rows=16)
