@@ -2636,6 +2636,18 @@ def _q_moments_events(sf_dir: str):
     return grouped_higher_moments(ev, "event_type", "value")
 
 
+def _q_chi2_docs(sf_dir: str):
+    """Pearson chi-squared independence test + Cramér's V between
+    document language and source — blocks reduce to (lang, source)
+    joint-count partials, the statistic runs over the merged joint
+    (bounded by the vocabulary product), zero-observed cells handled
+    in closed form so the sparse joint never densifies."""
+    from raylink.ops.mutualinfo import chi_squared_independence
+
+    docs = _read(sf_dir, "documents").select_columns(["lang", "source"])
+    return chi_squared_independence(docs, "lang", "source")
+
+
 def _q_snm_pairs_part(sf_dir: str):
     """Sorted-neighborhood blocking (Hernandez-Stolfo): candidate pairs
     within a 5-position window of the part-name sort order — the
@@ -3097,6 +3109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moments_events": _q_moments_events,
         "regr_lineitem": _q_regr_lineitem,
         "snm_pairs_part": _q_snm_pairs_part,
+        "chi2_docs": _q_chi2_docs,
         "pmi_docs": _q_pmi_docs,
         "entropy_events": _q_entropy_events,
         # rows-only (iterative optimizer, no SQL twin — driver records
@@ -3656,6 +3669,43 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
             GROUP BY event_type
+        """,
+        "chi2_docs": """
+            WITH j AS (
+                SELECT lang AS x, source AS y, count(*)::DOUBLE AS o
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY lang, source
+            ),
+            t AS (SELECT sum(o) AS n FROM j),
+            m AS (SELECT x, sum(o) AS nx FROM j GROUP BY x),
+            k AS (SELECT y, sum(o) AS ny FROM j GROUP BY y),
+            dims AS (
+                SELECT count(DISTINCT x) AS r, count(DISTINCT y) AS c
+                FROM j
+            ),
+            obs AS (
+                SELECT
+                    sum(pow(j.o - m.nx * k.ny / t.n, 2)
+                        / (m.nx * k.ny / t.n)) AS s_obs,
+                    sum(m.nx * k.ny / t.n) AS e_obs
+                FROM j
+                JOIN m USING (x) JOIN k USING (y) CROSS JOIN t
+            )
+            SELECT
+                t.n::BIGINT AS n,
+                dims.r::BIGINT AS r,
+                dims.c::BIGINT AS c,
+                ((dims.r - 1) * (dims.c - 1))::BIGINT AS dof,
+                CAST(floor((obs.s_obs + (t.n - obs.e_obs)) * 10000 + 0.5)
+                     AS BIGINT) AS chi2_e4,
+                CASE WHEN (dims.r - 1) * (dims.c - 1) = 0 THEN NULL
+                     ELSE CAST(floor(
+                         sqrt((obs.s_obs + (t.n - obs.e_obs))
+                              / (t.n * (least(dims.r, dims.c) - 1)))
+                         * 10000 + 0.5) AS BIGINT)
+                END AS cramers_v_e4
+            FROM t CROSS JOIN dims CROSS JOIN obs
         """,
         "snm_pairs_part": """
             WITH r AS (

@@ -94,6 +94,7 @@ from .ops.collocations import pmi_collocations  # noqa: F401
 from .ops.normalize import grouped_corr, grouped_higher_moments  # noqa: F401
 from .ops.regression import grouped_linear_fit  # noqa: F401
 from .ops.snm import global_rank, sorted_neighborhood_pairs  # noqa: F401
+from .ops.mutualinfo import chi_squared_independence  # noqa: F401
 from .ops.topk import grouped_weighted_top_k  # noqa: F401
 from .ops.matching import mutual_best_pairs  # noqa: F401
 from .ops.dupspans import duplicate_ngram_stats  # noqa: F401

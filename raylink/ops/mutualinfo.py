@@ -31,7 +31,7 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["mutual_information", "grouped_entropy"]
+__all__ = ["mutual_information", "chi_squared_independence", "grouped_entropy"]
 
 
 def mutual_information(
@@ -50,6 +50,46 @@ def mutual_information(
     ``max_cells`` bounds the MERGED joint (|X| x |Y| observed cells),
     which is also exactly what the driver pulls for the final math.
     """
+    joint = _merged_joint(
+        ds, x_col, y_col, max_cells=max_cells,
+        num_partitions=num_partitions,
+    )
+    if len(joint) == 0:
+        raise ValueError("empty input after null exclusion; MI undefined")
+    n = joint["n"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    nx = joint.groupby(x_col)["n"].transform("sum").to_numpy(np.int64)
+    ny = joint.groupby(y_col)["n"].transform("sum").to_numpy(np.int64)
+    # float products, not int: n*N overflows int64 at web-scale counts
+    term = (n / total) * np.log(
+        (n.astype(np.float64) * total) / (nx.astype(np.float64) * ny)
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                x_col: pa.array(joint[x_col], from_pandas=True),
+                y_col: pa.array(joint[y_col], from_pandas=True),
+                "n": pa.array(n),
+                "mi_term_e4": pa.array(
+                    np.floor(term * 10_000.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+    )
+
+
+def _merged_joint(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    max_cells: int,
+    num_partitions: int,
+) -> pd.DataFrame:
+    """Distributed (x, y) joint counts, merged and pulled to the driver
+    as a DataFrame sorted by (x, y) — bounded by the observed cell
+    count, which ``max_cells`` guards.  Null x or y rows are excluded.
+    Shared by :func:`mutual_information` and
+    :func:`chi_squared_independence`."""
     if max_cells < 1:
         raise ValueError("max_cells must be >= 1")
 
@@ -119,35 +159,14 @@ def mutual_information(
     if merged.count() > max_cells:
         raise ValueError(
             f"merged joint exceeds max_cells={max_cells} cells; "
-            "MI over near-unique columns is not a meaningful workload — "
-            "bucket the columns first or raise the cap explicitly"
+            "association stats over near-unique columns are not a "
+            "meaningful workload — bucket the columns first or raise "
+            "the cap explicitly"
         )
-    joint = (
+    return (
         merged.to_pandas()
         .drop(columns=["_combo"])
         .sort_values([x_col, y_col], kind="mergesort", ignore_index=True)
-    )
-    if len(joint) == 0:
-        raise ValueError("empty input after null exclusion; MI undefined")
-    n = joint["n"].to_numpy(dtype=np.int64)
-    total = int(n.sum())
-    nx = joint.groupby(x_col)["n"].transform("sum").to_numpy(np.int64)
-    ny = joint.groupby(y_col)["n"].transform("sum").to_numpy(np.int64)
-    # float products, not int: n*N overflows int64 at web-scale counts
-    term = (n / total) * np.log(
-        (n.astype(np.float64) * total) / (nx.astype(np.float64) * ny)
-    )
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                x_col: pa.array(joint[x_col], from_pandas=True),
-                y_col: pa.array(joint[y_col], from_pandas=True),
-                "n": pa.array(n),
-                "mi_term_e4": pa.array(
-                    np.floor(term * 10_000.0 + 0.5).astype(np.int64)
-                ),
-            }
-        )
     )
 
 
@@ -231,4 +250,71 @@ def grouped_entropy(
     return sorted_group_scan(
         partials, group_col, finish, empty,
         num_partitions=num_partitions, out_schema=out_schema,
+    )
+
+
+def chi_squared_independence(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 1_000_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Pearson chi-squared test of independence between two categorical
+    columns, plus Cramér's V effect size — the are-these-associated
+    audit next to :func:`mutual_information`'s how-much measure.
+    Output exactly one row:
+
+    ``(n int64, r int64, c int64, dof int64, chi2_e4 int64,
+    cramers_v_e4 int64|null)``
+
+    with half-up e4 fixed point; ``cramers_v_e4`` is null when
+    ``dof = 0`` (a single-valued margin has no association to measure).
+    Null x or y rows are excluded.
+
+    Same scale shape as MI: blocks reduce to (x, y) pair counts, the
+    partials merge distributed, and the statistic runs over the merged
+    joint (bounded by ``|X| x |Y|``, guarded by ``max_cells``).
+    Zero-observed cells are handled in closed form — over ALL r*c
+    cells, ``sum((o-e)^2/e) = sum_observed((o-e)^2/e) + (N -
+    sum_observed(e))`` since expected counts total N — so the sparse
+    joint never expands to the dense grid.
+    """
+    joint = _merged_joint(
+        ds, x_col, y_col, max_cells=max_cells,
+        num_partitions=num_partitions,
+    )
+    if len(joint) == 0:
+        raise ValueError(
+            "empty input after null exclusion; chi-squared undefined"
+        )
+    n = joint["n"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    nx = joint.groupby(x_col)["n"].transform("sum").to_numpy(np.int64)
+    ny = joint.groupby(y_col)["n"].transform("sum").to_numpy(np.int64)
+    e = nx.astype(np.float64) * ny.astype(np.float64) / float(total)
+    d = n.astype(np.float64) - e
+    chi2 = float(np.sum(d * d / e)) + (total - float(np.sum(e)))
+    r = int(joint[x_col].nunique())
+    c = int(joint[y_col].nunique())
+    dof = (r - 1) * (c - 1)
+    if dof > 0:
+        v = np.sqrt(chi2 / (total * (min(r, c) - 1)))
+        v_e4 = int(np.floor(v * 10_000.0 + 0.5))
+    else:
+        v_e4 = None
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([total], type=pa.int64()),
+                "r": pa.array([r], type=pa.int64()),
+                "c": pa.array([c], type=pa.int64()),
+                "dof": pa.array([dof], type=pa.int64()),
+                "chi2_e4": pa.array(
+                    [int(np.floor(chi2 * 10_000.0 + 0.5))],
+                    type=pa.int64(),
+                ),
+                "cramers_v_e4": pa.array([v_e4], type=pa.int64()),
+            }
+        )
     )

@@ -6505,3 +6505,62 @@ def test_sorted_neighborhood_window_guards():
         sorted_neighborhood_pairs(ds, "k", "id", window=1)
     with pytest.raises(ValueError, match="slab_rows"):
         sorted_neighborhood_pairs(ds, "k", "id", window=64, slab_rows=16)
+
+
+def test_chi_squared_independence_matches_bruteforce():
+    """Chi-squared + Cramér's V vs a dense pandas-crosstab brute force,
+    including zero-observed cells (handled in closed form) and null
+    exclusion."""
+    from raylink.ops.mutualinfo import chi_squared_independence
+
+    rng = np.random.default_rng(31)
+    n = 8000
+    x = rng.choice(["a", "b", "c", "d"], n)
+    # dependent y so chi2 is decidedly nonzero
+    y = np.where(
+        (x == "a") & (rng.random(n) < 0.7), "u",
+        rng.choice(["u", "v", "w"], n),
+    )
+    df = pd.DataFrame({"x": x, "y": y})
+    df.loc[df.index % 29 == 0, "y"] = None
+    out = chi_squared_independence(
+        ray.data.from_pandas(df).repartition(6), "x", "y",
+        num_partitions=3,
+    ).to_pandas()
+
+    d = df.dropna()
+    ct = pd.crosstab(d["x"], d["y"]).to_numpy(dtype=np.float64)
+    total = ct.sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / total
+    chi2 = float(((ct - e) ** 2 / e).sum())
+    r, c = ct.shape
+    v = np.sqrt(chi2 / (total * (min(r, c) - 1)))
+    assert out["n"].iloc[0] == int(total)
+    assert out["r"].iloc[0] == r and out["c"].iloc[0] == c
+    assert out["dof"].iloc[0] == (r - 1) * (c - 1)
+    assert out["chi2_e4"].iloc[0] == int(np.floor(chi2 * 1e4 + 0.5))
+    assert out["cramers_v_e4"].iloc[0] == int(np.floor(v * 1e4 + 0.5))
+
+
+def test_chi_squared_independence_degenerate():
+    """Single-valued margin -> dof 0, null Cramér's V; independent
+    columns -> chi2 ~ 0."""
+    from raylink.ops.mutualinfo import chi_squared_independence
+
+    df = pd.DataFrame({"x": ["a"] * 10, "y": ["u", "v"] * 5})
+    out = chi_squared_independence(
+        ray.data.from_pandas(df), "x", "y"
+    ).to_pandas()
+    assert out["dof"].iloc[0] == 0
+    assert pd.isna(out["cramers_v_e4"].iloc[0])
+    assert out["chi2_e4"].iloc[0] == 0
+
+    # perfectly independent 2x2
+    df2 = pd.DataFrame(
+        {"x": ["a", "a", "b", "b"] * 50, "y": ["u", "v", "u", "v"] * 50}
+    )
+    out2 = chi_squared_independence(
+        ray.data.from_pandas(df2).repartition(4), "x", "y"
+    ).to_pandas()
+    assert out2["chi2_e4"].iloc[0] == 0
+    assert out2["cramers_v_e4"].iloc[0] == 0
