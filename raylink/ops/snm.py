@@ -46,7 +46,7 @@ import ray.data
 from ..functions.hashing import hash64_array
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["global_rank", "sorted_neighborhood_pairs"]
+__all__ = ["global_rank", "global_percent_rank", "sorted_neighborhood_pairs"]
 
 _PART = "__gr_part"
 _SLAB = "__snm_slab"
@@ -309,3 +309,39 @@ def _null_mask(arr: np.ndarray) -> np.ndarray:
     import pandas as pd
 
     return np.asarray(pd.isna(arr))
+
+
+def global_percent_rank(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    out_col: str = "pct_rank_e4",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Append SQL ``PERCENT_RANK() OVER (ORDER BY key_col, id_col)`` as
+    half-up e4 fixed point (int64) — the global equal-rank position
+    feature (``rn / (N-1)``; 0 when N = 1, matching the probed DuckDB
+    contract, which both engines compute from the same float64
+    division).  Null keys are refused by :func:`global_rank` — filter
+    them first, exactly as the SQL twin must decide their placement.
+
+    One extra materialization over :func:`global_rank` (the ranked
+    stream is consumed for its count and then mapped)."""
+    ranked = global_rank(
+        ds, key_col, id_col, out_col="__gpr_rn",
+        num_partitions=num_partitions,
+    ).materialize()
+    n_total = ranked.count()
+    denom = float(max(n_total - 1, 1))
+
+    def finish(batch: dict[str, np.ndarray]) -> dict:
+        out = {
+            k: v for k, v in batch.items() if k != "__gpr_rn"
+        }
+        rn = np.asarray(batch["__gpr_rn"], dtype=np.float64)
+        out[out_col] = np.floor(
+            rn / denom * 10_000.0 + 0.5
+        ).astype(np.int64)
+        return out
+
+    return ranked.map_batches(finish, batch_format="numpy")

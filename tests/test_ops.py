@@ -6564,3 +6564,41 @@ def test_chi_squared_independence_degenerate():
     ).to_pandas()
     assert out2["chi2_e4"].iloc[0] == 0
     assert out2["cramers_v_e4"].iloc[0] == 0
+
+
+def test_global_percent_rank_matches_duckdb():
+    """PERCENT_RANK() OVER (ORDER BY v, id) at e4 — unique ordering via
+    the id tiebreaker, single-row 0 contract."""
+    import duckdb
+
+    from raylink.ops.snm import global_percent_rank
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "v": np.round(rng.normal(0, 10, n), 2),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT id, CAST(floor(percent_rank() OVER (ORDER BY v, id)"
+        "*10000 + 0.5) AS BIGINT) AS pct_rank_e4 FROM t ORDER BY id"
+    ).df()
+    out = (
+        global_percent_rank(
+            ray.data.from_pandas(df).repartition(6), "v", "id",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert out["pct_rank_e4"].tolist() == exp["pct_rank_e4"].tolist()
+
+    single = global_percent_rank(
+        ray.data.from_pandas(pd.DataFrame({"v": [3.0], "id": [1]})),
+        "v", "id",
+    ).to_pandas()
+    assert single["pct_rank_e4"].tolist() == [0]
