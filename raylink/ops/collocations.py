@@ -55,12 +55,15 @@ def pmi_collocations(
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     docs = docs.select_columns([text_col])
+    # both count tables are consumed twice (scalar total + join side):
+    # materialize so the distributed count plan runs once — the tables
+    # are bounded by vocabulary, not rows
     unigrams = ngram_counts(
         docs, text_col, n=1, top_k=None, num_partitions=num_partitions
-    )
+    ).materialize()
     bigrams = ngram_counts(
         docs, text_col, n=2, top_k=None, num_partitions=num_partitions
-    )
+    ).materialize()
     # Tiny scalar actions over the merged (one-row-per-distinct) tables.
     n_tok = float(unigrams.sum("cnt") or 0)
     n_big = float(bigrams.sum("cnt") or 0)

@@ -83,10 +83,16 @@ def grouped_linear_fit(
         parts = partials1.to_pandas()
         stats = parts.groupby(group_col)[["n", "sx", "sy"]].sum()
         lut_ref = ray.put(
-            {
-                k: (int(r["n"]), float(r["sx"]), float(r["sy"]))
-                for k, r in stats.iterrows()
-            }
+            dict(
+                zip(
+                    stats.index,
+                    zip(
+                        stats["n"].astype(int),
+                        stats["sx"].astype(float),
+                        stats["sy"].astype(float),
+                    ),
+                )
+            )
         )
 
         def with_stats(batch: dict[str, np.ndarray]):
