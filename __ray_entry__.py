@@ -2636,6 +2636,22 @@ def _q_moments_events(sf_dir: str):
     return grouped_higher_moments(ev, "event_type", "value")
 
 
+def _q_temperature_sample_docs(sf_dir: str):
+    """alpha=0.5 temperature mixture sample over document languages
+    (the multilingual-training rebalance): per-group quotas from
+    count partials (one float per language on the driver), rows kept
+    by smallest (minstd_hash, id) with the stratified-sample combiner
+    plan — blocks prune to at most k_g rows per group before the one
+    sort exchange."""
+    from raylink.ops.sample import temperature_sample
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    return temperature_sample(
+        docs, "lang", "doc_id", total_target=300, alpha=0.5,
+        num_partitions=8,
+    )
+
+
 def _q_event_pct_rank(sf_dir: str):
     """Global PERCENT_RANK() OVER (ORDER BY value, event_id) at e4 —
     exact global ranks via the sample-based range partition
@@ -3129,6 +3145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs_part": _q_snm_pairs_part,
         "chi2_docs": _q_chi2_docs,
         "event_pct_rank": _q_event_pct_rank,
+        "temperature_sample_docs": _q_temperature_sample_docs,
         "pmi_docs": _q_pmi_docs,
         "entropy_events": _q_entropy_events,
         "quality_classifier_docs": _q_quality_classifier_docs,
@@ -3138,7 +3155,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix slots 29-49: never-recorded rows-only queries
         # (driver checks the first 50; every oracled query below
         # this block already has a green row in r1-r3)
-        "langid_trigram_docs": _q_langid_trigram,
         "bpe_merges_docs": _q_bpe_merges,
         "pagerank_suppliers": _q_pagerank_suppliers,
         "label_prop_communities": _q_label_prop_communities,
@@ -3158,6 +3174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_dedupe": _q_transcript_dedupe,
         "person_link": _q_person_link,
         "link_and_dedupe_person": _q_link_and_dedupe,
+        "langid_trigram_docs": _q_langid_trigram,
         "quality_scores": _q_quality_scores,
         "bm25_docs": _q_bm25_docs,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3686,6 +3703,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
             GROUP BY event_type
+        """,
+        "temperature_sample_docs": """
+            WITH c AS (
+                SELECT lang, count(*)::DOUBLE AS n FROM documents
+                WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            tt AS (SELECT sum(n) AS nt FROM c),
+            w AS (SELECT lang, pow(n / tt.nt, 0.5) AS pw, n FROM c, tt),
+            s AS (SELECT sum(pw) AS spw FROM w),
+            k AS (
+                SELECT lang,
+                       least(CAST(floor(300 * pw / s.spw + 0.5)
+                                  AS BIGINT),
+                             CAST(n AS BIGINT)) AS kg
+                FROM w, s
+            ),
+            r AS (
+                SELECT lang, doc_id, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY ((((doc_id % 2147483647) % 2147483647)
+                              * 48271 % 2147483647)
+                              * 48271 % 2147483647)
+                             * 48271 % 2147483647, doc_id) AS rn
+                FROM documents WHERE lang IS NOT NULL
+            )
+            SELECT r.doc_id, r.lang
+            FROM r JOIN k USING (lang) WHERE r.rn <= k.kg
         """,
         "event_pct_rank": """
             SELECT event_id,

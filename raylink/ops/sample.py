@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import ray
 import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
@@ -42,6 +43,7 @@ __all__ = [
     "select_to_token_budget",
     "mixture_sample",
     "stratified_sample",
+    "temperature_sample",
     "assign_splits",
     "global_sample_k",
     "MINSTD_MOD",
@@ -339,3 +341,126 @@ def global_sample_k(
         prune, batch_format="numpy", batch_size=None
     )
     return merged
+
+
+def temperature_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    total_target: int,
+    alpha: float = 0.5,
+    seed: int = 0,
+    max_groups: int = 1_000_000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Temperature-based mixture sampling (the multilingual-training
+    classic): draw ~``total_target`` rows whose group shares follow
+    ``p_g^alpha`` renormalized — ``alpha=1`` preserves the corpus mix,
+    ``alpha=0`` equalizes groups, values between flatten head domains
+    and upweight tails.  Per group the quota is
+
+        k_g = min(floor(total_target * w_g + 0.5), n_g),
+        w_g = (n_g/N)^alpha / sum_h (n_h/N)^alpha
+
+    and the rows kept are the ``k_g`` smallest by ``(minstd_hash(id),
+    id)`` — a deterministic uniform draw with an exact SQL twin
+    (``row_number() OVER (PARTITION BY g ORDER BY hash, id) <= k_g``
+    with the quota CTE-computed from the same float64 expressions).
+
+    Scale shape: one combiner-first group count (partials only), quotas
+    on the driver (one float per group, ``max_groups``-guarded — mixture
+    domains are vocabularies, not ids), then the ``stratified_sample``
+    combiner plan with a per-group quota LUT: every block prunes to at
+    most ``k_g`` rows per group before the single ``sort(group)``
+    exchange.  Null group keys are excluded.
+    """
+    if total_target < 1:
+        raise ValueError("total_target must be >= 1")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    from ..stages.sortedrun import count_by_key, sorted_group_scan
+
+    cols = list(ds.schema().names)
+
+    def drop_null_groups(batch: dict[str, np.ndarray]) -> dict:
+        g = np.asarray(batch[group_col])
+        return {group_col: g[~_isna(g)]}
+
+    counts = count_by_key(
+        ds.select_columns([group_col]).map_batches(
+            drop_null_groups, batch_format="numpy"
+        ),
+        group_col,
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"{len(counts)} groups exceed max_groups={max_groups}; "
+            "temperature sampling over near-unique keys is not a "
+            "meaningful mixture — bucket the key or raise the cap"
+        )
+    if len(counts) == 0:
+        def empty_all(batch: dict[str, np.ndarray]) -> dict:
+            return {c: np.asarray(batch[c])[:0] for c in cols}
+
+        return ds.map_batches(empty_all, batch_format="numpy")
+
+    n_g = counts["count()"].to_numpy(dtype=np.float64)
+    total = float(n_g.sum())
+    pw = np.power(n_g / total, float(alpha))
+    w = pw / pw.sum()
+    k_g = np.minimum(
+        np.floor(total_target * w + 0.5), n_g
+    ).astype(np.int64)
+    quota_ref = ray.put(
+        dict(zip(counts[group_col], (int(k) for k in k_g)))
+    )
+
+    def prune(batch: dict[str, np.ndarray]) -> dict:
+        quota = ray.get(quota_ref)
+        keys = np.asarray(batch[group_col])
+        ok = ~_isna(keys)
+        idx0 = np.flatnonzero(ok)
+        keys = keys[idx0]
+        ids = np.asarray(batch[id_col])[idx0].astype(np.int64)
+        h = minstd_hash(ids, seed)
+        order = np.lexsort((ids, h, keys))
+        sk = keys[order]
+        n = len(sk)
+        if n == 0:
+            return {c: np.asarray(batch[c])[:0] for c in cols}
+        change = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        rank = np.arange(n) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [n])))
+        )
+        kq = np.asarray([quota.get(g, 0) for g in sk[starts]],
+                        dtype=np.int64)
+        kq_full = np.repeat(
+            kq, np.diff(np.concatenate((starts, [n])))
+        )
+        keep = idx0[order[rank < kq_full]]
+        return {c: np.asarray(batch[c])[keep] for c in cols}
+
+    partials = ds.map_batches(prune, batch_format="numpy", batch_size=None)
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        quota = ray.get(quota_ref)
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        h = minstd_hash(ids, seed)
+        g = np.asarray(batch[group_col])[0]
+        order = np.lexsort((ids, h))[: quota.get(g, 0)]
+        return {c: np.asarray(batch[c])[order] for c in cols}
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        return {c: np.asarray(batch[c])[:0] for c in cols}
+
+    return sorted_group_scan(
+        partials, group_col, group_fn, empty_fn, num_partitions
+    )
+
+
+def _isna(arr: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    return np.asarray(pd.isna(arr))

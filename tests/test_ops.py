@@ -6602,3 +6602,79 @@ def test_global_percent_rank_matches_duckdb():
         "v", "id",
     ).to_pandas()
     assert single["pct_rank_e4"].tolist() == [0]
+
+
+def test_temperature_sample_matches_duckdb():
+    """alpha-temperature mixture sampling vs the SQL twin (quota CTE +
+    minstd-hash row_number), exact row set at alpha in {0, 0.5, 1}."""
+    import duckdb
+
+    from raylink.ops.sample import temperature_sample
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(
+                ["en", "de", "fr", "rare"], n, p=[0.7, 0.2, 0.09, 0.01]
+            ),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    for alpha in (0.0, 0.5, 1.0):
+        exp = con.execute(f"""
+            WITH c AS (SELECT g, count(*)::DOUBLE AS n FROM t GROUP BY g),
+            tt AS (SELECT sum(n) AS nt FROM c),
+            w AS (SELECT g, pow(n / tt.nt, {alpha}) AS pw, n
+                  FROM c, tt),
+            s AS (SELECT sum(pw) AS spw FROM w),
+            k AS (SELECT g, least(CAST(floor(900 * pw / s.spw + 0.5)
+                                       AS BIGINT),
+                                  CAST(n AS BIGINT)) AS kg FROM w, s),
+            r AS (SELECT g, id, row_number() OVER (
+                      PARTITION BY g
+                      ORDER BY ((((id % 2147483647) % 2147483647)
+                                * 48271 % 2147483647)
+                                * 48271 % 2147483647)
+                               * 48271 % 2147483647, id) AS rn
+                  FROM t)
+            SELECT r.g, r.id FROM r JOIN k USING (g) WHERE r.rn <= k.kg
+            ORDER BY g, id
+        """).df()
+        out = (
+            temperature_sample(
+                ray.data.from_pandas(df).repartition(7), "g", "id",
+                total_target=900, alpha=alpha, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["g", "id"], ignore_index=True)
+        )
+        assert out["g"].tolist() == exp["g"].tolist(), f"alpha={alpha}"
+        assert out["id"].tolist() == exp["id"].tolist(), f"alpha={alpha}"
+
+
+def test_temperature_sample_contracts():
+    """alpha=0 equalizes quotas; quotas cap at group size; null groups
+    excluded; guards fire."""
+    from raylink.ops.sample import temperature_sample
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 90 + ["b"] * 10 + [None] * 5,
+            "id": np.arange(105, dtype=np.int64),
+        }
+    )
+    out = temperature_sample(
+        ray.data.from_pandas(df).repartition(3), "g", "id",
+        total_target=40, alpha=0.0,
+    ).to_pandas()
+    vc = out["g"].value_counts()
+    assert vc["a"] == 20 and vc["b"] == 10  # b capped at its size
+    assert out["g"].notna().all()
+    with pytest.raises(ValueError, match="total_target"):
+        temperature_sample(ray.data.from_pandas(df), "g", "id", 0)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(ray.data.from_pandas(df), "g", "id", 5,
+                           alpha=-1)
