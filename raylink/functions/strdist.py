@@ -31,6 +31,8 @@ __all__ = [
     "hamming",
     "ratcliff_obershelp",
     "char_jaccard",
+    "monge_elkan",
+    "monge_elkan_batch",
     "similarity",
     "similarity_pairs",
     "token_levenshtein_matrix",
@@ -38,8 +40,9 @@ __all__ = [
     "jaro_winkler_encoded",
 ]
 
-#: Method-name alias table, kept verbatim from the reference
-#: (/root/reference/src/FastLink.jl:11-30).
+#: Method-name alias table: the reference's entries verbatim
+#: (/root/reference/src/FastLink.jl:11-30) plus the beyond-reference
+#: "me" (Monge-Elkan) family.
 METHOD_ALIASES = {
     "jw": "jw",
     "jarowinkler": "jw",
@@ -60,6 +63,11 @@ METHOD_ALIASES = {
     "osa": "osa",
     "optimal string alignment": "osa",
     "optimalstringalignment": "osa",
+    # beyond-reference token-level hybrid (Monge-Elkan, JW inner)
+    "me": "me",
+    "mongeelkan": "me",
+    "monge elkan": "me",
+    "monge-elkan": "me",
 }
 
 
@@ -288,6 +296,92 @@ def char_jaccard(s1: str, s2: str) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def monge_elkan(s1: str, s2: str, p: float = 0.1) -> float:
+    """Symmetrized Monge-Elkan token-set similarity with a Jaro-Winkler
+    inner metric — the classic hybrid metric for multi-token fields
+    (full names, addresses) where token ORDER should not matter but
+    per-token typos should ("maria garcia lopez" vs "garcia lopez,
+    maria").  Beyond-reference: fastLink's seven methods are all
+    char-level (gammaCKpar.jl:60 dispatches jw/jaro/lv/dl/osa/hamming);
+    this adds the token level the ER literature pairs them with.
+
+    ``me(A,B) = mean_a max_b jw(a,b)`` symmetrized as the mean of both
+    directions (textbook ME is asymmetric; the symmetric form is the
+    linkage-friendly one).  Both sides tokenless -> 1.0; exactly one ->
+    0.0.
+    """
+    ta, tb = s1.split(), s2.split()
+    if not ta and not tb:
+        return 1.0
+    if not ta or not tb:
+        return 0.0
+    ab = sum(max(jaro_winkler(a, b, p=p) for b in tb) for a in ta) / len(ta)
+    ba = sum(max(jaro_winkler(b, a, p=p) for a in ta) for b in tb) / len(tb)
+    return (ab + ba) / 2.0
+
+
+def monge_elkan_batch(
+    strs_a: list[str], strs_b: list[str], p: float = 0.1
+) -> np.ndarray:
+    """Vectorized :func:`monge_elkan` over aligned string lists (the
+    `_BATCH_METHODS` signature): every pair's token cross product is
+    flattened into ONE ``jaro_winkler_batch`` call, then both
+    directions' max-mean reductions run as segmented ``reduceat``
+    passes — per-token-pair Python never happens; the second direction
+    reuses the same similarity values through one lexsort (JW is
+    symmetric)."""
+    n = len(strs_a)
+    out = np.empty(n, dtype=np.float64)
+    toks_a = [s.split() for s in strs_a]
+    toks_b = [s.split() for s in strs_b]
+    na = np.asarray([len(t) for t in toks_a], dtype=np.int64)
+    nb = np.asarray([len(t) for t in toks_b], dtype=np.int64)
+    both_empty = (na == 0) & (nb == 0)
+    one_empty = ((na == 0) | (nb == 0)) & ~both_empty
+    out[both_empty] = 1.0
+    out[one_empty] = 0.0
+    live = np.flatnonzero(~(both_empty | one_empty))
+    if len(live) == 0:
+        return out
+    la = na[live]
+    lb = nb[live]
+    cross = la * lb
+    # flat token-pair expansion: pair-major, a-token-major, b-token minor
+    flat_a: list[str] = []
+    flat_b: list[str] = []
+    for i in live:
+        tb = toks_b[i]
+        for a in toks_a[i]:
+            flat_a.extend([a] * len(tb))
+            flat_b.extend(tb)
+    sims = jaro_winkler_batch(flat_a, flat_b, p=p)
+    # direction A->B: max over each (pair, a-token) run of length lb,
+    # then mean over each pair's la maxes
+    seg_ab = np.repeat(lb, la)
+    starts_ab = np.concatenate(([0], np.cumsum(seg_ab)[:-1]))
+    max_ab = np.maximum.reduceat(sims, starts_ab)
+    pair_starts_a = np.concatenate(([0], np.cumsum(la)[:-1]))
+    me_ab = np.add.reduceat(max_ab, pair_starts_a) / la
+    # direction B->A: regroup the SAME sims by (pair, b-token) with one
+    # lexsort instead of re-scoring
+    pair_id = np.repeat(np.arange(len(live), dtype=np.int64), cross)
+    aj = np.repeat(
+        np.concatenate([np.arange(k, dtype=np.int64) for k in la]),
+        seg_ab,
+    )
+    bk_parts = [np.tile(np.arange(b, dtype=np.int64), a)
+                for a, b in zip(la, lb)]
+    bk = np.concatenate(bk_parts)
+    order = np.lexsort((aj, bk, pair_id))
+    seg_ba = np.repeat(la, lb)
+    starts_ba = np.concatenate(([0], np.cumsum(seg_ba)[:-1]))
+    max_ba = np.maximum.reduceat(sims[order], starts_ba)
+    pair_starts_b = np.concatenate(([0], np.cumsum(lb)[:-1]))
+    me_ba = np.add.reduceat(max_ba, pair_starts_b) / lb
+    out[live] = (me_ab + me_ba) / 2.0
+    return out
+
+
 def similarity(method: str, s1: str, s2: str, w: float = 0.1) -> float:
     """Similarity in [0,1] for a canonical method code (see METHOD_ALIASES)."""
     if method == "jw":
@@ -307,6 +401,8 @@ def similarity(method: str, s1: str, s2: str, w: float = 0.1) -> float:
         return ratcliff_obershelp(s1, s2)
     if method == "jaccard":
         return char_jaccard(s1, s2)
+    if method == "me":
+        return monge_elkan(s1, s2, p=w)
     raise ValueError(f"unknown string distance method: {method!r}")
 
 
@@ -895,6 +991,7 @@ _BATCH_METHODS = {
     # exact, grouped-by-b seq2-index reuse (no lockstep form exists for the
     # gestalt recursion) — see ratcliff_obershelp_batch
     "ro": lambda ua, ub, w: ratcliff_obershelp_batch(ua, ub),
+    "me": lambda ua, ub, w: monge_elkan_batch(ua, ub, p=w),
 }
 
 

@@ -147,3 +147,59 @@ def test_fuzzy_truncate_16_codeunits():
         PairScorer(variables=[v_on])(short).column("gamma_s").to_pylist()
         == PairScorer(variables=[v_off])(short).column("gamma_s").to_pylist()
     )
+
+
+def test_monge_elkan_scalar_contracts():
+    from raylink.functions.strdist import jaro_winkler, monge_elkan
+
+    # single tokens reduce to plain JW
+    assert monge_elkan("maria", "mario") == pytest.approx(
+        jaro_winkler("maria", "mario")
+    )
+    # order invariance on exact token sets
+    assert monge_elkan("garcia lopez maria", "maria garcia lopez") == 1.0
+    # symmetric by construction
+    a, b = "jon smyth", "john smith jr"
+    assert monge_elkan(a, b) == pytest.approx(monge_elkan(b, a))
+    # empties
+    assert monge_elkan("", "") == 1.0
+    assert monge_elkan("a", "") == 0.0
+    assert monge_elkan("", " ") == 1.0  # whitespace-only has no tokens
+
+
+def test_monge_elkan_batch_matches_scalar():
+    import numpy as np
+
+    from raylink.functions.strdist import monge_elkan, monge_elkan_batch
+
+    rng = np.random.default_rng(19)
+    words = ["maria", "mario", "garcia", "lopez", "smith", "smyth",
+             "john", "jon", "ann", "anne", "x"]
+    pairs = []
+    for _ in range(300):
+        ta = rng.choice(words, rng.integers(0, 5)).tolist()
+        tb = rng.choice(words, rng.integers(0, 5)).tolist()
+        pairs.append((" ".join(ta), " ".join(tb)))
+    pairs += [("", ""), ("", "abc"), ("abc def", "")]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = monge_elkan_batch(a, b)
+    exp = np.asarray([monge_elkan(x, y) for x, y in pairs])
+    assert np.allclose(got, exp, atol=1e-12)
+
+
+def test_monge_elkan_through_similarity_pairs():
+    import numpy as np
+
+    from raylink.functions.strdist import monge_elkan, similarity_pairs
+
+    a = np.asarray(["maria garcia", "jon smyth", None, "ann lee"],
+                   dtype=object)
+    b = np.asarray(["garcia maria", "john smith", "x", None],
+                   dtype=object)
+    out = similarity_pairs(a, b, method="me")
+    assert out[0] == pytest.approx(monge_elkan("maria garcia",
+                                               "garcia maria"))
+    assert out[1] == pytest.approx(monge_elkan("jon smyth",
+                                               "john smith"))
+    assert np.isnan(out[2]) and np.isnan(out[3])
