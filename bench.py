@@ -266,6 +266,13 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
         "dedupe_consec_events",
         "window_distinct_users",
         "label_prop_communities",
+        "regr_lineitem",
+        "snm_pairs_part",
+        "chi2_docs",
+        "event_pct_rank",
+        "temperature_sample_docs",
+        "pmi_docs",
+        "entropy_events",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
