@@ -164,12 +164,28 @@ class BlockingConfig:
     cap: int = 512
     max_salts: int = 64
     drop_oversized: bool = False
+    # sorted-neighborhood mode (Hernandez-Stolfo 1995): candidate pairs
+    # are the records within ``snm_window`` positions of each other
+    # under ORDER BY (snm_key, id) — linear pair count, immune to
+    # hot-key skew (see raylink/ops/snm.py).  Mutually exclusive with
+    # keys/rules.
+    snm_key: str | None = None
+    snm_window: int = 10
 
     def __post_init__(self) -> None:
         if self.keys and self.rules:
             raise ValueError(
                 "blocking.keys and blocking.rules are mutually exclusive: "
                 "rules IS the multi-pass generalization of a single key set"
+            )
+        if self.snm_key and (self.keys or self.rules):
+            raise ValueError(
+                "blocking.snm_key is mutually exclusive with keys/rules: "
+                "sorted-neighborhood replaces equality blocking"
+            )
+        if self.snm_key and self.snm_window < 2:
+            raise ValueError(
+                f"blocking.snm_window must be >= 2, got {self.snm_window}"
             )
 
 

@@ -191,6 +191,7 @@ def sorted_neighborhood_pairs(
     window: int,
     slab_rows: int = 65536,
     num_partitions: int = 64,
+    carry_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Candidate pairs ``(id_a, id_b, dist)`` for every two records
     within ``window`` positions of each other under ``ORDER BY key_col,
@@ -198,6 +199,12 @@ def sorted_neighborhood_pairs(
     is the rank distance (1..window-1); ``id_a`` is the rank-earlier
     record.  Rows with a null key are excluded (they cannot be
     meaningfully windowed).
+
+    ``carry_cols`` names record columns to ship through the slab scan
+    and emit on both pair sides (``<col>_a`` / ``<col>_b``) — the
+    zero-join way to hand candidate pairs their comparison payloads
+    (joining the fields back on id would stack two hash-shuffle
+    aggregator fleets on top of the scan for no benefit).
 
     Exactly ``max(N - d, 0)`` pairs per distance ``d`` — linear in N
     for fixed window, immune to key-frequency skew.  Slab emit: each
@@ -211,64 +218,75 @@ def sorted_neighborhood_pairs(
         raise ValueError(
             f"window ({window}) must not exceed slab_rows ({slab_rows})"
         )
+    carry = [c for c in (carry_cols or []) if c != id_col]
 
     def drop_null_keys(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return batch.filter(pc.is_valid(batch[key_col]))
 
-    rows = ds.select_columns([key_col, id_col]).map_batches(
-        drop_null_keys, batch_format="pyarrow"
-    )
+    rows = ds.select_columns(
+        list(dict.fromkeys([key_col, id_col, *carry]))
+    ).map_batches(drop_null_keys, batch_format="pyarrow")
     ranked = global_rank(
         rows, key_col, id_col, out_col="__snm_rn",
         num_partitions=num_partitions,
-    ).select_columns([id_col, "__snm_rn"])
+    ).select_columns(
+        list(dict.fromkeys([id_col, *carry, "__snm_rn"]))
+    )
 
-    id_type = None
+    types: dict[str, pa.DataType] = {}
     try:
         from .lag import _arrow_schema
 
-        id_type = _arrow_schema(ds).field(id_col).type
+        s = _arrow_schema(ds)
+        types = {c: s.field(c).type for c in [id_col, *carry]}
     except Exception:
         pass
 
     def to_slabs(batch: dict[str, np.ndarray]) -> dict:
         rn = np.asarray(batch["__snm_rn"], dtype=np.int64)
-        ids = np.asarray(batch[id_col])
         slab = rn // slab_rows
         # trailing window-1 rows of each slab also feed the next slab
         dup = (rn % slab_rows) >= (slab_rows - (window - 1))
-        return {
+        out = {
             _SLAB: np.concatenate((slab, slab[dup] + 1)),
             "__snm_rn": np.concatenate((rn, rn[dup])),
-            id_col: np.concatenate((ids, ids[dup])),
         }
+        for c in [id_col, *carry]:
+            v = np.asarray(batch[c])
+            out[c] = np.concatenate((v, v[dup]))
+        return out
 
     slabbed = ranked.map_batches(to_slabs, batch_format="numpy")
 
     out_fields = [
-        pa.field("id_a", id_type or pa.string()),
-        pa.field("id_b", id_type or pa.string()),
-        pa.field("dist", pa.int64()),
+        pa.field("id_a", types.get(id_col, pa.string())),
+        pa.field("id_b", types.get(id_col, pa.string())),
     ]
-    out_schema = pa.schema(out_fields)
+    for c in carry:
+        out_fields.append(pa.field(f"{c}_a", types.get(c, pa.string())))
+        out_fields.append(pa.field(f"{c}_b", types.get(c, pa.string())))
+    out_fields.append(pa.field("dist", pa.int64()))
+    out_schema = pa.schema(out_fields) if types else None
 
     def emit_pairs(group: dict[str, np.ndarray]) -> dict:
         rn = np.asarray(group["__snm_rn"], dtype=np.int64)
-        ids = np.asarray(group[id_col])
         slab = int(np.asarray(group[_SLAB])[0])
         order = np.argsort(rn, kind="stable")
-        rn, ids = rn[order], ids[order]
+        rn = rn[order]
+        vals = {c: np.asarray(group[c])[order] for c in [id_col, *carry]}
         if len(rn) > 1 and not np.all(np.diff(rn) == 1):
             raise AssertionError(
                 "global ranks are not dense within a slab — "
                 "global_rank produced a gap"
             )
         owner = (rn // slab_rows) == slab
-        a_parts: list[np.ndarray] = []
-        b_parts: list[np.ndarray] = []
-        d_parts: list[np.ndarray] = []
+        parts: dict[str, list[np.ndarray]] = {
+            f: [] for f in
+            ["id_a", "id_b", *(f"{c}_{s}" for c in carry for s in "ab"),
+             "dist"]
+        }
         m = len(rn)
         for d in range(1, window):
             if m <= d:
@@ -279,30 +297,37 @@ def sorted_neighborhood_pairs(
             mask = owner[d:]
             if not mask.any():
                 continue
-            a_parts.append(ids[: m - d][mask])
-            b_parts.append(ids[d:][mask])
-            d_parts.append(np.full(int(mask.sum()), d, dtype=np.int64))
-        if not a_parts:
-            return {
-                "id_a": ids[:0], "id_b": ids[:0],
-                "dist": np.empty(0, dtype=np.int64),
-            }
-        return {
-            "id_a": np.concatenate(a_parts),
-            "id_b": np.concatenate(b_parts),
-            "dist": np.concatenate(d_parts),
-        }
+            parts["id_a"].append(vals[id_col][: m - d][mask])
+            parts["id_b"].append(vals[id_col][d:][mask])
+            for c in carry:
+                parts[f"{c}_a"].append(vals[c][: m - d][mask])
+                parts[f"{c}_b"].append(vals[c][d:][mask])
+            parts["dist"].append(
+                np.full(int(mask.sum()), d, dtype=np.int64)
+            )
+        if not parts["id_a"]:
+            return _empty_snm(vals, carry, id_col)
+        return {f: np.concatenate(v) for f, v in parts.items()}
 
     def empty_pairs(batch: dict[str, np.ndarray]) -> dict:
-        ids = np.asarray(batch[id_col])[:0]
-        return {
-            "id_a": ids, "id_b": ids, "dist": np.empty(0, dtype=np.int64),
-        }
+        vals = {c: np.asarray(batch[c]) for c in [id_col, *carry]}
+        return _empty_snm(vals, carry, id_col)
 
     return sorted_group_scan(
         slabbed, _SLAB, emit_pairs, empty_pairs,
         num_partitions=num_partitions, out_schema=out_schema,
     )
+
+
+def _empty_snm(
+    vals: dict[str, np.ndarray], carry: list[str], id_col: str
+) -> dict:
+    out = {"id_a": vals[id_col][:0], "id_b": vals[id_col][:0]}
+    for c in carry:
+        out[f"{c}_a"] = vals[c][:0]
+        out[f"{c}_b"] = vals[c][:0]
+    out["dist"] = np.empty(0, dtype=np.int64)
+    return out
 
 
 def _null_mask(arr: np.ndarray) -> np.ndarray:

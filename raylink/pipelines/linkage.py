@@ -326,6 +326,21 @@ def dedupe_records(
         records = _with_rule_keys(
             records, block_rules, id_col, keep_cols=tuple(leaf_fields)
         )
+    elif config.blocking.snm_key:
+        if precomputed_block_key or block_keys:
+            raise ValueError(
+                "blocking.snm_key is mutually exclusive with block_keys /"
+                " precomputed_block_key"
+            )
+        # keep the sort key alongside ids + comparison fields; the key
+        # is usually itself a leaf field, in which case this is a no-op
+        records = records.select_columns(
+            list(
+                dict.fromkeys(
+                    [id_col, *leaf_fields, config.blocking.snm_key]
+                )
+            )
+        )
     else:
         if not precomputed_block_key:
             keys = block_keys or config.blocking.keys
@@ -378,6 +393,19 @@ def dedupe_records(
             field_types=ftypes,
             num_partitions=config.execution.pair_shuffle_partitions,
         )
+    elif config.blocking.snm_key:
+        # sorted-neighborhood candidates: linear pair count, no salting
+        # needed (window size bounds every record's candidates)
+        pairs = pairs_stage.generate_pairs_snm(
+            records,
+            fields + tf_cols,
+            id_col=id_col,
+            key_col=config.blocking.snm_key,
+            window=config.blocking.snm_window,
+            num_partitions=config.execution.pair_shuffle_partitions,
+            source_schema=src_schema,
+        )
+        bcount = blocking_stage.BlockingCounters()
     else:
         plan, bcount, block_counts = blocking_stage.analyze_blocks(
             records, config.blocking

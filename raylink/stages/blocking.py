@@ -189,6 +189,14 @@ def filter_to_multi_blocks(
         batch_format="pyarrow",
     ).materialize()
     n_multi = multi.count()
+    if n_multi == 0:
+        # every block is a singleton: no pairs exist.  (An empty
+        # MATERIALIZED dataset loses its column schema, so the broadcast
+        # path below would KeyError on 'block_key' — emit the typed
+        # empty result here.)
+        return records.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow"
+        )
     if n_multi <= 2_000_000:
         # broadcast path: the key set fits comfortably in the object store
         keys = np.sort(multi.to_pandas()["block_key"].to_numpy(np.int64))

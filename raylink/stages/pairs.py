@@ -26,7 +26,7 @@ import ray.data
 
 from .sortedrun import sorted_group_scan
 
-__all__ = ["generate_pairs_dedupe", "generate_pairs_link", "pair_schema"]
+__all__ = ["generate_pairs_dedupe", "generate_pairs_link", "generate_pairs_snm", "pair_schema"]
 
 
 def _emit(
@@ -184,3 +184,72 @@ def generate_pairs_link(
         num_partitions=n,
         out_schema=pair_schema(source_schema, fields, id_col),
     )
+
+
+def generate_pairs_snm(
+    records: ray.data.Dataset,
+    fields: list[str],
+    id_col: str,
+    key_col: str,
+    window: int,
+    num_partitions: int | None = None,
+    source_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood candidate generation (Hernandez-Stolfo 1995)
+    as a drop-in alternative to the salted equality-blocking plan:
+    pairs are the records within ``window`` positions of each other
+    under ``ORDER BY (key_col, id_col)`` — ``N*(window-1)`` candidates
+    regardless of key skew, where a hot equality block goes quadratic.
+    Null-key records generate no candidates (same contract as a null
+    block key).
+
+    Output schema matches :func:`generate_pairs_dedupe` exactly
+    (``id_a, id_b, f_a, f_b ...`` with ``id_a < id_b``), so the scorer
+    and everything downstream are blocking-strategy-agnostic.  The
+    comparison fields ride THROUGH the slab scan (``carry_cols``) and
+    emit directly on both pair sides — no join ever happens, so the
+    plan is one range-partition exchange (global rank) plus one slab
+    sort, exactly two shuffles of the projected records.
+    """
+    from ..ops.snm import sorted_neighborhood_pairs
+
+    n_parts = num_partitions or _default_partitions()
+    raw = sorted_neighborhood_pairs(
+        records.select_columns(
+            list(dict.fromkeys([key_col, id_col, *fields]))
+        ),
+        key_col,
+        id_col,
+        window=window,
+        num_partitions=n_parts,
+        carry_cols=list(fields),
+    )
+
+    schema = pair_schema(source_schema, fields, id_col)
+
+    def orient(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        a = np.asarray(batch["id_a"])
+        b = np.asarray(batch["id_b"])
+        swap = a > b
+        out = {
+            "id_a": np.where(swap, b, a),
+            "id_b": np.where(swap, a, b),
+        }
+        for f in fields:
+            fa = np.asarray(batch[f"{f}_a"])
+            fb = np.asarray(batch[f"{f}_b"])
+            out[f"{f}_a"] = np.where(swap, fb, fa)
+            out[f"{f}_b"] = np.where(swap, fa, fb)
+        if schema is not None:
+            import pyarrow as _pa
+
+            arrays = []
+            for fld in schema:
+                arr = out[fld.name]
+                arrays.append(
+                    _pa.array(arr, type=fld.type, from_pandas=True)
+                )
+            return _pa.Table.from_arrays(arrays, schema=schema)
+        return out
+
+    return raw.map_batches(orient, batch_format="numpy")

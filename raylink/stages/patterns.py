@@ -84,6 +84,10 @@ def pattern_histogram(pairs: ray.data.Dataset) -> pd.DataFrame:
     # scale — so the final merge happens on the driver, skipping a whole
     # distributed aggregate round
     df = partial.to_pandas()
+    if df.empty and "pattern_key" not in df.columns:
+        # a zero-pair run (e.g. all-singleton blocking) materializes as a
+        # schema-less empty frame; give it the histogram's columns
+        df = pd.DataFrame({"pattern_key": [], "cnt": []})
     df = df.groupby("pattern_key", as_index=False)["cnt"].sum()
     df["pattern_key"] = df["pattern_key"].astype(np.int64)
     df["cnt"] = df["cnt"].astype(np.int64)

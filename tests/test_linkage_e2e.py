@@ -4,6 +4,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray
 
@@ -467,3 +468,114 @@ def test_apply_em_matches_training_posteriors():
     expected = {(int(df_a.iloc[i]["id"]), 90_000 + i) for i in range(8)}
     assert expected <= got
     assert res2.em is res.em  # no refit happened
+
+
+def test_dedupe_snm_blocking_catches_typo_keys():
+    """Sorted-neighborhood blocking (blocking.snm_key) finds duplicate
+    pairs whose blocking value itself carries the typo — exactly the
+    pairs equality blocking on that key must miss — and the pair volume
+    stays linear (no salting machinery involved)."""
+    rng = np.random.default_rng(11)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def rand_name(k=8):
+        return "".join(rng.choice(letters, k))
+
+    n = 300
+    rows = [
+        {"id": i, "firstname": rand_name(), "lastname": rand_name()}
+        for i in range(n)
+    ]
+    planted = []
+    for j in range(8):
+        src = rows[j * 7]
+        dup = dict(src)
+        dup["id"] = n + j
+        # typo in the LAST char of the sort key: sorts adjacent to the
+        # source, but the exact key value differs
+        dup["lastname"] = src["lastname"][:-1] + (
+            "z" if src["lastname"][-1] != "z" else "y"
+        )
+        rows.append(dup)
+        planted.append((src["id"], dup["id"]))
+    df = pd.DataFrame(rows)
+
+    config = parse_config(
+        {
+            "link_type": "dedupe_only",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "firstname", "method": "jarowinkler"},
+                    {"varname": "lastname", "method": "jarowinkler"},
+                ],
+            },
+            "blocking": {"snm_key": "lastname", "snm_window": 8},
+        }
+    )
+    res = dedupe_records(
+        ray.data.from_pandas(df), config, id_col="id", cluster=False
+    )
+    m = res.matches.to_pandas()
+    pred = set(zip(m["id_a"], m["id_b"]))
+    assert set(planted) <= pred, sorted(set(planted) - pred)
+    # linear candidate volume: at most N * (window - 1) scored pairs
+    assert res.counters["scored_pairs"] <= len(df) * 7
+
+    # equality blocking on the same key misses every planted pair
+    config_eq = parse_config(
+        {
+            "link_type": "dedupe_only",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "firstname", "method": "jarowinkler"},
+                    {"varname": "lastname", "method": "jarowinkler"},
+                ],
+            },
+            "blocking": {"cap": 2000},
+        }
+    )
+    res_eq = dedupe_records(
+        ray.data.from_pandas(df), config_eq, id_col="id",
+        block_keys=["lastname"], cluster=False,
+    )
+    m_eq = res_eq.matches.to_pandas()
+    # every lastname is globally unique here, so equality blocking finds
+    # ZERO candidates (the matches frame may come back schema-less empty)
+    assert len(m_eq) == 0
+
+
+def test_snm_blocking_config_guards():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        parse_config(
+            {
+                "link_type": "dedupe_only",
+                "idvar": ["id", "id"],
+                "comparisons": {
+                    "name": "total",
+                    "variables": [
+                        {"varname": "x", "method": "jarowinkler"}
+                    ],
+                },
+                "blocking": {"snm_key": "x", "keys": ["x"]},
+            }
+        )
+    with pytest.raises(ValueError, match="snm_window"):
+        parse_config(
+            {
+                "link_type": "dedupe_only",
+                "idvar": ["id", "id"],
+                "comparisons": {
+                    "name": "total",
+                    "variables": [
+                        {"varname": "x", "method": "jarowinkler"}
+                    ],
+                },
+                "blocking": {"snm_key": "x", "snm_window": 1},
+            }
+        )
