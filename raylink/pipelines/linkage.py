@@ -545,6 +545,25 @@ def link_records(
             records_b, block_rules_b or block_rules, id_b_col,
             keep_cols=tuple(fields),
         )
+    elif config.blocking.snm_key:
+        if block_keys:
+            raise ValueError(
+                "blocking.snm_key is mutually exclusive with block_keys"
+            )
+        da = records_a.select_columns(
+            list(
+                dict.fromkeys(
+                    [id_a_col, *fields, config.blocking.snm_key]
+                )
+            )
+        )
+        db = records_b.select_columns(
+            list(
+                dict.fromkeys(
+                    [id_b_col, *fields, config.blocking.snm_key]
+                )
+            )
+        )
     else:
         keys = block_keys or config.blocking.keys
         if not keys:
@@ -610,6 +629,21 @@ def link_records(
             num_partitions=config.execution.pair_shuffle_partitions,
         )
         counters["hot_blocks"] = bcount.n_hot_blocks
+    elif config.blocking.snm_key:
+        # multi-source sorted-neighborhood: both tables merge into one
+        # sorted order; only cross-table window pairs are emitted
+        pairs = pairs_stage.generate_pairs_snm_link(
+            da,
+            db,
+            fields + tf_cols,
+            id_a_col=id_a_col,
+            id_b_col=id_b_col,
+            key_col=config.blocking.snm_key,
+            window=config.blocking.snm_window,
+            num_partitions=config.execution.pair_shuffle_partitions,
+            source_schema=src_schema,
+        )
+        counters["hot_blocks"] = 0
     else:
         # the salt plan must see combined block populations
         both_keys = da.select_columns(["block_key"]).union(

@@ -26,7 +26,7 @@ import ray.data
 
 from .sortedrun import sorted_group_scan
 
-__all__ = ["generate_pairs_dedupe", "generate_pairs_link", "generate_pairs_snm", "pair_schema"]
+__all__ = ["generate_pairs_dedupe", "generate_pairs_link", "generate_pairs_snm", "generate_pairs_snm_link", "pair_schema"]
 
 
 def _emit(
@@ -253,3 +253,98 @@ def generate_pairs_snm(
         return out
 
     return raw.map_batches(orient, batch_format="numpy")
+
+
+def generate_pairs_snm_link(
+    da: ray.data.Dataset,
+    db: ray.data.Dataset,
+    fields: list[str],
+    id_a_col: str,
+    id_b_col: str,
+    key_col: str,
+    window: int,
+    num_partitions: int | None = None,
+    source_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Two-table sorted-neighborhood candidates (multi-source SNM): both
+    tables merge into ONE sorted order over ``key_col`` and every
+    cross-table pair within ``window`` merged positions is emitted —
+    the standard generalization (window counts positions over the
+    merged list, so a run of same-side records consumes window slots,
+    exactly as in the single-list form).
+
+    The rank tiebreaker is side-prefixed (``"a|<id>"`` / ``"b|<id>"``)
+    so an id value appearing in BOTH tables still yields a total order
+    — without it, two identical (key, id) rows would rank in
+    block-layout-dependent order and the pair set would be
+    nondeterministic.  Output schema matches
+    :func:`generate_pairs_link` (``id_a`` from table A, ``id_b`` from
+    table B, fields suffixed).
+    """
+    from ..ops.snm import sorted_neighborhood_pairs
+
+    n_parts = num_partitions or _default_partitions()
+
+    def prep(side: str, id_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            names = [
+                ("_pair_id" if c == id_col else c) for c in t.column_names
+            ]
+            t = t.rename_columns(names)
+            ids = t.column("_pair_id").to_numpy(zero_copy_only=False)
+            rank_id = np.char.add(
+                f"{side}|", ids.astype(str)
+            ).astype(object)
+            t = t.append_column(
+                "_side", pa.array([side] * len(t), type=pa.string())
+            )
+            return t.append_column(
+                "__rank_id", pa.array(rank_id, type=pa.string())
+            )
+
+        return fn
+
+    union = (
+        da.select_columns(
+            list(dict.fromkeys([key_col, id_a_col, *fields]))
+        ).map_batches(prep("a", id_a_col), batch_format="pyarrow")
+    ).union(
+        db.select_columns(
+            list(dict.fromkeys([key_col, id_b_col, *fields]))
+        ).map_batches(prep("b", id_b_col), batch_format="pyarrow")
+    )
+    # the sort key is usually itself a comparison field — carry it too
+    carry = list(dict.fromkeys(["_pair_id", *fields, "_side"]))
+    raw = sorted_neighborhood_pairs(
+        union,
+        key_col,
+        "__rank_id",
+        window=window,
+        num_partitions=n_parts,
+        carry_cols=carry,
+    )
+
+    schema = pair_schema(source_schema, fields, "_pair_id")
+
+    def cross_orient(batch: dict[str, np.ndarray]) -> dict:
+        sa = np.asarray(batch["_side_a"])
+        sb = np.asarray(batch["_side_b"])
+        keep = sa != sb
+        swap = sa[keep] == "b"  # put table A on the _a side
+        out: dict[str, np.ndarray] = {}
+        for base in ["_pair_id", *fields]:
+            va = np.asarray(batch[f"{base}_a"])[keep]
+            vb = np.asarray(batch[f"{base}_b"])[keep]
+            name_a = "id_a" if base == "_pair_id" else f"{base}_a"
+            name_b = "id_b" if base == "_pair_id" else f"{base}_b"
+            out[name_a] = np.where(swap, vb, va)
+            out[name_b] = np.where(swap, va, vb)
+        if schema is not None:
+            arrays = [
+                pa.array(out[f.name], type=f.type, from_pandas=True)
+                for f in schema
+            ]
+            return pa.Table.from_arrays(arrays, schema=schema)
+        return out
+
+    return raw.map_batches(cross_orient, batch_format="numpy")

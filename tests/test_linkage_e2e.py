@@ -579,3 +579,69 @@ def test_snm_blocking_config_guards():
                 "blocking": {"snm_key": "x", "snm_window": 1},
             }
         )
+
+
+def test_link_snm_blocking_two_tables():
+    """Multi-source SNM (blocking.snm_key on link_records): both tables
+    merge into one sorted order, only cross-table window pairs emit;
+    duplicates whose sort key carries the typo are still found, and ids
+    shared across the two tables cannot collide (side-prefixed rank
+    tiebreaker)."""
+    rng = np.random.default_rng(13)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def rand_name(k=8):
+        return "".join(rng.choice(letters, k))
+
+    a_rows = [
+        {"ida": i, "firstname": rand_name(), "lastname": rand_name()}
+        for i in range(250)
+    ]
+    b_rows = []
+    planted = []
+    for j in range(40):
+        src = a_rows[j * 6]
+        rec = {
+            # idb values overlap ida values on purpose (j < 250): the
+            # side-prefixed rank id must keep the order total anyway
+            "idb": j,
+            "firstname": src["firstname"],
+            "lastname": src["lastname"],
+        }
+        if j < 8:
+            rec["lastname"] = src["lastname"][:-1] + (
+                "z" if src["lastname"][-1] != "z" else "y"
+            )
+        b_rows.append(rec)
+        planted.append((src["ida"], rec["idb"]))
+    for j in range(60):
+        b_rows.append(
+            {"idb": 2000 + j, "firstname": rand_name(),
+             "lastname": rand_name()}
+        )
+    config = parse_config(
+        {
+            "link_type": "link_only",
+            "idvar": ["ida", "idb"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "firstname", "method": "jarowinkler"},
+                    {"varname": "lastname", "method": "jarowinkler"},
+                ],
+            },
+            "blocking": {"snm_key": "lastname", "snm_window": 6},
+        }
+    )
+    res = link_records(
+        ray.data.from_pandas(pd.DataFrame(a_rows)),
+        ray.data.from_pandas(pd.DataFrame(b_rows)),
+        config,
+    )
+    m = res.matches.to_pandas()
+    pred = set(zip(m["id_a"], m["id_b"]))
+    assert set(planted) <= pred, sorted(set(planted) - pred)
+    # linear candidate volume over the merged list
+    n_union = len(a_rows) + len(b_rows)
+    assert res.counters["scored_pairs"] <= n_union * 5
