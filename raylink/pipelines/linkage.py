@@ -790,7 +790,10 @@ def link_and_dedupe_records(
         for c in rule
     ]
     key_srcs = [_strip_soundex(c)[0] for c in (keys or [])]
-    cols = list(dict.fromkeys(["_uid", *fields, *key_srcs, *rule_srcs]))
+    snm_cols = [config.blocking.snm_key] if config.blocking.snm_key else []
+    cols = list(
+        dict.fromkeys(["_uid", *fields, *key_srcs, *rule_srcs, *snm_cols])
+    )
     both = da.select_columns(cols).union(db.select_columns(cols))
     res = dedupe_records(
         both, config, "_uid", block_keys=block_keys, cluster=cluster, seed=seed
