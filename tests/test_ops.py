@@ -6678,3 +6678,35 @@ def test_temperature_sample_contracts():
     with pytest.raises(ValueError, match="alpha"):
         temperature_sample(ray.data.from_pandas(df), "g", "id", 5,
                            alpha=-1)
+
+
+def test_global_rank_adversarial_keys():
+    """Range-partition edge cases: empty strings, long shared prefixes
+    (TPC-H-style 'Customer#0000...' keys defeat any prefix bucketing),
+    unicode above ASCII, and heavy duplicate keys — ranks must equal
+    the driver-side sort at every parallelism."""
+    from raylink.ops.snm import global_rank
+
+    keys = (
+        [""] * 5
+        + [f"Customer#{i:09d}" for i in range(200)]   # shared 9-char prefix
+        + ["ångström", "Ångström", "zz", "ZZ", "ζeta", "中文", "中文字"] * 3
+        + ["dup"] * 40
+    )
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame(
+        {"k": keys, "id": rng.permutation(len(keys)).astype(np.int64)}
+    )
+    exp = df.sort_values(["k", "id"], ignore_index=True)
+    for parts in (1, 3, 16):
+        out = (
+            global_rank(
+                ray.data.from_pandas(df).repartition(4), "k", "id",
+                num_partitions=parts,
+            )
+            .to_pandas()
+            .sort_values("rn", ignore_index=True)
+        )
+        assert out["rn"].tolist() == list(range(len(keys)))
+        assert out["k"].tolist() == exp["k"].tolist(), f"parts={parts}"
+        assert out["id"].tolist() == exp["id"].tolist(), f"parts={parts}"
