@@ -168,7 +168,11 @@ class BlockingConfig:
     # are the records within ``snm_window`` positions of each other
     # under ORDER BY (snm_key, id) — linear pair count, immune to
     # hot-key skew (see raylink/ops/snm.py).  Mutually exclusive with
-    # keys/rules.
+    # keys/rules.  Pick a HIGH-CARDINALITY key (typically a
+    # concatenation like lastname|firstname|street): on a pooled
+    # low-cardinality key the ties eat the window and recall collapses
+    # (measured: 3/200 truth pairs on a ~100-value firstname pool vs
+    # 196/200 on the composite — BASELINE.md round-4 SNM experiment).
     snm_key: str | None = None
     snm_window: int = 10
 
