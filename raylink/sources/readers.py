@@ -22,6 +22,7 @@ import ray.data
 
 __all__ = [
     "read_table",
+    "read_orc",
     "read_csv_linkage",
     "read_text_docs",
     "read_binary_docs",
@@ -40,6 +41,8 @@ def read_table(
     """Read a table with projection pushdown where the format supports it."""
     if format == "parquet":
         return ray.data.read_parquet(path, columns=columns, **kwargs)
+    if format == "orc":
+        return read_orc(path, columns=columns, **kwargs)
     if format == "csv":
         ds = ray.data.read_csv(path, **kwargs)
     elif format == "json":
@@ -49,6 +52,61 @@ def read_table(
     if columns:
         ds = ds.select_columns(columns)
     return ds
+
+
+def read_orc(
+    path: str,
+    columns: list[str] | None = None,
+    stripes_per_task: int = 4,
+) -> ray.data.Dataset:
+    """ORC read with column-projection pushdown (Ray 2.49 ships no
+    native ORC datasource): one driver-side listing pass enumerates
+    (file, stripe-range) work items — metadata-only, no data reads —
+    then each task decodes its stripes via ``pyarrow.orc`` reading ONLY
+    the projected columns.  Parallelism follows stripe count, so a few
+    huge ORC files still fan out instead of serializing per file.
+    """
+    import os
+
+    from pyarrow import orc as pa_orc
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".orc")
+        )
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no .orc files under {path!r}")
+    items = []
+    for f in files:
+        n_stripes = pa_orc.ORCFile(f).nstripes
+        for lo in range(0, n_stripes, stripes_per_task):
+            items.append(
+                {
+                    "file": f,
+                    "lo": lo,
+                    "hi": min(lo + stripes_per_task, n_stripes),
+                }
+            )
+
+    def decode(batch: dict) -> "pa.Table":
+        import pyarrow as pa
+        from pyarrow import orc as _orc
+
+        batches = []
+        for f, lo, hi in zip(batch["file"], batch["lo"], batch["hi"]):
+            reader = _orc.ORCFile(f)
+            for s in range(int(lo), int(hi)):
+                # read_stripe returns a RecordBatch
+                batches.append(reader.read_stripe(s, columns=columns))
+        return pa.Table.from_batches(batches)
+
+    return ray.data.from_items(items).map_batches(
+        decode, batch_size=1, batch_format="numpy"
+    )
 
 
 def read_csv_linkage(

@@ -248,3 +248,41 @@ def test_write_partitioned_uri_encoded_values(tmp_path):
     )
     back = pd.read_parquet(out)
     assert len(back) == 12 and sorted(back["v"]) == list(range(12))
+
+
+def test_read_orc_roundtrip(tmp_path):
+    """ORC source: stripe-parallel read with column projection matches
+    the parquet-style contract (multi-file dir, multi-stripe file)."""
+    import pyarrow as pa
+    from pyarrow import orc
+
+    from raylink.sources.readers import read_orc, read_table
+
+    d = tmp_path / "orcdir"
+    d.mkdir()
+    n = 5000
+    t = pa.table(
+        {
+            "a": pa.array(range(n), type=pa.int64()),
+            "b": pa.array([f"s{i % 97}" for i in range(n)]),
+            "c": pa.array([float(i) * 0.5 for i in range(n)]),
+        }
+    )
+    # two files; small stripes force multiple stripes per file
+    orc.write_table(t.slice(0, n // 2), str(d / "p0.orc"),
+                    stripe_size=16 * 1024)
+    orc.write_table(t.slice(n // 2), str(d / "p1.orc"),
+                    stripe_size=16 * 1024)
+
+    out = (
+        read_orc(str(d), columns=["a", "b"], stripes_per_task=2)
+        .to_pandas()
+        .sort_values("a", ignore_index=True)
+    )
+    assert list(out.columns) == ["a", "b"]
+    assert len(out) == n
+    assert out["a"].tolist() == list(range(n))
+    assert out["b"].iloc[500] == "s" + str(500 % 97)
+
+    via_table = read_table(str(d), format="orc", columns=["a"]).to_pandas()
+    assert len(via_table) == n and list(via_table.columns) == ["a"]
