@@ -645,3 +645,34 @@ def test_link_snm_blocking_two_tables():
     # linear candidate volume over the merged list
     n_union = len(a_rows) + len(b_rows)
     assert res.counters["scored_pairs"] <= n_union * 5
+
+
+def test_dedupe_all_singleton_blocks_zero_pairs():
+    """A corpus whose every block is a singleton must flow end-to-end
+    (zero matches, all-singleton clusters) instead of crashing on
+    schema-less empty materializations — the guard chain in
+    filter_to_multi_blocks and pattern_histogram."""
+    df = pd.DataFrame(
+        {"id": range(50), "name": [f"u{i:03d}" for i in range(50)]}
+    )
+    config = parse_config(
+        {
+            "link_type": "dedupe_only",
+            "idvar": ["id", "id"],
+            "comparisons": {
+                "name": "total",
+                "threshold_match": 0.85,
+                "variables": [
+                    {"varname": "name", "method": "jarowinkler"}
+                ],
+            },
+            "blocking": {"cap": 512},
+        }
+    )
+    res = dedupe_records(
+        ray.data.from_pandas(df), config, id_col="id",
+        block_keys=["name"], cluster=True,
+    )
+    assert res.matches.count() == 0
+    cl = res.clusters.to_pandas()
+    assert len(cl) == 50  # every record its own singleton cluster
