@@ -3642,7 +3642,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM r
             )
             SELECT grid.event_type, strftime(grid.d, '%Y-%m-%d') AS day,
-                   coalesce(b.n, 0)::BIGINT AS n, b.s AS sum_e4
+                   coalesce(b.n, 0)::BIGINT AS n, b.s::BIGINT AS sum_e4
             FROM grid LEFT JOIN b
               ON grid.event_type = b.event_type AND grid.d = b.d
         """,

@@ -42,6 +42,26 @@ from ..stages.sortedrun import sorted_group_scan
 __all__ = ["group_lag", "group_running_sum", "group_rolling_sum", "group_rolling_sum_range", "group_decayed_sum"]
 
 
+def try_arrow_schema(ds: ray.data.Dataset) -> "pa.Schema | None":
+    """`_arrow_schema`, returning None (with a logged warning) when the
+    schema cannot be derived.  Callers use this to PIN output schemas on
+    scans that may emit empty blocks; a silent failure here degrades to
+    the schema-less-empty-block hazard documented in
+    stages/sortedrun.py::absorb_blank_blocks, so the failure must be
+    loud even though it is recoverable."""
+    import logging
+
+    try:
+        return _arrow_schema(ds)
+    except (TypeError, ValueError, KeyError, AttributeError,
+            pa.ArrowInvalid, pa.ArrowNotImplementedError) as exc:
+        logging.getLogger("raylink").warning(
+            "schema pin failed (%s: %s); empty output blocks will be "
+            "schema-less", type(exc).__name__, exc,
+        )
+        return None
+
+
 def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
     """Best-effort Arrow schema for a Dataset (pandas-backed inputs in
     tests report numpy dtypes — map them; object dtype means strings

@@ -98,6 +98,16 @@ def grouped_linear_fit(
         def with_stats(batch: dict[str, np.ndarray]):
             lut = ray.get(lut_ref)
             g = np.asarray(batch[group_col])
+            # null group keys are excluded from the fit (mirrors
+            # partial1/partial2); they must also be dropped here or
+            # np.unique raises on None-vs-str comparisons
+            ok = ~pd_isna(g)
+            g = g[ok]
+            batch = {
+                group_col: g,
+                x_col: np.asarray(batch[x_col])[ok],
+                y_col: np.asarray(batch[y_col])[ok],
+            }
             uniq, inv = np.unique(g, return_inverse=True)
             trip = [lut.get(k, (0, 0.0, 0.0)) for k in uniq]
             n = np.asarray([t[0] for t in trip], dtype=np.int64)[inv]

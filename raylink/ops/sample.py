@@ -405,12 +405,19 @@ def temperature_sample(
 
         return ds.map_batches(empty_all, batch_format="numpy")
 
+    # quota arithmetic mirrors the SQL twin's expression SHAPE exactly
+    # (floor(target * pw / sum(pw) + 0.5), group-key-ordered sequential
+    # sum): `target * (pw / sum)` vs `(target * pw) / sum` can differ by
+    # 1 ulp and flip the half-up floor on adversarial counts
+    counts = counts.sort_values(group_col, ignore_index=True)
     n_g = counts["count()"].to_numpy(dtype=np.float64)
     total = float(n_g.sum())
     pw = np.power(n_g / total, float(alpha))
-    w = pw / pw.sum()
+    pw_sum = 0.0
+    for v in pw.tolist():
+        pw_sum += v
     k_g = np.minimum(
-        np.floor(total_target * w + 0.5), n_g
+        np.floor(float(total_target) * pw / pw_sum + 0.5), n_g
     ).astype(np.int64)
     quota_ref = ray.put(
         dict(zip(counts[group_col], (int(k) for k in k_g)))

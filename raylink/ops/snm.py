@@ -150,16 +150,15 @@ def global_rank(
     base = np.concatenate(([0], np.cumsum(totals)[:-1]))
     base_ref = ray.put(base)
 
-    out_schema = None
-    try:
-        from .lag import _arrow_schema
+    from .lag import try_arrow_schema
 
+    out_schema = None
+    base_schema = try_arrow_schema(parted)
+    if base_schema is not None:
         out_schema = pa.schema(
-            [f for f in _arrow_schema(parted) if f.name != _PART]
+            [f for f in base_schema if f.name != _PART]
             + [pa.field(out_col, pa.int64())]
         )
-    except Exception:
-        pass
 
     def rank_part(group: dict[str, np.ndarray]) -> dict:
         b = ray.get(base_ref)
@@ -235,14 +234,12 @@ def sorted_neighborhood_pairs(
         list(dict.fromkeys([id_col, *carry, "__snm_rn"]))
     )
 
-    types: dict[str, pa.DataType] = {}
-    try:
-        from .lag import _arrow_schema
+    from .lag import try_arrow_schema
 
-        s = _arrow_schema(ds)
+    types: dict[str, pa.DataType] = {}
+    s = try_arrow_schema(ds)
+    if s is not None and all(c in s.names for c in [id_col, *carry]):
         types = {c: s.field(c).type for c in [id_col, *carry]}
-    except Exception:
-        pass
 
     def to_slabs(batch: dict[str, np.ndarray]) -> dict:
         rn = np.asarray(batch["__snm_rn"], dtype=np.int64)

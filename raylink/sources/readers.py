@@ -54,6 +54,20 @@ def read_table(
     return ds
 
 
+def _resolve_fs(path: str):
+    """Resolve a path/URI to ``(pyarrow.fs.FileSystem, fs-relative
+    path)``.  URIs (``s3://…``, ``file://…``) go through
+    ``FileSystem.from_uri``; bare paths (incl. relative) map to the
+    local filesystem."""
+    import os
+
+    from pyarrow import fs as pa_fs
+
+    if "://" in path:
+        return pa_fs.FileSystem.from_uri(path)
+    return pa_fs.LocalFileSystem(), os.path.abspath(path)
+
+
 def read_orc(
     path: str,
     columns: list[str] | None = None,
@@ -65,24 +79,34 @@ def read_orc(
     then each task decodes its stripes via ``pyarrow.orc`` reading ONLY
     the projected columns.  Parallelism follows stripe count, so a few
     huge ORC files still fan out instead of serializing per file.
-    """
-    import os
 
+    Paths resolve through ``pyarrow.fs`` (like the parquet branch of
+    :func:`read_table`), so remote URIs (``s3://…``) list and read the
+    same as local directories.
+    """
+    from pyarrow import fs as pa_fs
     from pyarrow import orc as pa_orc
 
-    if os.path.isdir(path):
+    fsys, rel = _resolve_fs(path)
+    info = fsys.get_file_info(rel)
+    if info.type == pa_fs.FileType.Directory:
         files = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".orc")
+            fi.path
+            for fi in fsys.get_file_info(
+                pa_fs.FileSelector(rel, recursive=True)
+            )
+            if fi.is_file and fi.path.endswith(".orc")
         )
+    elif info.type == pa_fs.FileType.File:
+        files = [rel]
     else:
-        files = [path]
+        raise FileNotFoundError(f"ORC path not found: {path!r}")
     if not files:
         raise ValueError(f"no .orc files under {path!r}")
     items = []
     for f in files:
-        n_stripes = pa_orc.ORCFile(f).nstripes
+        with fsys.open_input_file(f) as fh:
+            n_stripes = pa_orc.ORCFile(fh).nstripes
         for lo in range(0, n_stripes, stripes_per_task):
             items.append(
                 {
@@ -96,12 +120,19 @@ def read_orc(
         import pyarrow as pa
         from pyarrow import orc as _orc
 
+        # re-resolve the filesystem inside the task (FileSystem objects
+        # are picklable, but per-task construction keeps connections
+        # worker-local)
+        task_fs, _ = _resolve_fs(path)
         batches = []
         for f, lo, hi in zip(batch["file"], batch["lo"], batch["hi"]):
-            reader = _orc.ORCFile(f)
-            for s in range(int(lo), int(hi)):
-                # read_stripe returns a RecordBatch
-                batches.append(reader.read_stripe(s, columns=columns))
+            with task_fs.open_input_file(str(f)) as fh:
+                reader = _orc.ORCFile(fh)
+                for s in range(int(lo), int(hi)):
+                    # read_stripe returns a RecordBatch
+                    batches.append(
+                        reader.read_stripe(s, columns=columns)
+                    )
         return pa.Table.from_batches(batches)
 
     return ray.data.from_items(items).map_batches(

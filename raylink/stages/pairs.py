@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -291,7 +292,20 @@ def generate_pairs_snm_link(
                 ("_pair_id" if c == id_col else c) for c in t.column_names
             ]
             t = t.rename_columns(names)
-            ids = t.column("_pair_id").to_numpy(zero_copy_only=False)
+            id_arr = t.column("_pair_id")
+            n_null = pc.sum(
+                pc.is_null(id_arr, nan_is_null=True)
+            ).as_py() or 0
+            if n_null:
+                # astype(str) would turn these into the literal "None",
+                # colliding same-side null-id rows — exactly the
+                # nondeterministic order __rank_id exists to prevent.
+                # Refuse loudly, matching global_rank's null-key policy.
+                raise ValueError(
+                    f"{n_null} null ids in table {side!r}; "
+                    "ids must be non-null for SNM link pairing"
+                )
+            ids = id_arr.to_numpy(zero_copy_only=False)
             rank_id = np.char.add(
                 f"{side}|", ids.astype(str)
             ).astype(object)

@@ -6356,6 +6356,9 @@ def test_grouped_linear_fit_matches_duckdb():
     )
     df.loc[df.index % 37 == 0, "x"] = None
     df.loc[df.index % 53 == 0, "y"] = None
+    # null GROUP keys must be excluded on both paths (mixed None/str
+    # object arrays crash np.unique if they reach it unfiltered)
+    df.loc[df.index % 41 == 0, "g"] = None
     con = duckdb.connect()
     con.register("t", df)
     exp = con.execute(
@@ -6365,7 +6368,7 @@ def test_grouped_linear_fit_matches_duckdb():
         "CAST(floor(regr_intercept(y, x)*10000 + 0.5) AS BIGINT) "
         "  AS intercept_e4, "
         "CAST(floor(regr_r2(y, x)*10000 + 0.5) AS BIGINT) AS r2_e4 "
-        "FROM t GROUP BY g ORDER BY g"
+        "FROM t WHERE g IS NOT NULL GROUP BY g ORDER BY g"
     ).df()
     for thresh in (2_000_000, 1):
         out = (
