@@ -644,20 +644,26 @@ def label_propagation(
     counts are exact int64 partials, so two cluster sizes can never
     disagree.  Stops early when no label changes.
 
-    Scale shape (the pagerank broadcast pattern): the label vector is
-    one ``ray.put`` per round read zero-copy by every task; each round
-    is ONE edge scan emitting per-(node, label) partial counts (the
-    combiner — repeated votes inside a block never shuffle) merged in
-    a sorted scan whose per-node argmax produces the next vector.
-    Node sets above ``broadcast_threshold`` are refused loudly — at
-    that size use the pagerank-style distributed-rank-table
-    formulation (a label table join per round), which this op does not
-    implement because LP's variable per-round label cardinality makes
-    the join path's cost profile workload-specific.
+    Two execution paths switched on the NODE count (the loop state),
+    exactly like :func:`pagerank` — bit-identical outputs (pinned by
+    the cross-path pytest):
+
+    - **broadcast path** (≤ ``broadcast_threshold`` nodes): the label
+      vector is one ``ray.put`` per round read zero-copy by every
+      task; each round is ONE edge scan emitting per-(node, label)
+      partial counts (the combiner — repeated votes inside a block
+      never shuffle) merged in a sorted scan whose per-node argmax
+      produces the next vector.
+    - **join path** (node sets no single heap holds): the label table
+      stays distributed; per round the vote stream hash-joins the
+      label table (edges pay one shuffle per round — LP labels change
+      every round, so unlike pagerank's degree join there is nothing
+      to hoist), the same per-block combiner reduces to (node, label)
+      partials, and the per-node argmax scan also emits a ``changed``
+      flag whose distributed sum drives the early stop.
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    from ..stages.sortedrun import sorted_group_scan
 
     e = _normalize_edges(edges, src_col, dst_col, None)
 
@@ -681,15 +687,17 @@ def label_propagation(
 
     votes = e.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
-    ndf = count_by_key(
-        votes.map_batches(
-            lambda b: b.select(["node"]), batch_format="pyarrow"
-        ),
-        "node",
-    ).to_pandas()
-    # empty-first: Ray's to_pandas() drops the columns of an all-empty
-    # dataset, so ndf["node"] would KeyError on a voteless graph
-    n = len(ndf)
+    node_counts = (
+        count_by_key(
+            votes.map_batches(
+                lambda b: b.select(["node"]), batch_format="pyarrow"
+            ),
+            "node",
+        )
+        .select_columns(["node"])
+        .materialize()
+    )
+    n = node_counts.count()
     if n == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -699,13 +707,24 @@ def label_propagation(
                 }
             )
         )
-    node_arr = np.sort(ndf["node"].to_numpy().astype(np.int64))
     if n > broadcast_threshold:
-        raise ValueError(
-            f"{n} nodes exceed broadcast_threshold={broadcast_threshold}; "
-            "label propagation at that scale needs the distributed "
-            "label-table formulation (see pagerank's join path)"
-        )
+        return _label_prop_join(votes, node_counts, n_iter, num_partitions)
+    return _label_prop_broadcast(votes, node_counts, n_iter, num_partitions)
+
+
+def _label_prop_broadcast(
+    votes: ray.data.Dataset,
+    node_counts: ray.data.Dataset,
+    n_iter: int,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Label vector on the driver, one ``ray.put`` per round."""
+    from ..stages.sortedrun import sorted_group_scan
+
+    node_arr = np.sort(
+        node_counts.to_pandas()["node"].to_numpy().astype(np.int64)
+    )
+    n = len(node_arr)
     nodes_ref = ray.put(node_arr)
     labels = node_arr.copy()  # own id first
 
@@ -807,3 +826,139 @@ def label_propagation(
             }
         )
     )
+
+
+def _label_prop_join(
+    votes: ray.data.Dataset,
+    node_counts: ray.data.Dataset,
+    n_iter: int,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Fully-distributed loop state: the label table never sits on one
+    machine.  Per round: votes ⋈ labels (hash shuffle), per-block
+    (node, label) count partials, self-vote union, per-node argmax
+    scan.  Vote merging, tie-breaking (count desc, label asc) and the
+    self-vote are IDENTICAL to the broadcast path, and counts are
+    exact int64, so the two paths are bit-equal at any parallelism.
+    """
+    from ..stages.sortedrun import sorted_group_scan
+
+    count_schema = pa.schema(
+        [
+            ("node", pa.int64()),
+            ("lab", pa.int64()),
+            ("c", pa.int64()),
+            ("is_self", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("node", pa.int64()),
+            ("lab", pa.int64()),
+            ("changed", pa.int64()),
+        ]
+    )
+
+    votes = absorb_blank_blocks(votes, num_partitions).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        node = batch.column("node")
+        return pa.table({"node": node, "label": node})
+
+    labels = (
+        absorb_blank_blocks(node_counts, num_partitions)
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, node))
+        no, lo = node[order], lab[order]
+        first = np.ones(len(no), dtype=bool)
+        first[1:] = (no[1:] != no[:-1]) | (lo[1:] != lo[:-1])
+        starts = np.flatnonzero(first)
+        c = np.diff(np.append(starts, len(no)))
+        return pa.Table.from_arrays(
+            [
+                pa.array(no[starts], type=pa.int64()),
+                pa.array(lo[starts], type=pa.int64()),
+                pa.array(c.astype(np.int64), type=pa.int64()),
+                pa.array(np.zeros(len(starts), dtype=np.int64)),
+            ],
+            schema=count_schema,
+        )
+
+    def self_votes(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        return pa.Table.from_arrays(
+            [
+                batch.column("node").cast(pa.int64()),
+                batch.column("label").cast(pa.int64()),
+                pa.array(np.ones(m, dtype=np.int64)),
+                pa.array(np.ones(m, dtype=np.int64)),
+            ],
+            schema=count_schema,
+        )
+
+    def vote_group(group: dict[str, np.ndarray]) -> dict:
+        lab = np.asarray(group["lab"])
+        c = np.asarray(group["c"])
+        node = int(np.asarray(group["node"])[0])
+        old = int(lab[np.asarray(group["is_self"]).astype(bool)][0])
+        order = np.argsort(lab, kind="stable")
+        ls, cs = lab[order], c[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ls[1:] != ls[:-1]))
+        )
+        totals = np.add.reduceat(cs, starts)
+        uls = ls[starts]
+        win = int(uls[np.lexsort((uls, -totals))[0]])
+        return {
+            "node": np.array([node], dtype=np.int64),
+            "lab": np.array([win], dtype=np.int64),
+            "changed": np.array([int(win != old)], dtype=np.int64),
+        }
+
+    def vote_empty(batch: dict[str, np.ndarray]) -> dict:
+        return {
+            "node": np.empty(0, dtype=np.int64),
+            "lab": np.empty(0, dtype=np.int64),
+            "changed": np.empty(0, dtype=np.int64),
+        }
+
+    def as_labels(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "label": batch.column("lab"),
+            }
+        )
+
+    for _ in range(n_iter):
+        joined = hash_join(
+            votes,
+            absorb_blank_blocks(labels, num_partitions),
+            on="nbr",
+            right_on="node",
+            num_partitions=num_partitions,
+        )
+        new = sorted_group_scan(
+            joined.map_batches(partial, batch_format="pyarrow").union(
+                labels.map_batches(self_votes, batch_format="pyarrow")
+            ),
+            "node",
+            vote_group,
+            vote_empty,
+            num_partitions=num_partitions,
+            out_schema=out_schema,
+        ).materialize()
+        changes = new.sum("changed") or 0
+        labels = new.map_batches(
+            as_labels, batch_format="pyarrow"
+        ).materialize()
+        if changes == 0:
+            break
+
+    return labels

@@ -20,6 +20,7 @@ cluster recovery in tests and monotone-inertia assertions.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -43,17 +44,19 @@ def _init_centroids(
     64-cluster bench control)."""
     cand = max(8 * k, k + 1)
 
-    def prune(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        ids = np.asarray(batch[id_col]).astype(np.int64)
+    def prune(t: "pa.Table") -> "pa.Table":
+        # Arrow in, Arrow out: `take` keeps the vector column a
+        # list<float> array — an object ndarray-of-ndarrays here would
+        # fall off the Arrow transport path onto pickle (r4 verdict)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         h = minstd_hash(ids, seed)
         order = np.lexsort((ids, h))[:cand]
-        return {
-            id_col: ids[order],
-            vec_col: np.asarray(batch[vec_col], dtype=object)[order],
-        }
+        return t.take(pa.array(order))
 
     top = ds.select_columns([id_col, vec_col]).map_batches(
-        prune, batch_format="numpy", batch_size=None
+        prune, batch_format="pyarrow", batch_size=None
     )
     df = top.to_pandas()
     ids = df[id_col].to_numpy(np.int64)
@@ -151,9 +154,11 @@ def assign_clusters(
     """Append the nearest-centroid index (map-only, centroids broadcast)."""
     c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
-    def assign(batch: dict[str, np.ndarray]) -> dict:
+    def assign(t: "pa.Table") -> "pa.Table":
+        # Arrow in, Arrow out: the vector column passes through as
+        # list<float> rather than an object ndarray (pickle fallback)
         c = ray.get(c_ref)
-        m = _as_matrix(list(batch[vec_col]))
+        m = _as_matrix(t.column(vec_col))
         if len(m) == 0:
             m = np.zeros((0, c.shape[1]), dtype=np.float64)
         d2 = (
@@ -161,8 +166,9 @@ def assign_clusters(
             - 2.0 * m @ c.T
             + (c * c).sum(axis=1)[None, :]
         )
-        out = dict(batch)
-        out[out_col] = np.argmin(d2, axis=1).astype(np.int64)
-        return out
+        return t.append_column(
+            out_col,
+            pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+        )
 
-    return ds.map_batches(assign, batch_format="numpy")
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -24,6 +24,7 @@ comparison and explained-variance recovery on planted low-rank data.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -98,13 +99,20 @@ def pca_project(
         )
     )
 
-    def project(batch: dict[str, np.ndarray]) -> dict:
+    def project(t: "pa.Table") -> "pa.Table":
+        # Arrow in, Arrow out: the input vector column passes through
+        # untouched as list<float> and the projection lands as a
+        # FixedSizeList — no object ndarrays on the block boundary
+        # (those fall off Arrow transport onto pickle, r4 verdict)
         mu, w = ray.get(ref)
-        m = _as_matrix(list(batch[vec_col]))
+        m = _as_matrix(t.column(vec_col))
         if len(m) == 0:
             m = np.zeros((0, len(mu)), dtype=np.float64)
-        out = dict(batch)
-        out[out_col] = (m - mu) @ w
-        return out
+        proj = (m - mu) @ w
+        k = proj.shape[1]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(proj.reshape(-1), type=pa.float64()), k
+        )
+        return t.append_column(out_col, arr)
 
-    return ds.map_batches(project, batch_format="numpy")
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -6051,15 +6051,26 @@ def test_label_propagation_finds_planted_communities():
     # bit-identical at any parallelism
     assert outs[0]["label"].tolist() == outs[1]["label"].tolist()
 
-    with pytest.raises(ValueError, match="broadcast_threshold"):
+    # crossing broadcast_threshold switches to the distributed
+    # label-table path — outputs must be BIT-equal to the broadcast
+    # path (same vote merge, tie-break, self-vote, early stop)
+    joined = (
         label_propagation(
-            ray.data.from_pandas(df), "s", "d", broadcast_threshold=3
+            ray.data.from_pandas(df).repartition(5), "s", "d",
+            broadcast_threshold=0, num_partitions=4,
         )
-    # empty graph -> empty result
-    empty = label_propagation(
-        ray.data.from_pandas(pd.DataFrame({"s": [7], "d": [7]})), "s", "d"
-    ).to_pandas()
-    assert len(empty) == 0  # a lone self-loop has no votes
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert joined["node"].tolist() == outs[0]["node"].tolist()
+    assert joined["label"].tolist() == outs[0]["label"].tolist()
+    # empty graph -> empty result (both paths)
+    for thresh in (5_000_000, 0):
+        empty = label_propagation(
+            ray.data.from_pandas(pd.DataFrame({"s": [7], "d": [7]})),
+            "s", "d", broadcast_threshold=thresh,
+        ).to_pandas()
+        assert len(empty) == 0  # a lone self-loop has no votes
 
 
 def test_grouped_higher_moments_matches_duckdb():
