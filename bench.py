@@ -152,8 +152,49 @@ def run_headline(sf_dir: str) -> dict:
     return out
 
 
-def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
-    """Per-op wall seconds over the real testdata tables."""
+def _with_ray_retry(fn, label: str, retries: int = 1):
+    """Run ``fn``; on failure restart the local Ray session and retry.
+
+    BENCH_r04 (the official round-4 artifact) was rc 1 with a raylet
+    stack trace ~200 s into an otherwise-clean 120-query run: one Ray
+    session, no per-phase isolation, so one transient raylet death
+    voided the whole artifact.  A retry after ``ray.shutdown()`` +
+    fresh ``ray.init`` recovers transient deaths; a deterministic
+    failure still raises (after one loudly-logged retry)."""
+    import ray
+
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as exc:
+            if attempt >= retries:
+                raise
+            print(
+                f"# bench: {label} failed "
+                f"({type(exc).__name__}: {exc}); restarting ray and "
+                "retrying",
+                file=sys.stderr,
+                flush=True,
+            )
+            try:
+                ray.shutdown()
+            except Exception:
+                pass
+            time.sleep(2.0)
+            ray.init(
+                address="local",
+                num_cpus=NUM_CPUS,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+            )
+
+
+def run_op_benchmarks(sf_dir: str, on_progress=None) -> dict[str, float]:
+    """Per-op wall seconds over the real testdata tables.
+
+    ``on_progress(out)`` (if given) fires after every completed query —
+    the caller uses it to flush a partial artifact so a mid-run crash
+    still leaves every completed wall on disk."""
     import __ray_entry__ as entrymod
 
     chosen = [
@@ -277,12 +318,17 @@ def run_op_benchmarks(sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in chosen:
-        t0 = time.time()
-        obj = qs[name](sf_dir)
-        # force execution
-        if hasattr(obj, "count") and not hasattr(obj, "shape"):
-            obj.count()
-        out[name] = round(time.time() - t0, 3)
+        def one(name=name):
+            t0 = time.time()
+            obj = qs[name](sf_dir)
+            # force execution
+            if hasattr(obj, "count") and not hasattr(obj, "shape"):
+                obj.count()
+            return round(time.time() - t0, 3)
+
+        out[name] = _with_ray_retry(one, name)
+        if on_progress is not None:
+            on_progress(out)
     return out
 
 
@@ -1028,7 +1074,41 @@ def main() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    headline = run_headline(SF_DIR)
+    # Partial-artifact flushing (round-4 verdict item 2): the official
+    # BENCH_r04 crashed mid-run and left NO numbers even though every
+    # completed query had a wall.  The full bench now rewrites
+    # bench_full.json after every completed query (marked
+    # "partial": true until the final complete write), so any crash
+    # still leaves every finished number on disk.
+    full_bench = not (headline_only or scale_probe)
+    partial_state: dict = {"headline": None, "queries": {}}
+
+    def flush_partial() -> None:
+        if not full_bench:
+            return
+        payload = {
+            "partial": True,
+            "metric": "e2e_seconds",
+            "unit": "sec",
+            "sf": _sf_label(SF_DIR),
+            "num_cpus": NUM_CPUS,
+            "headline": partial_state["headline"],
+            "queries": dict(partial_state["queries"]),
+        }
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(__file__), "bench_full.json"
+                ),
+                "w",
+            ) as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+
+    headline = _with_ray_retry(lambda: run_headline(SF_DIR), "headline")
+    partial_state["headline"] = headline
+    flush_partial()
     if scale_probe:
         headline.update(run_scoring_probe(SF_DIR))
         # WEAK-scaling probe: pairs scale with the CPU budget (250k/CPU),
@@ -1068,7 +1148,18 @@ def main() -> None:
         headline["pooled_pairs_per_sec_median"] = round(
             10_000 * 100_000 / pw_med, 1
         )
-    queries = {} if (headline_only or scale_probe) else run_op_benchmarks(SF_DIR)
+    def _op_progress(out: dict) -> None:
+        partial_state["queries"] = {
+            "headline_linkage": headline["wall_seconds"],
+            **out,
+        }
+        flush_partial()
+
+    queries = (
+        {}
+        if (headline_only or scale_probe)
+        else run_op_benchmarks(SF_DIR, on_progress=_op_progress)
+    )
     ref = None
     grades = None
     if not (headline_only or scale_probe):
@@ -1076,7 +1167,7 @@ def main() -> None:
         # CPUs (one-sided VM interference; see BASELINE.md)
         ref_walls = []
         for _rep in range(3):
-            cand = run_ref_workload()
+            cand = _with_ray_retry(run_ref_workload, "ref_workload")
             ref_walls.append(cand["wall_seconds"])
             if ref is None or cand["wall_seconds"] < ref["wall_seconds"]:
                 ref = cand
@@ -1085,16 +1176,24 @@ def main() -> None:
 
         ref["wall_seconds_median"] = round(_stats.median(ref_walls), 3)
         queries["ref_workload"] = ref["wall_seconds"]
+        partial_state["queries"]["ref_workload"] = ref["wall_seconds"]
+        flush_partial()
         # benchmark_tf.csv shape (tf_adjust on all 6 vars): best-of-2
         ref_tf = None
         tf_walls = []
         for _rep in range(2):
-            cand = run_ref_workload(tf=True)
+            cand = _with_ray_retry(
+                lambda: run_ref_workload(tf=True), "ref_workload_tf"
+            )
             tf_walls.append(cand["wall_seconds"])
             if ref_tf is None or cand["wall_seconds"] < ref_tf["wall_seconds"]:
                 ref_tf = cand
         ref_tf["all_walls"] = tf_walls
         queries["ref_workload_tf"] = ref_tf["wall_seconds"]
+        partial_state["queries"]["ref_workload_tf"] = ref_tf[
+            "wall_seconds"
+        ]
+        flush_partial()
         # partitioned-sink throughput: documents hive-partitioned by lang
         # into a fresh dir (write path + per-partition markers timed)
         import shutil as _sh
@@ -1104,16 +1203,30 @@ def main() -> None:
         from raylink.sources.sinks import write_partitioned
 
         sink_dir = "/tmp/raylink_bench/sink_docs"
-        _sh.rmtree(sink_dir, ignore_errors=True)
-        t0 = time.time()
-        write_partitioned(
-            _rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
-            sink_dir,
-            by="lang",
-            input_fingerprint="bench",
+
+        def sink_phase() -> float:
+            _sh.rmtree(sink_dir, ignore_errors=True)
+            t0 = time.time()
+            write_partitioned(
+                _rd.read_parquet(
+                    os.path.join(SF_DIR, "documents.parquet")
+                ),
+                sink_dir,
+                by="lang",
+                input_fingerprint="bench",
+            )
+            return round(time.time() - t0, 3)
+
+        queries["sink_partitioned_docs"] = _with_ray_retry(
+            sink_phase, "sink_partitioned_docs"
         )
-        queries["sink_partitioned_docs"] = round(time.time() - t0, 3)
-        grades = run_quality_grades(SF_DIR)
+        partial_state["queries"]["sink_partitioned_docs"] = queries[
+            "sink_partitioned_docs"
+        ]
+        flush_partial()
+        grades = _with_ray_retry(
+            lambda: run_quality_grades(SF_DIR), "quality_grades"
+        )
     total = headline["wall_seconds"] + sum(queries.values())
     result = {
         "metric": "e2e_seconds",
