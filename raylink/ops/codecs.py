@@ -1,9 +1,11 @@
-"""Pure-numpy codecs for uncompressed media formats.
+"""Pure-numpy codecs for library-free media formats.
 
-No image/audio libraries exist in this environment, but two ubiquitous
-container formats need none: BMP (uncompressed 24/32-bit) and WAV (PCM
-16-bit).  These codecs make the multimodal pipeline's decode step REAL for
-those formats — compressed formats (JPEG/PNG/MP3/...) remain behind the
+No image/audio libraries exist in this environment, but three ubiquitous
+formats need none: BMP (uncompressed 24/32-bit), WAV (PCM 16-bit), and —
+because stdlib ``zlib`` IS the PNG compressor — 8-bit non-interlaced PNG.
+These codecs make the multimodal pipeline's decode step REAL for those
+formats; formats whose codecs genuinely need a library (JPEG/MP3/FLAC)
+dispatch to PIL/soundfile when importable and otherwise stay behind the
 explicit ``NotImplementedError`` stub in :mod:`raylink.ops.multimodal`.
 
 Everything here is vectorized numpy over one payload at a time; the
@@ -21,6 +23,9 @@ __all__ = [
     "encode_bmp",
     "decode_wav",
     "encode_wav",
+    "decode_png",
+    "encode_png",
+    "to_rgb",
     "resize_nearest",
     "resize_bilinear",
     "image_features",
@@ -210,3 +215,187 @@ def audio_features(samples: np.ndarray, sample_rate: int, n_bands: int = 16) -> 
     else:
         band_e = np.zeros(n_bands)
     return np.concatenate([[rms, zcr], band_e]).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# PNG (RFC 2083) — pure stdlib-zlib + numpy, no codec library needed
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per color type (3 = palette: 1 index byte -> PLTE lookup)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) chunks; validates each chunk's CRC."""
+    import zlib as _zlib
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in PNG chunk {ctype!r}")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG ended without IEND chunk")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering.  ``raw`` is the decompressed
+    stream reshaped to (h, 1 + stride); returns (h, stride) uint8.
+
+    Filters None/Sub/Up are fully vectorized (Sub is a per-lane
+    cumsum mod 256); Average/Paeth depend on the left-neighbor
+    RECONSTRUCTION, so those rows fall back to a per-pixel sweep —
+    encoders this repo interoperates with (incl. its own) emit
+    filters 0-2, so the sweep is the exception path."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].copy()
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: per-lane cumsum mod 256
+            lanes = line.astype(np.uint32).reshape(-1, bpp)
+            rec = (
+                np.cumsum(lanes, axis=0, dtype=np.uint32) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = (line.astype(np.uint16) + prior) .astype(np.uint8)
+        elif ftype == 3:  # Average
+            rec = line
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + (left + int(prior[x])) // 2) % 256
+        elif ftype == 4:  # Paeth
+            rec = line
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa_ <= pb and pa_ <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to ``(H, W, C)`` uint8
+    (C = 1 gray, 2 gray+alpha, 3 RGB/palette, 4 RGBA).
+
+    Pure stdlib ``zlib`` + numpy — the one COMPRESSED image format this
+    repo decodes with no codec library.  Grayscale/palette images come
+    back at their native channel count; use :func:`to_rgb` before
+    :func:`image_features` / :func:`resize_bilinear` if a fixed 3-channel
+    layout is needed.
+    """
+    import zlib as _zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_code, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if ctype_code not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype_code}")
+    ch = _PNG_CHANNELS[ctype_code]
+    stride = w * ch
+    raw = np.frombuffer(
+        _zlib.decompress(b"".join(idat)), dtype=np.uint8
+    )
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    img = _png_unfilter(raw.reshape(h, stride + 1), h, stride, ch)
+    img = img.reshape(h, w, ch)
+    if ctype_code == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        img = plte[img[:, :, 0]]
+    return np.ascontiguousarray(img)
+
+
+def to_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize any decode_* output to (H, W, 3) uint8 (gray
+    replicated, alpha dropped)."""
+    if img.ndim != 3:
+        raise ValueError(f"expected (H, W, C), got shape {img.shape}")
+    c = img.shape[2]
+    if c == 1:
+        return np.repeat(img, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if c == 3:
+        return img
+    if c == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    raise ValueError(f"cannot normalize {c}-channel image to RGB")
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (H, W, C) uint8 (C in {1, 3, 4}) as a non-interlaced
+    8-bit PNG (filter 0 on every scanline, one zlib stream)."""
+    import zlib as _zlib
+
+    img = np.ascontiguousarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.dtype != np.uint8 or img.ndim != 3:
+        raise ValueError("encode_png wants (H, W, C) uint8")
+    h, w, c = img.shape
+    ctype_code = {1: 0, 3: 2, 4: 6}.get(c)
+    if ctype_code is None:
+        raise ValueError(f"cannot encode {c}-channel image as PNG")
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), img.reshape(h, w * c)],
+        axis=1,
+    ).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )

@@ -11,11 +11,17 @@ formats via the pure-numpy codecs in :mod:`raylink.ops.codecs`:
   decode → resize → re-encode stage);
 - ``decoder="wav"`` — decode PCM-16 WAV payloads, emit RMS/ZCR/FFT-band
   descriptors;
+- ``decoder="png"`` — decode 8-bit PNG (pure stdlib-zlib + numpy, no
+  codec library) to the same image descriptors;
+- ``decoder="jpeg"`` — PIL-backed when Pillow is importable, otherwise
+  the loud stub (this environment ships no JPEG codec);
+- ``decoder="flac"`` / ``"mp3"`` — soundfile-backed when importable,
+  otherwise the loud stub, feeding the same audio-descriptor path as
+  WAV;
 - ``decoder="fake"`` — deterministic feature vector from the payload
   bytes (exercises the full data path without any format assumption);
 - ``decoder="stub"`` (default) — raises ``NotImplementedError`` with
-  guidance: COMPRESSED formats (JPEG/PNG/MP3/...) need codec libraries
-  this environment does not have.
+  guidance: formats whose codecs genuinely need a library keep it.
 
 Swap in any other decoder by passing a callable ``bytes -> np.ndarray``.
 """
@@ -122,11 +128,63 @@ def _bmp_features(payload: bytes) -> np.ndarray:
     return image_features(decode_bmp(payload))
 
 
+def _png_features(payload: bytes) -> np.ndarray:
+    from .codecs import decode_png, image_features, to_rgb
+
+    return image_features(to_rgb(decode_png(payload)))
+
+
 def _wav_features(payload: bytes) -> np.ndarray:
     from .codecs import audio_features, decode_wav
 
     samples, rate = decode_wav(payload)
     return audio_features(samples, rate)
+
+
+def _pil_image_features(payload: bytes) -> np.ndarray:
+    """JPEG (or anything Pillow opens) → the shared image descriptor.
+    Only reachable when Pillow imports; see :func:`_optional_decoder`."""
+    import io
+
+    from PIL import Image  # noqa: import guarded by _optional_decoder
+
+    from .codecs import image_features
+
+    img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    return image_features(img)
+
+
+def _soundfile_features(payload: bytes) -> np.ndarray:
+    """FLAC/MP3/OGG → the shared audio descriptor via soundfile.
+    Only reachable when soundfile imports."""
+    import io
+
+    import soundfile as sf  # noqa: import guarded by _optional_decoder
+
+    from .codecs import audio_features
+
+    data, rate = sf.read(io.BytesIO(payload), dtype="int16")
+    return audio_features(np.asarray(data), int(rate))
+
+
+def _optional_decoder(module: str, fn: Callable, fmt: str) -> Callable:
+    """Return ``fn`` if ``module`` imports, else the loud stub — the
+    optional-dependency pattern for codecs this environment lacks."""
+    import importlib
+
+    try:
+        importlib.import_module(module)
+    except ImportError:
+        def unavailable(payload: bytes) -> np.ndarray:
+            raise NotImplementedError(
+                f"decoder {fmt!r} needs the optional dependency "
+                f"{module!r}, which is not installed; install it or "
+                "use decoder='bmp'/'wav'/'png' (library-free codecs), "
+                "decoder='fake', or a custom bytes -> ndarray callable"
+            )
+
+        return unavailable
+    return fn
 
 
 def _fake_decoder(payload: bytes, dim: int = 32) -> np.ndarray:
@@ -152,8 +210,18 @@ class MediaFeatureExtractor:
             self.decode = lambda b: _fake_decoder(b, dim)
         elif decoder == "bmp":
             self.decode = _bmp_features
+        elif decoder == "png":
+            self.decode = _png_features
         elif decoder == "wav":
             self.decode = _wav_features
+        elif decoder == "jpeg":
+            self.decode = _optional_decoder(
+                "PIL", _pil_image_features, "jpeg"
+            )
+        elif decoder in ("flac", "mp3"):
+            self.decode = _optional_decoder(
+                "soundfile", _soundfile_features, decoder
+            )
         else:
             self.decode = decoder
         self.dim = dim
@@ -193,13 +261,35 @@ def extract_media_features(
 
 
 class _ImageResizer:
-    """Actor-pool stage: BMP decode -> resize -> BMP re-encode per row."""
+    """Actor-pool stage: decode -> resize -> re-encode per row
+    (``fmt``: 'bmp' or 'png' — both library-free codecs)."""
 
-    def __init__(self, out_h: int, out_w: int, method: str = "bilinear"):
-        from .codecs import decode_bmp, encode_bmp, resize_bilinear, resize_nearest
+    def __init__(
+        self,
+        out_h: int,
+        out_w: int,
+        method: str = "bilinear",
+        fmt: str = "bmp",
+    ):
+        from .codecs import (
+            decode_bmp,
+            decode_png,
+            encode_bmp,
+            encode_png,
+            resize_bilinear,
+            resize_nearest,
+            to_rgb,
+        )
 
-        self.decode = decode_bmp
-        self.encode = encode_bmp
+        if fmt == "bmp":
+            self.decode = decode_bmp
+            self.encode = encode_bmp
+        elif fmt == "png":
+            # resize kernels want a fixed 3-channel layout
+            self.decode = lambda p: to_rgb(decode_png(p))
+            self.encode = encode_png
+        else:
+            raise ValueError(f"fmt must be 'bmp' or 'png': {fmt!r}")
         self.resize = resize_bilinear if method == "bilinear" else resize_nearest
         self.out_h, self.out_w = out_h, out_w
 
@@ -300,16 +390,24 @@ def decode_resize_images(
     method: str = "bilinear",
     concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 64,
+    fmt: str = "bmp",
 ) -> ray.data.Dataset:
-    """Decode BMP image rows, resize to (out_h, out_w), re-encode as BMP.
+    """Decode image rows (``fmt``: 'bmp' or 'png'), resize to
+    (out_h, out_w), re-encode in the same format.
 
-    Filter the input to ``media_type == 'image'`` rows first; non-BMP
-    payloads raise (the stage is format-honest, not best-effort).  Small
-    ``batch_size`` keeps batch x concurrency of binary payloads inside the
-    worker heap — the multimodal sizing rule."""
+    Filter the input to ``media_type == 'image'`` rows first; payloads
+    in the wrong format raise (the stage is format-honest, not
+    best-effort).  Small ``batch_size`` keeps batch x concurrency of
+    binary payloads inside the worker heap — the multimodal sizing
+    rule."""
     return media.map_batches(
         _ImageResizer,
-        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w, "method": method},
+        fn_constructor_kwargs={
+            "out_h": out_h,
+            "out_w": out_w,
+            "method": method,
+            "fmt": fmt,
+        },
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",

@@ -496,6 +496,124 @@ def test_codecs_roundtrip_and_features():
         decode_wav(b"RIFFxxxxWAVEjunkjunkjunkjunkjunkjunkjunkjunkjunk")
 
 
+def test_png_codec_roundtrip_filters_and_palette():
+    """Pure-zlib PNG codec: encode/decode round-trip for every channel
+    count, decode of externally-filtered scanlines (all 5 PNG filter
+    types, forward-filtered per spec here), palette images, and loud
+    failures on corrupt input."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from raylink.ops.codecs import decode_png, encode_png, to_rgb
+
+    rng = np.random.default_rng(5)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, size=(11, 23, c), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+    # to_rgb normalization
+    g = rng.integers(0, 256, size=(4, 5, 1), dtype=np.uint8)
+    assert to_rgb(g).shape == (4, 5, 3)
+    assert np.array_equal(to_rgb(g)[:, :, 0], g[:, :, 0])
+
+    # hand-build a PNG whose 5 scanlines use filter types 0..4
+    # (our encoder only emits 0, so this pins the DECODER's unfiltering)
+    h, w, bpp = 5, 7, 3
+    img = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+    flat = img.reshape(h, w * bpp).astype(np.int64)
+    lines = []
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for y, ftype in enumerate(range(5)):
+        cur = flat[y]
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            left = np.concatenate((np.zeros(bpp, dtype=np.int64),
+                                   cur[:-bpp]))
+            enc = (cur - left) % 256
+        elif ftype == 2:
+            enc = (cur - prior) % 256
+        elif ftype == 3:
+            left = np.concatenate((np.zeros(bpp, dtype=np.int64),
+                                   cur[:-bpp]))
+            enc = (cur - (left + prior) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate((np.zeros(bpp, dtype=np.int64),
+                                   cur[:-bpp]))
+            pl = np.concatenate((np.zeros(bpp, dtype=np.int64),
+                                 prior[:-bpp]))
+            p = left + prior - pl
+            pa_, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - pl)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc), left,
+                np.where(pb <= pc, prior, pl),
+            )
+            enc = (cur - pred) % 256
+        lines.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prior = cur
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+    # palette (color type 3): 4-entry PLTE, indexed pixels
+    plte = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    idx = rng.integers(0, 4, size=(3, 6), dtype=np.uint8)
+    rows = b"".join(b"\x00" + bytes(r) for r in idx)
+    pal_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 3, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", _zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(pal_png), plte[idx])
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png" + b"\x00" * 40)
+    # flip one IDAT byte: CRC must catch it
+    bad = bytearray(payload)
+    bad[len(payload) - 20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated"):
+        decode_png(bytes(bad))
+
+
+def test_optional_codec_decoders_guarded():
+    """jpeg/flac/mp3 decoders dispatch to PIL/soundfile when importable
+    and raise the loud optional-dependency stub otherwise (this
+    container has neither, so the stub path is what executes)."""
+    from raylink.ops.multimodal import MediaFeatureExtractor
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    ex = MediaFeatureExtractor(decoder="jpeg")
+    if not have_pil:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            ex.decode(b"\xff\xd8\xff\xe0junk")
+    ex = MediaFeatureExtractor(decoder="flac")
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            ex.decode(b"fLaCjunk")
+
+
 def test_multimodal_real_decode_stages():
     """The bmp/wav decoders run end-to-end through the actor-pool stages
     on the synthetic media table (whose image/audio payloads are real)."""
@@ -523,6 +641,37 @@ def test_multimodal_real_decode_stages():
     assert (resized["width"] == 16).all() and (resized["height"] == 16).all()
     arr = decode_bmp(resized["payload"].iloc[0])
     assert arr.shape == (16, 16, 3)
+
+    # PNG legs of the same stages: transcode the BMP payloads (both
+    # codecs are library-free) and run feature-extract + resize on them
+    import pyarrow as _pa
+
+    from raylink.ops.codecs import decode_png, encode_png
+
+    imgs_df = imgs.to_pandas()
+    png_tbl = _pa.table(
+        {
+            "media_id": _pa.array(imgs_df["media_id"], type=_pa.int64()),
+            "media_type": _pa.array(imgs_df["media_type"]),
+            "payload": _pa.array(
+                [
+                    encode_png(decode_bmp(p))
+                    for p in imgs_df["payload"]
+                ],
+                type=_pa.binary(),
+            ),
+        }
+    )
+    pngs = ray.data.from_arrow(png_tbl)
+    feats_p = extract_media_features(pngs, decoder="png").to_pandas()
+    assert len(feats_p) == len(feats_i)
+    # identical pixels -> identical descriptors regardless of container
+    fi = feats_i.sort_values("media_id", ignore_index=True)
+    fp = feats_p.sort_values("media_id", ignore_index=True)
+    assert (fi["features"] == fp["features"]).all()
+    resized_p = decode_resize_images(pngs, 16, 16, fmt="png").to_pandas()
+    arr_p = decode_png(resized_p["payload"].iloc[0])
+    assert arr_p.shape == (16, 16, 3)
 
 
 def test_frame_sample_video_rows():
