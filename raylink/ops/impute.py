@@ -115,7 +115,17 @@ def group_fill_forward(
                     pa.field(filled_col, _t(value_col)),
                 ]
             )
-    except Exception:
+    except (TypeError, ValueError, KeyError, AttributeError,
+            NotImplementedError) as exc:
+        # a failed pin degrades to the schema-less-empty-block hazard
+        # (stages/sortedrun.py::absorb_blank_blocks) — log it, never
+        # swallow silently
+        import logging
+
+        logging.getLogger("raylink").warning(
+            "group_fill_forward: schema pin failed (%s: %s)",
+            type(exc).__name__, exc,
+        )
         out_schema = None
 
     return sorted_group_scan(
