@@ -202,7 +202,15 @@ class ExecutionConfig:
     pair_shuffle_partitions: int | None = None
     checkpoint_dir: str | None = None
     cc_num_partitions: int = 16
-    cc_local_threshold: int = 2_000_000  # edges; below this CC runs driver-side
+    # edges; below this CC runs driver-side.  Sized to driver MEMORY,
+    # not caution: edges stream in 1M-row batches and the union-find
+    # state is O(unique endpoints); 8M string-id edges peak ~1-2 GB on
+    # the driver, while the distributed path costs a join+groupby
+    # shuffle PER ROUND (measured r5: a 2.7M-edge problem paid 47 s
+    # distributed vs ~3 s local — crossing over too early dominated the
+    # 16x-capacity wall).  64-bit endpoint-hash collision odds at 8M
+    # edges are ~1e-5 and require both colliders to be edge endpoints.
+    cc_local_threshold: int = 8_000_000
 
 
 @dataclass

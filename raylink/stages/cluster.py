@@ -43,7 +43,7 @@ def connected_components(
     node_col: str = "node",
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    local_threshold: int = 2_000_000,
+    local_threshold: int = 8_000_000,
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Cluster nodes by the edge list; auto-select local vs distributed."""
@@ -72,7 +72,7 @@ def connected_components_local(
     # to the labeling tasks is then numeric (zero-copy from the object store
     # — an object-dtype string array would re-unpickle per task), and only
     # one small string array (one min-id per component) rides along.  A
-    # 64-bit collision in a <=2M-edge problem is ~1e-7 and only matters if
+    # 64-bit collision in a <=8M-edge problem is ~1e-5 and only matters if
     # both colliding ids are edge endpoints.
     parts_a: list[np.ndarray] = []
     parts_b: list[np.ndarray] = []
