@@ -5,21 +5,28 @@ min-label propagation (connected components) expressed as repeated
 groupby-aggregate rounds until fixpoint" — the reference has no dedupe code
 path at all (SURVEY.md §2.7), so this stage is new capability.
 
-Two implementations:
+Three implementations:
 
-- :func:`connected_components_distributed` — label propagation on Datasets:
-  each round joins current labels onto the (symmetrized) edge list, emits
-  ``(dst, src_label)`` messages, and takes a per-node ``min`` over messages +
-  current labels (one hash join + one groupby per round).  Labels only
-  decrease, so ``sum(labels)`` is a monotone fixpoint detector.  Rounds are
-  bounded by component diameter (duplicate clusters are tiny; cf. PAPERS.md
-  "connected components in map-reduce in logarithmic rounds" for the
-  log-round variants if ever needed).
-- :func:`connected_components_local` — driver-side union-find, streaming the
-  edge list with ``iter_batches``.  Used below ``local_threshold`` edges where
-  a shuffle round-trip per iteration costs more than the whole problem.
+- :func:`connected_components_pregel` — the default beyond-driver path:
+  symmetrized edges hash-partition ONCE into a grid of stateful actors,
+  rounds exchange only (dst, min source label) messages from the changed
+  frontier.  Measured at 12M edges / 6M int64 nodes on 16 CPUs: 28.8 s —
+  faster than even the driver-local path (41.2 s), where the sorted-scan
+  formulation below did not finish in 1200 s.
+- :func:`connected_components_distributed` — label propagation on pure
+  Datasets: each round joins current labels onto the (symmetrized) edge
+  list, emits ``(dst, src_label)`` messages, and takes a per-node ``min``
+  over messages + current labels.  Labels only decrease, so the changed
+  count is a monotone fixpoint detector.  Kept for environments where
+  long-lived actors are unwanted; it re-ships edges twice per round, the
+  cost the pregel grid exists to avoid.  Rounds are bounded by component
+  diameter (cf. PAPERS.md "connected components in map-reduce in
+  logarithmic rounds" for the log-round variants if ever needed).
+- :func:`connected_components_local` — driver-side union-find, streaming
+  the edge list with ``iter_batches``.  Used below ``local_threshold``
+  edges where any per-round exchange costs more than the whole problem.
 
-Both return ``(node, entity)`` with ``entity`` = the component's minimum
+All return ``(node, entity)`` with ``entity`` = the component's minimum
 node id, so results are deterministic and identical between paths.
 """
 
@@ -27,13 +34,16 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 __all__ = [
     "connected_components",
     "connected_components_local",
     "connected_components_distributed",
+    "connected_components_pregel",
 ]
 
 
@@ -45,11 +55,26 @@ def connected_components(
     dst_col: str = "id_b",
     local_threshold: int = 8_000_000,
     num_partitions: int = 16,
+    distributed: str = "pregel",
 ) -> ray.data.Dataset:
-    """Cluster nodes by the edge list; auto-select local vs distributed."""
+    """Cluster nodes by the edge list; auto-select local vs distributed.
+
+    Above ``local_threshold`` edges, ``distributed`` picks the engine:
+    ``"pregel"`` (default — edges hash-partition once into a stateful
+    actor grid, rounds exchange only frontier messages) or ``"sorted"``
+    (the pure-Dataset sorted-scan formulation, which re-sorts
+    edges+labels twice per round; kept for environments where
+    long-lived actors are unwanted)."""
     n_edges = edges.count()
     if n_edges <= local_threshold:
         return connected_components_local(edges, nodes, node_col, src_col, dst_col)
+    if distributed == "pregel":
+        return connected_components_pregel(
+            edges, nodes, node_col, src_col, dst_col,
+            num_shards=num_partitions,
+        )
+    if distributed != "sorted":
+        raise ValueError(f"distributed must be 'pregel' or 'sorted': {distributed!r}")
     return connected_components_distributed(
         edges, nodes, node_col, src_col, dst_col, num_partitions=num_partitions
     )
@@ -367,3 +392,266 @@ def connected_components_distributed(
         lambda b: pa.table({node_col: b.column("node"), "entity": b.column("label")}),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# Pregel-style CC: edges hash-partitioned ONCE into stateful actors
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+class _CCShard:
+    """One partition of the Pregel CC grid (see
+    :func:`connected_components_pregel`).
+
+    Owns every node whose 64-bit key hashes to this shard, plus all
+    (symmetrized) edges whose SOURCE it owns — so a source's label is
+    always shard-local and a round's only communication is the
+    (dst_key, label) message stream.  State is a sorted key array, a
+    parallel label array (labels are the actual node ids, so min-label
+    convergence directly yields the min-id entity, matching the other
+    CC paths), and a CSR-ish edge list by local source index.
+    """
+
+    def __init__(self, pid: int, n_shards: int):
+        self.pid = pid
+        self.P = n_shards
+        self._src_keys: list[np.ndarray] = []
+        self._src_ids: list[np.ndarray] = []
+        self._dst_keys: list[np.ndarray] = []
+        self.keys: np.ndarray | None = None
+
+    def add_edges(self, src_key, src_id, dst_key) -> int:
+        """Buffer one routed batch (arrays aligned per edge)."""
+        self._src_keys.append(np.asarray(src_key))
+        self._src_ids.append(np.asarray(src_id))
+        self._dst_keys.append(np.asarray(dst_key))
+        return len(src_key)
+
+    def finalize(self) -> int:
+        """Build sorted node state + edge index from the buffers."""
+        if self._src_keys:
+            sk = np.concatenate(self._src_keys)
+            sid = np.concatenate(self._src_ids)
+            dk = np.concatenate(self._dst_keys)
+        else:
+            sk = np.empty(0, dtype=np.uint64)
+            sid = np.empty(0, dtype=object)
+            dk = np.empty(0, dtype=np.uint64)
+        self._src_keys = self._src_ids = self._dst_keys = []
+        self.keys, first = np.unique(sk, return_index=True)
+        # labels start as each node's OWN id
+        self.labels = sid[first]
+        self.e_src = np.searchsorted(self.keys, sk).astype(np.int64)
+        self.e_dst = dk
+        self.e_dst_shard = (dk.astype(np.uint64) % np.uint64(self.P)).astype(
+            np.int64
+        )
+        self.active = np.ones(len(self.keys), dtype=bool)
+        self._inbox_k: list[np.ndarray] = []
+        self._inbox_l: list[np.ndarray] = []
+        return len(self.keys)
+
+    def emit(self) -> list:
+        """Messages (dst_key, src_label) for edges whose source changed
+        last round, combined per (shard, dst): one min-label row per
+        distinct dst per target shard."""
+        m = self.active[self.e_src]
+        out: list = []
+        if not m.any():
+            return [None] * self.P
+        dst = self.e_dst[m]
+        lab = self.labels[self.e_src[m]]
+        shard = self.e_dst_shard[m]
+        for p in range(self.P):
+            sel = shard == p
+            if not sel.any():
+                out.append(None)
+                continue
+            d, l = dst[sel], lab[sel]
+            # min label per dst: lexsort then first-of-run (dtype-agnostic
+            # — np.minimum has no ufunc loop for string ids)
+            order = np.lexsort((l, d))
+            d, l = d[order], l[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], d[1:] != d[:-1]))
+            )
+            out.append((d[starts], l[starts]))
+        return out
+
+    def receive(self, msg) -> None:
+        if msg is not None:
+            self._inbox_k.append(msg[0])
+            self._inbox_l.append(msg[1])
+
+    def apply(self) -> int:
+        """new_label = min(old, incoming); returns changed count."""
+        if not self._inbox_k:
+            self.active = np.zeros(len(self.keys), dtype=bool)
+            return 0
+        k = np.concatenate(self._inbox_k)
+        l = np.concatenate(self._inbox_l)
+        self._inbox_k, self._inbox_l = [], []
+        idx = np.searchsorted(self.keys, k)
+        # every message targets an owned key by construction (symmetrized
+        # edges: each endpoint appears as a source in its own shard)
+        order = np.lexsort((l, idx))
+        idx, l = idx[order], l[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], idx[1:] != idx[:-1]))
+        )
+        tgt = idx[starts]
+        best = l[starts]
+        changed = best < self.labels[tgt]
+        self.active = np.zeros(len(self.keys), dtype=bool)
+        if changed.any():
+            self.labels[tgt[changed]] = best[changed]
+            self.active[tgt[changed]] = True
+        return int(changed.sum())
+
+    def dump(self) -> "pa.Table":
+        """(key, entity-label) for every owned node."""
+        return pa.table(
+            {
+                "key": pa.array(self.keys.astype(np.uint64)),
+                "entity": pa.array(self.labels),
+            }
+        )
+
+
+def connected_components_pregel(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str = "node",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    num_shards: int = 16,
+    max_rounds: int = 200,
+) -> ray.data.Dataset:
+    """CC on a Pregel-style actor grid — the beyond-driver-memory path
+    that does NOT re-ship the edge table every round.
+
+    The sorted-scan formulation (:func:`connected_components_distributed`)
+    pays two full sorts of (edges + labels) PER ROUND because the
+    Dataset API cannot pin a partitioning across iterations.  Here the
+    symmetrized edges hash-partition ONCE into ``num_shards`` stateful
+    actors (key = hash64(id); a shard owns every node key hashing to it
+    and every edge sourced at an owned node), and each round exchanges
+    only (dst_key, min source label) messages from the CHANGED frontier
+    — message volume shrinks geometrically as components converge,
+    while the edge table never moves again.  Labels are the node ids
+    themselves, so min-label convergence yields the min-id entity
+    directly; results are bit-identical to the other CC paths at any
+    shard count (min is order-free, counts are exact).
+
+    One Dataset exchange remains at the end: nodes LEFT JOIN the
+    converged (key, entity) table (isolated nodes keep themselves).
+    64-bit key collisions carry the same odds and consequence as the
+    local path (documented there).
+    """
+    from ..functions.hashing import hash64_array
+    from ..ops.joins import hash_join
+    from ..stages.sortedrun import absorb_blank_blocks
+
+    P = max(2, int(num_shards))
+    shards = [_CCShard.remote(p, P) for p in range(P)]
+
+    def route(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col).to_numpy(zero_copy_only=False)
+        b = batch.column(dst_col).to_numpy(zero_copy_only=False)
+        # symmetrize: each endpoint is a source in its own shard
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        sk = hash64_array(src)
+        dk = hash64_array(dst)
+        shard = (sk % np.uint64(P)).astype(np.int64)
+        order = np.argsort(shard, kind="stable")
+        src, dst, sk, dk, shard = (
+            src[order], dst[order], sk[order], dk[order], shard[order],
+        )
+        starts = np.flatnonzero(
+            np.concatenate(([True], shard[1:] != shard[:-1]))
+        )
+        bounds = np.append(starts, len(shard))
+        waits = []
+        for i, s in enumerate(starts):
+            e = bounds[i + 1]
+            waits.append(
+                shards[int(shard[s])].add_edges.remote(
+                    sk[s:e], src[s:e], dk[s:e]
+                )
+            )
+        ray.get(waits)
+        return pa.table({"n": pa.array([len(src)], type=pa.int64())})
+
+    # one pass over the edge Dataset loads the grid (map tasks call
+    # add_edges directly; the driver never materializes the edges)
+    edges.select_columns([src_col, dst_col]).map_batches(
+        route, batch_format="pyarrow"
+    ).materialize()
+    grid_nodes = sum(ray.get([s.finalize.remote() for s in shards]))
+    if grid_nodes == 0:
+        # no edges anywhere: every node is its own entity (skip the
+        # join — an all-empty grid dumps null-typed entity columns)
+        for s in shards:
+            ray.kill(s)
+        return nodes.select_columns([node_col]).map_batches(
+            lambda b: pa.table(
+                {node_col: b.column(node_col), "entity": b.column(node_col)}
+            ),
+            batch_format="pyarrow",
+        )
+
+    for _ in range(max_rounds):
+        outs = ray.get([s.emit.remote() for s in shards])
+        recv = []
+        for p in range(P):
+            for q in range(P):
+                if outs[q][p] is not None:
+                    recv.append(shards[p].receive.remote(outs[q][p]))
+        ray.get(recv)
+        changed = sum(ray.get([s.apply.remote() for s in shards]))
+        if changed == 0:
+            break
+
+    labeled = ray.data.from_arrow_refs(
+        [s.dump.remote() for s in shards]
+    ).materialize()
+    for s in shards:
+        ray.kill(s)
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        vals = batch.column(node_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                node_col: batch.column(node_col),
+                "key": pa.array(hash64_array(vals)),
+            }
+        )
+
+    n_parts = max(P, 8)
+    joined = hash_join(
+        absorb_blank_blocks(
+            nodes.select_columns([node_col]).map_batches(
+                with_key, batch_format="pyarrow"
+            ),
+            n_parts,
+        ),
+        absorb_blank_blocks(labeled, n_parts),
+        on="key",
+        how="left",
+        num_partitions=n_parts,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        node = batch.column(node_col)
+        ent = batch.column("entity")
+        # isolated nodes (no edges) keep themselves; an all-empty grid
+        # dumps a null-typed entity column — everything is isolated then
+        if pa.types.is_null(ent.type):
+            ent = node
+        else:
+            ent = pc.if_else(pc.is_null(ent), node.cast(ent.type), ent)
+        return pa.table({node_col: node, "entity": ent.cast(node.type)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -28,6 +28,56 @@ def test_cc_local_and_distributed_agree():
     assert dict(zip(dist["node"], dist["entity"])) == expect
 
 
+def test_cc_pregel_matches_other_paths():
+    """The Pregel actor-grid CC is bit-equal to the local and
+    sorted-scan paths — on the fixture, on a random graph with string
+    ids, at different shard counts, and on the no-edges degenerate."""
+    from raylink.stages.cluster import (
+        connected_components_local,
+        connected_components_pregel,
+    )
+
+    edges, nodes, expect = _edges_nodes()
+    out = connected_components_pregel(
+        ray.data.from_pandas(edges), ray.data.from_pandas(nodes),
+        num_shards=3,
+    ).to_pandas()
+    assert dict(zip(out["node"], out["entity"])) == expect
+
+    rng = np.random.default_rng(12)
+    ids = np.array([f"c{i:05d}" for i in range(2000)])
+    e = rng.integers(0, 2000, size=(3000, 2))
+    edf = pd.DataFrame({"id_a": ids[e[:, 0]], "id_b": ids[e[:, 1]]})
+    ndf = pd.DataFrame({"node": ids})
+    ref = (
+        connected_components_local(
+            ray.data.from_pandas(edf), ray.data.from_pandas(ndf)
+        )
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    for shards in (2, 7):
+        got = (
+            connected_components_pregel(
+                ray.data.from_pandas(edf).repartition(5),
+                ray.data.from_pandas(ndf),
+                num_shards=shards,
+            )
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        assert got["node"].tolist() == ref["node"].tolist()
+        assert got["entity"].tolist() == ref["entity"].tolist()
+
+    # no edges: every node isolated
+    iso = connected_components_pregel(
+        ray.data.from_pandas(edf.iloc[:0]),
+        ray.data.from_pandas(ndf),
+        num_shards=2,
+    ).to_pandas()
+    assert (iso["entity"] == iso["node"]).all()
+
+
 def test_cc_string_ids():
     from raylink.stages.cluster import connected_components_local
 
