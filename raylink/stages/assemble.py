@@ -31,10 +31,11 @@ are emitted as ordered fragments and merged in a second, tiny pass.
 
 from __future__ import annotations
 
+import itertools
 import re
-import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -63,19 +64,20 @@ ASSEMBLED_SCHEMA = pa.schema(
 def _token_hashes(text: str, max_tokens: int) -> np.ndarray:
     """Stable int64 hashes of the first ``max_tokens`` whitespace tokens.
 
-    crc32 (zlib, C speed) is plenty for token identity in the Levenshtein
-    comparison — a 2^-32 collision chance per token pair cannot move a
-    similarity across the rounded cut boundaries.
+    Hash identity only feeds the token-level Levenshtein comparison, so
+    any stable injective-enough hash works; ``pd.util.hash_array``
+    (SipHash, C speed, vectorizable over a whole block's tokens at
+    once) is what the interior fast path uses, and this scalar form —
+    the boundary-merge path — MUST match it hash-for-hash so a
+    conversation straddling a block edge compares identically.
     """
     toks = _TOKEN_SPLIT.split(text.strip())
     if toks == [""]:
         return np.empty(0, dtype=np.int64)
     toks = toks[:max_tokens]
-    return np.fromiter(
-        (zlib.crc32(t.encode("utf-8")) for t in toks),
-        dtype=np.int64,
-        count=len(toks),
-    )
+    return pd.util.hash_array(
+        np.asarray(toks, dtype=object), categorize=False
+    ).astype(np.int64)
 
 
 def normalize_text(s: str) -> str:
@@ -155,29 +157,89 @@ def _block_groups(batch: dict[str, np.ndarray]):
 
 
 def make_interior_fn(max_tokens: int, include_full_text: bool):
-    """Whole-block pass: assemble every non-boundary conversation."""
+    """Whole-block pass: assemble every non-boundary conversation.
 
-    def fn(batch: dict[str, np.ndarray]) -> dict[str, list]:
+    Vectorized per BLOCK, not per conversation: group bounds come from
+    one ``np.unique``, ts min/max from two ``reduceat``s, first-text
+    normalization from one pandas str pipeline, and token counting +
+    hashing from ONE split and ONE ``pd.util.hash_array`` over the
+    block's concatenated token stream (the per-conversation
+    split-twice-hash-per-token loop was ~23 of the ~27 us/conversation
+    that made assembly 53% of the capacity-run wall).  Output is
+    field-for-field identical to the scalar ``_record_from_parts`` path
+    (pinned by ``test_assemble.py``), which the boundary-merge pass
+    still uses.
+    """
+
+    def fn(batch: dict[str, np.ndarray]) -> dict:
         out = _empty_out()
-        _, groups = _block_groups(batch)
-        texts = batch["text"]
-        tools = batch["tool"]
+        conv = np.asarray(batch["conv_id"])
+        n = len(conv)
+        if n == 0:
+            return out
+        uniq, starts = np.unique(conv, return_index=True)
+        order = np.argsort(starts)
+        starts, uniq = starts[order], uniq[order]
+        ends = np.append(starts[1:], n)
+        keep = (uniq != conv[0]) & (uniq != conv[-1])
+        if not keep.any():
+            return out
         ts = np.asarray(batch["ts"]).astype("datetime64[us]").astype(np.int64)
-        for conv_id, sl, boundary in groups:
-            if boundary:
-                continue
-            t = ts[sl]
-            _record_from_parts(
-                conv_id,
-                list(texts[sl]),
-                list(tools[sl]),
-                int(t.min()),
-                int(t.max()),
-                sl.stop - sl.start,
-                max_tokens,
-                include_full_text,
-                out,
-            )
+        tmin = np.minimum.reduceat(ts, starts)[keep]
+        tmax = np.maximum.reduceat(ts, starts)[keep]
+        s_, e_ = starts[keep], ends[keep]
+        # str() mapping for None/NaN matches the scalar path exactly
+        text_str = (
+            pd.Series(np.asarray(batch["text"], dtype=object))
+            .astype(str)
+            .to_numpy(dtype=object)
+        )
+        tools = np.asarray(batch["tool"], dtype=object)
+        fulls = ["\n".join(text_str[a:b]) for a, b in zip(s_, e_)]
+        firsts = text_str[s_]
+        norm = (
+            pd.Series(firsts, dtype=object)
+            .str.strip()
+            .str.replace(_WS, " ", regex=True)
+            .str.upper()
+            .to_numpy(dtype=object)
+        )
+        tok_lists = (
+            pd.Series(fulls, dtype=object)
+            .str.strip()
+            .str.split()
+            .to_numpy(dtype=object)
+        )
+        n_tok = np.fromiter(
+            (len(t) for t in tok_lists), np.int64, count=len(tok_lists)
+        )
+        clipped = [t[:max_tokens] for t in tok_lists]
+        counts = np.minimum(n_tok, max_tokens)
+        flat = np.array(
+            list(itertools.chain.from_iterable(clipped)), dtype=object
+        )
+        hashes = (
+            pd.util.hash_array(flat, categorize=False).astype(np.int64)
+            if len(flat)
+            else np.empty(0, dtype=np.int64)
+        )
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        out["conv_id"] = [str(u) for u in uniq[keep]]
+        out["first_text"] = list(firsts)
+        out["first_text_norm"] = list(norm)
+        out["tool_sig"] = [
+            ",".join(str(t) for t in tools[a:b] if t is not None and t == t)
+            for a, b in zip(s_, e_)
+        ]
+        out["full_text"] = fulls if include_full_text else [""] * len(fulls)
+        out["tok_blob"] = [
+            hashes[bounds[i] : bounds[i + 1]].tobytes()
+            for i in range(len(clipped))
+        ]
+        out["n_turns"] = (e_ - s_).astype(np.int32)
+        out["n_tokens"] = n_tok.astype(np.int32)
+        out["ts_min"] = tmin
+        out["ts_span"] = tmax - tmin
         return out
 
     return fn
