@@ -387,6 +387,14 @@ def connected_components_distributed(
         labels = new_labels.drop_columns(["changed"]).materialize()
         if not changed:
             break
+    if changed:
+        # see connected_components_pregel: a silent half-propagated
+        # labeling would split real clusters
+        raise RuntimeError(
+            f"connected_components_distributed did not converge in "
+            f"{max_rounds} rounds ({changed} labels still changing) — "
+            "a component's diameter exceeds max_rounds; raise it"
+        )
 
     return labels.map_batches(
         lambda b: pa.table({node_col: b.column("node"), "entity": b.column("label")}),
@@ -602,6 +610,7 @@ def connected_components_pregel(
             batch_format="pyarrow",
         )
 
+    changed = 0
     for _ in range(max_rounds):
         outs = ray.get([s.emit.remote() for s in shards])
         recv = []
@@ -613,6 +622,16 @@ def connected_components_pregel(
         changed = sum(ray.get([s.apply.remote() for s in shards]))
         if changed == 0:
             break
+    if changed:
+        # rounds are bounded by component diameter; silently returning a
+        # half-propagated labeling would split real clusters
+        for s in shards:
+            ray.kill(s)
+        raise RuntimeError(
+            f"connected_components_pregel did not converge in "
+            f"{max_rounds} rounds ({changed} labels still changing) — "
+            "a component's diameter exceeds max_rounds; raise it"
+        )
 
     labeled = ray.data.from_arrow_refs(
         [s.dump.remote() for s in shards]

@@ -78,6 +78,37 @@ def test_cc_pregel_matches_other_paths():
     assert (iso["entity"] == iso["node"]).all()
 
 
+def test_cc_unconverged_rounds_refused():
+    """Both distributed CC paths must FAIL loudly (not return a
+    half-propagated labeling) when a component's diameter exceeds
+    max_rounds — a 10-node chain cannot converge in 2 rounds."""
+    import pytest
+
+    from raylink.stages.cluster import (
+        connected_components_distributed,
+        connected_components_pregel,
+    )
+
+    edf = pd.DataFrame({"id_a": np.arange(9), "id_b": np.arange(1, 10)})
+    ndf = pd.DataFrame({"node": np.arange(10)})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_pregel(
+            ray.data.from_pandas(edf), ray.data.from_pandas(ndf),
+            num_shards=2, max_rounds=2,
+        ).to_pandas()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_distributed(
+            ray.data.from_pandas(edf), ray.data.from_pandas(ndf),
+            num_partitions=2, max_rounds=2,
+        ).to_pandas()
+    # with enough rounds the same chain converges to its min id
+    out = connected_components_pregel(
+        ray.data.from_pandas(edf), ray.data.from_pandas(ndf),
+        num_shards=2,
+    ).to_pandas()
+    assert (out["entity"] == 0).all()
+
+
 def test_cc_string_ids():
     from raylink.stages.cluster import connected_components_local
 
