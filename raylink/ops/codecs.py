@@ -234,9 +234,11 @@ def _png_chunks(payload: bytes):
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        if pos + 12 + length > len(payload):
+            # covers both short data AND a missing/partial CRC word —
+            # struct.error here would break the ValueError contract
             raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in PNG chunk {ctype!r}")
@@ -344,7 +346,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ctype_code == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        img = plte[img[:, :, 0]]
+        idx = img[:, :, 0]
+        if idx.size and int(idx.max()) >= len(plte):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range for "
+                f"{len(plte)}-entry PLTE"
+            )
+        img = plte[idx]
     return np.ascontiguousarray(img)
 
 

@@ -82,51 +82,26 @@ def group_fill_forward(
 
     projected = ds.select_columns(cols)
     # pin output types: a block whose string values are ALL null would
-    # otherwise type-infer as null and break Arrow schema unification
+    # otherwise type-infer as null and break Arrow schema unification.
+    # try_arrow_schema handles Arrow- AND pandas-backed datasets and
+    # logs (never silently swallows) a failed pin — the shared pattern
+    # from lag.py/snm.py.
+    import pyarrow as pa
+
+    from .lag import try_arrow_schema
+
     out_schema = None
-    try:
-        import pyarrow as pa
-
-        base = projected.schema().base_schema
-        if isinstance(base, pa.Schema):
-            vt = base.field(value_col).type
-            out_schema = pa.schema(
-                [
-                    base.field(group_col),
-                    base.field(tie_col),
-                    pa.field(value_col, vt),
-                    pa.field(filled_col, vt),
-                ]
-            )
-        else:  # PandasBlockSchema: parallel names/types lists
-            def _t(c):
-                d = np.dtype(base.types[base.names.index(c)])
-                return (
-                    pa.string()
-                    if d == object
-                    else pa.from_numpy_dtype(d)
-                )
-
-            out_schema = pa.schema(
-                [
-                    pa.field(group_col, _t(group_col)),
-                    pa.field(tie_col, _t(tie_col)),
-                    pa.field(value_col, _t(value_col)),
-                    pa.field(filled_col, _t(value_col)),
-                ]
-            )
-    except (TypeError, ValueError, KeyError, AttributeError,
-            NotImplementedError) as exc:
-        # a failed pin degrades to the schema-less-empty-block hazard
-        # (stages/sortedrun.py::absorb_blank_blocks) — log it, never
-        # swallow silently
-        import logging
-
-        logging.getLogger("raylink").warning(
-            "group_fill_forward: schema pin failed (%s: %s)",
-            type(exc).__name__, exc,
+    base = try_arrow_schema(projected)
+    if base is not None:
+        vt = base.field(value_col).type
+        out_schema = pa.schema(
+            [
+                base.field(group_col),
+                base.field(tie_col),
+                pa.field(value_col, vt),
+                pa.field(filled_col, vt),
+            ]
         )
-        out_schema = None
 
     return sorted_group_scan(
         projected,
