@@ -587,6 +587,19 @@ def test_png_codec_roundtrip_filters_and_palette():
     bad[len(payload) - 20] ^= 0xFF
     with pytest.raises(ValueError, match="CRC|truncated"):
         decode_png(bytes(bad))
+    # truncation mid-CRC and out-of-range palette indices keep the
+    # ValueError contract (struct.error / IndexError would break it)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(payload[:-14])
+    short_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 3, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte[:2].tobytes())  # only indices 0-1 valid
+        + chunk(b"IDAT", _zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(short_plte)
 
 
 def test_optional_codec_decoders_guarded():
