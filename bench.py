@@ -287,6 +287,7 @@ def run_op_benchmarks(sf_dir: str, on_progress=None) -> dict[str, float]:
         "bpe_token_counts",
         "decayed_events",
         "event_quartiles",
+        "weighted_value_quantiles",
         "clean_dup_spans_docs",
         "rollup_events",
         "cube_events",

@@ -20,7 +20,11 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["grouped_quantiles", "clip_to_group_quantiles"]
+__all__ = [
+    "grouped_quantiles",
+    "grouped_weighted_quantiles",
+    "clip_to_group_quantiles",
+]
 
 
 def grouped_quantiles(
@@ -119,3 +123,87 @@ def clip_to_group_quantiles(
         return out
 
     return ds.map_batches(clip, batch_format="numpy")
+
+
+def grouped_weighted_quantiles(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    weight_col: str,
+    ps: tuple[int, ...] = (50, 95, 99),
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-key WEIGHTED quantiles: the smallest value whose cumulative
+    weight reaches ``p`` percent of the group's total weight (the
+    lower weighted quantile) — the weight-aware percentile cut a
+    curation pipeline needs when rows are not equal (e.g. a
+    token-weighted quality threshold: "the score below which 30 % of
+    TOKENS, not documents, fall").
+
+    Exactness contract: weights are positive int64 and ``ps`` are
+    integer percents, so the selection test ``cum_w * 100 >= p *
+    total_w`` is exact integer arithmetic — bit-identical to the SQL
+    twin (a cumulative-weight window + ``min(v) FILTER``) at any
+    parallelism, with no float-threshold tie hazard.  Value ties are
+    harmless by construction: whether a percent threshold falls inside
+    a run of equal values, the selected VALUE is the run's value in
+    every tie order.  Requires ``total_w * 100 < 2**63`` per group.
+
+    Null values (and their weights) are dropped per group (SQL
+    aggregate semantics); null, zero or negative weights on non-null
+    values are REFUSED loudly — silently dropping them would skew
+    every threshold downstream.
+
+    Output: one row per key, columns ``wq{p:02d}`` (float64; NaN for
+    all-null groups).  Same sorted-run scan shape (one range-partition
+    exchange over three columns) and same one-group-fits-a-block
+    assumption as :func:`grouped_quantiles`.
+    """
+    for p in ps:
+        if not (isinstance(p, (int, np.integer)) and 0 < p <= 100):
+            raise ValueError(
+                f"ps must be integer percents in (0, 100]: {p!r}"
+            )
+    names = [f"wq{int(p):02d}" for p in ps]
+
+    def group_fn(batch: dict[str, np.ndarray]) -> dict:
+        v = np.asarray(batch[val_col], dtype=np.float64)
+        w_raw = np.asarray(batch[weight_col], dtype=np.float64)
+        keep = ~np.isnan(v)
+        v, w_raw = v[keep], w_raw[keep]
+        if np.isnan(w_raw).any() or (w_raw <= 0).any():
+            key = np.asarray(batch[key_col])[0]
+            raise ValueError(
+                f"group {key!r}: null or non-positive weights on "
+                "non-null values; weighted quantiles require positive "
+                "integer weights"
+            )
+        w = w_raw.astype(np.int64)
+        out: dict = {key_col: np.asarray(batch[key_col])[:1]}
+        if len(v) == 0:
+            for nm in names:
+                out[nm] = np.array([np.nan])
+            return out
+        order = np.argsort(v, kind="stable")
+        vs, ws = v[order], w[order]
+        cw = np.cumsum(ws)
+        tw = int(cw[-1])
+        scaled = cw * 100  # int64; overflow bound documented above
+        for nm, p in zip(names, ps):
+            idx = int(np.searchsorted(scaled, int(p) * tw, side="left"))
+            out[nm] = np.array([vs[idx]])
+        return out
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict:
+        out: dict = {key_col: np.asarray(batch[key_col])[:0]}
+        for nm in names:
+            out[nm] = np.empty(0, dtype=np.float64)
+        return out
+
+    return sorted_group_scan(
+        ds.select_columns([key_col, val_col, weight_col]),
+        key_col,
+        group_fn,
+        empty_fn,
+        num_partitions,
+    )

@@ -777,6 +777,76 @@ def test_grouped_top_k_matches_pandas():
     assert g["rid"].tolist() == e["rid"].tolist()
 
 
+def test_grouped_weighted_quantiles_matches_duckdb():
+    """Lower weighted quantile vs the SQL cumulative-weight-window twin
+    (exact integer selection test), including value ties, null values,
+    an all-null group, and the non-positive-weight refusal."""
+    import duckdb
+
+    from raylink.ops.quantiles import grouped_weighted_quantiles
+
+    rng = np.random.default_rng(31)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            # coarse rounding plants plenty of exact value ties
+            "v": np.round(rng.gamma(2.0, 5.0, n), 1),
+            "w": rng.integers(1, 9, n).astype(np.int64),
+        }
+    )
+    df.loc[df.index % 11 == 0, "v"] = None
+    allnull = pd.DataFrame(
+        {"g": ["z", "z"], "v": [None, None], "w": [3, 4]}
+    )
+    df = pd.concat([df, allnull], ignore_index=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """
+        WITH c AS (
+            SELECT g, v, sum(w) OVER (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cw,
+                   sum(w) OVER (PARTITION BY g) AS tw
+            FROM t WHERE v IS NOT NULL
+        )
+        SELECT g, min(v) FILTER (WHERE cw * 100 >= 30 * tw) AS wq30,
+                  min(v) FILTER (WHERE cw * 100 >= 50 * tw) AS wq50,
+                  min(v) FILTER (WHERE cw * 100 >= 99 * tw) AS wq99
+        FROM c GROUP BY g ORDER BY g
+        """
+    ).df()
+    out = (
+        grouped_weighted_quantiles(
+            ray.data.from_pandas(df).repartition(5), "g", "v", "w",
+            ps=(30, 50, 99), num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    got = out[out["g"] != "z"].reset_index(drop=True)
+    assert got["g"].tolist() == exp["g"].tolist()
+    for c in ("wq30", "wq50", "wq99"):
+        assert got[c].tolist() == exp[c].tolist()
+    # all-null group -> NaN thresholds, row still present
+    zrow = out[out["g"] == "z"]
+    assert len(zrow) == 1 and zrow["wq50"].isna().all()
+
+    import pytest as _pytest
+
+    bad = pd.DataFrame({"g": ["a"] * 3, "v": [1.0, 2.0, 3.0],
+                        "w": [1, 0, 2]})
+    with _pytest.raises(Exception, match="non-positive"):
+        grouped_weighted_quantiles(
+            ray.data.from_pandas(bad), "g", "v", "w"
+        ).to_pandas()
+    with _pytest.raises(ValueError, match="integer percents"):
+        grouped_weighted_quantiles(
+            ray.data.from_pandas(bad), "g", "v", "w", ps=(0.5,)
+        )
+
+
 def test_grouped_quantiles_matches_numpy():
     import pyarrow as pa
 
