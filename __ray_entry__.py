@@ -3136,6 +3136,39 @@ def _q_weighted_value_quantiles(sf_dir: str):
     return out.select_columns(["event_type", "wq30", "wq50", "wq99"])
 
 
+def _q_collapse_rare_event_buckets(sf_dir: str):
+    """Long-tail category hygiene: integer value buckets observed <20
+    times collapse into 'other', then per-category counts (SQL twin:
+    CASE over a count join; raylink/ops/normalize.py::
+    collapse_rare_categories, round-5 add)."""
+    import numpy as np
+
+    from raylink.ops.normalize import collapse_rare_categories
+    from raylink.stages.sortedrun import count_by_key
+
+    ev = _read(sf_dir, "events").select_columns(["value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        cat = np.floor(v).astype(np.int64).astype(str).astype(object)
+        return pa.table({"cat": pa.array(cat, type=pa.string())})
+
+    cats = ev.map_batches(derive, batch_format="pyarrow")
+    collapsed = collapse_rare_categories(cats, "cat", min_count=20)
+    out = count_by_key(collapsed, "cat", num_partitions=8)
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cat": t.column("cat").cast(pa.string()),
+                "n": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (rounds 3-5): the driver verifies a bounded
     # PREFIX of this dict (observed cutoff: 50 entries).  Round-5 order:
@@ -3158,6 +3191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_lineitem": _q_regr_lineitem,
         "snm_pairs_part": _q_snm_pairs_part,
         "weighted_value_quantiles": _q_weighted_value_quantiles,
+        "collapse_rare_event_buckets": _q_collapse_rare_event_buckets,
         "new_docs_unseen": _q_new_docs_unseen,
         "docs_above_median": _q_docs_above_median,
         "split_docs": _q_split_docs,
@@ -3655,6 +3689,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_users
             FROM a JOIN f ON a.user_id = f.user_id
             GROUP BY 1, 2
+        """,
+        "collapse_rare_event_buckets": """
+            WITH t AS (
+                SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                       AS cat
+                FROM events WHERE value IS NOT NULL
+            ), c AS (
+                SELECT cat, count(*) AS n FROM t GROUP BY cat
+            ), m AS (
+                SELECT CASE WHEN c.n >= 20 THEN t.cat
+                            ELSE 'other' END AS cat2
+                FROM t JOIN c USING (cat)
+            )
+            SELECT cat2 AS cat, count(*)::BIGINT AS n
+            FROM m GROUP BY cat2
         """,
         "weighted_value_quantiles": """
             WITH t AS (

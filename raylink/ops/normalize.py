@@ -35,6 +35,7 @@ import ray
 import ray.data
 
 __all__ = [
+    "collapse_rare_categories",
     "group_standardize",
     "grouped_corr",
     "grouped_robust_stats",
@@ -581,3 +582,85 @@ def pd_isna(arr: np.ndarray) -> np.ndarray:
     import pandas as pd
 
     return pd.isna(arr)
+
+
+def collapse_rare_categories(
+    ds: ray.data.Dataset,
+    col: str,
+    min_count: int,
+    out_col: str | None = None,
+    other: str = "other",
+    broadcast_limit: int = 5_000_000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Replace category values observed fewer than ``min_count`` times
+    with ``other`` — the standard long-tail hygiene step before a
+    pivot, a mixture plan, or a categorical feature (SQL: ``CASE WHEN
+    cnt >= k THEN v ELSE 'other' END`` over a count join).
+
+    Plan (combiner-first broadcast, zero row shuffle for the data):
+    :func:`~raylink.stages.sortedrun.count_by_key` reduces every block
+    to per-category partials, the KEPT set (categories at or above the
+    threshold — bounded by the distinct count, not the row count) pulls
+    to the driver and ships once via ``ray.put``, and the rows stream
+    map-only through a vectorized membership test.  Nulls pass through
+    unchanged (SQL CASE on a NULL count never fires; null is "no
+    category", not a rare one).  A kept-set larger than
+    ``broadcast_limit`` is refused loudly — at that cardinality the
+    column is id-like and collapsing is the wrong tool.
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..stages.sortedrun import count_by_key
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    out_col = out_col or col
+
+    def drop_nulls(batch: dict[str, np.ndarray]) -> dict:
+        v = np.asarray(batch[col])
+        return {col: v[~pd_isna(v)]}
+
+    counts = count_by_key(
+        ds.select_columns([col]).map_batches(
+            drop_nulls, batch_format="numpy"
+        ),
+        col,
+        num_partitions=num_partitions,
+    )
+    def thresh(t):
+        import pyarrow.compute as _pc
+
+        return t.filter(
+            _pc.greater_equal(t.column("count()"), int(min_count))
+        )
+
+    kept_df = (
+        counts.map_batches(thresh, batch_format="pyarrow")
+        .limit(broadcast_limit + 1)
+        .to_pandas()
+    )
+    if len(kept_df) > broadcast_limit:
+        raise ValueError(
+            f"kept-category set exceeds broadcast_limit="
+            f"{broadcast_limit}; the column is id-like — collapsing "
+            "is the wrong tool at that cardinality"
+        )
+    kept_ref = ray.put(
+        set() if len(kept_df) == 0 else set(kept_df[col].tolist())
+    )
+    cols = list(ds.schema().names)
+
+    def collapse(batch: dict[str, np.ndarray]) -> dict:
+        kept = ray.get(kept_ref)
+        v = np.asarray(batch[col], dtype=object)
+        isna = pd_isna(v)
+        in_kept = pd.Series(v).isin(kept).to_numpy()
+        out_v = np.where(in_kept | isna, v, other)
+        out = {c: batch[c] for c in cols}
+        out[out_col] = out_v
+        return out
+
+    return ds.map_batches(collapse, batch_format="numpy")

@@ -777,6 +777,58 @@ def test_grouped_top_k_matches_pandas():
     assert g["rid"].tolist() == e["rid"].tolist()
 
 
+def test_collapse_rare_categories_matches_duckdb():
+    """CASE-over-count-join parity incl. exact-threshold boundary,
+    null passthrough, custom out_col, and the id-like refusal."""
+    import duckdb
+
+    from raylink.ops.normalize import collapse_rare_categories
+
+    rng = np.random.default_rng(23)
+    # Zipf-ish tail with categories exactly AT the threshold
+    cats = (
+        ["a"] * 40 + ["b"] * 10 + ["c"] * 5 + ["d"] * 4 + ["e"] * 1
+        + [None] * 6
+    )
+    rng.shuffle(cats)
+    df = pd.DataFrame({"c": cats, "x": np.arange(len(cats))})
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """
+        WITH n AS (SELECT c, count(*) AS cnt FROM t
+                   WHERE c IS NOT NULL GROUP BY c)
+        SELECT t.x, CASE WHEN t.c IS NULL THEN NULL
+                         WHEN n.cnt >= 5 THEN t.c
+                         ELSE 'other' END AS c2
+        FROM t LEFT JOIN n USING (c) ORDER BY t.x
+        """
+    ).df()
+    out = (
+        collapse_rare_categories(
+            ray.data.from_pandas(df).repartition(4), "c",
+            min_count=5, out_col="c2",
+        )
+        .to_pandas()
+        .sort_values("x", ignore_index=True)
+    )
+    assert out["c2"].where(out["c2"].notna(), None).tolist() == \
+        exp["c2"].where(exp["c2"].notna(), None).tolist()
+    # in-place (out_col defaults to col)
+    inplace = collapse_rare_categories(
+        ray.data.from_pandas(df), "c", min_count=5
+    ).to_pandas()
+    assert set(inplace["c"].dropna()) == {"a", "b", "c", "other"}
+
+    with pytest.raises(ValueError, match="min_count"):
+        collapse_rare_categories(ray.data.from_pandas(df), "c", 0)
+    with pytest.raises(ValueError, match="id-like"):
+        collapse_rare_categories(
+            ray.data.from_pandas(df), "c", min_count=1,
+            broadcast_limit=2,
+        ).to_pandas()
+
+
 def test_grouped_weighted_quantiles_matches_duckdb():
     """Lower weighted quantile vs the SQL cumulative-weight-window twin
     (exact integer selection test), including value ties, null values,
