@@ -3169,6 +3169,21 @@ def _q_collapse_rare_event_buckets(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _q_rle_events(sf_dir: str):
+    """Run-length encoding of each user's consecutive equal event
+    types (gaps-and-islands; raylink/ops/sessions.py::runlength_encode,
+    round-5 add — the lossless complement of dedupe_consec_events)."""
+    from raylink.ops.sessions import runlength_encode
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id", "event_type"]
+    )
+    return runlength_encode(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        num_partitions=8,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract (rounds 3-5): the driver verifies a bounded
     # PREFIX of this dict (observed cutoff: 50 entries).  Round-5 order:
@@ -3192,6 +3207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs_part": _q_snm_pairs_part,
         "weighted_value_quantiles": _q_weighted_value_quantiles,
         "collapse_rare_event_buckets": _q_collapse_rare_event_buckets,
+        "rle_events": _q_rle_events,
         "new_docs_unseen": _q_new_docs_unseen,
         "docs_above_median": _q_docs_above_median,
         "split_docs": _q_split_docs,
@@ -3689,6 +3705,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_users
             FROM a JOIN f ON a.user_id = f.user_id
             GROUP BY 1, 2
+        """,
+        "rle_events": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) rn,
+                    row_number() OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) rn2
+                FROM events)
+            SELECT user_id, event_type, count(*)::BIGINT AS run_len,
+                   arg_min(ts, rn) AS first_ts,
+                   arg_min(event_id, rn)::BIGINT AS first_event_id
+            FROM o GROUP BY user_id, event_type, rn - rn2
         """,
         "collapse_rare_event_buckets": """
             WITH t AS (

@@ -289,6 +289,7 @@ def run_op_benchmarks(sf_dir: str, on_progress=None) -> dict[str, float]:
         "event_quartiles",
         "weighted_value_quantiles",
         "collapse_rare_event_buckets",
+        "rle_events",
         "clean_dup_spans_docs",
         "rollup_events",
         "cube_events",

@@ -17,7 +17,7 @@ import ray.data
 
 from ..stages.sortedrun import sorted_group_scan
 
-__all__ = ["sessionize", "dedupe_consecutive"]
+__all__ = ["sessionize", "dedupe_consecutive", "runlength_encode"]
 
 
 def sessionize(
@@ -142,6 +142,101 @@ def dedupe_consecutive(
 
     return sorted_group_scan(
         events,
+        group_col,
+        group_fn,
+        empty_fn,
+        num_partitions=num_partitions,
+        out_schema=out_schema,
+    )
+
+
+def runlength_encode(
+    events: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Compress each group's ordered stream into runs of consecutive
+    equal ``value_col`` values (gaps-and-islands): one output row per
+    run with the run's value, its length, and the order-column values
+    of the run's FIRST row — the state-compression pass for repeated
+    sensor states, dialogue-role stretches, or status streams, and the
+    row-count-preserving complement of :func:`dedupe_consecutive`
+    (which keeps only each run's first row; ``run_len`` here recovers
+    what it dropped).
+
+    SQL semantics: the classic ``row_number() OVER (PARTITION BY g)
+    - row_number() OVER (PARTITION BY g, v)`` island key, grouped.
+    NULL equals NULL (a run of null states is one run, as in
+    ``IS NOT DISTINCT FROM``).  Pass a unique tiebreaker in
+    ``order_cols`` or run boundaries at order ties are
+    engine-dependent, exactly as in SQL.
+
+    Output: ``group_col``, ``value_col``, ``run_len`` (int64), and
+    each order column prefixed ``first_`` (the run-start coordinates).
+    One sort exchange; per group one lexsort + one change-point scan.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from .lag import try_arrow_schema
+
+    base = try_arrow_schema(events)
+    out_schema = None
+    if base is not None:
+        out_schema = pa.schema(
+            [
+                base.field(group_col),
+                base.field(value_col),
+                pa.field("run_len", pa.int64()),
+                *[
+                    pa.field(f"first_{c}", base.field(c).type)
+                    for c in order_cols
+                ],
+            ]
+        )
+    cols = [group_col, value_col, *order_cols]
+
+    def group_fn(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        order = np.lexsort(
+            tuple(np.asarray(group[c]) for c in reversed(order_cols))
+        )
+        v = np.asarray(group[value_col])[order]
+        n = len(v)
+        na = pd.isna(v)
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            # adjacent compare in the column's own dtype (see
+            # dedupe_consecutive for the int64-above-2^53 rationale)
+            same = (v[1:] == v[:-1]) | (na[1:] & na[:-1])
+            change[1:] = ~np.asarray(same, dtype=bool)
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, n))
+        out: dict[str, np.ndarray] = {
+            group_col: np.asarray(group[group_col])[order][starts],
+            value_col: v[starts],
+            "run_len": lens.astype(np.int64),
+        }
+        for c in order_cols:
+            out[f"first_{c}"] = np.asarray(group[c])[order][starts]
+        return out
+
+    def empty_fn(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out = {
+            group_col: np.asarray(batch[group_col])[:0],
+            value_col: np.asarray(batch[value_col])[:0],
+            "run_len": np.empty(0, dtype=np.int64),
+        }
+        for c in order_cols:
+            out[f"first_{c}"] = np.asarray(batch[c])[:0]
+        return out
+
+    return sorted_group_scan(
+        events.select_columns(list(dict.fromkeys(cols))),
         group_col,
         group_fn,
         empty_fn,

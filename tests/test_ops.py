@@ -777,6 +777,65 @@ def test_grouped_top_k_matches_pandas():
     assert g["rid"].tolist() == e["rid"].tolist()
 
 
+def test_runlength_encode_matches_duckdb():
+    """Gaps-and-islands RLE parity vs DuckDB (row_number-difference
+    island key), incl. null-state runs (NULL equals NULL) and
+    run-start coordinates taken from the run's FIRST row."""
+    import duckdb
+
+    from raylink.ops.sessions import runlength_encode
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 40, n),
+            "ts": rng.integers(0, 10**6, n),
+            "tie": np.arange(n),
+            "state": rng.choice(
+                ["a", "b", "c", None], n, p=[0.4, 0.3, 0.2, 0.1]
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """
+        WITH o AS (
+            SELECT u, ts, tie, state,
+                row_number() OVER (PARTITION BY u ORDER BY ts, tie) rn,
+                row_number() OVER (PARTITION BY u,
+                    COALESCE(state, '<null>') ORDER BY ts, tie) rn2
+            FROM t)
+        SELECT u, state, count(*)::BIGINT AS run_len,
+               arg_min(ts, rn) AS first_ts, arg_min(tie, rn) AS first_tie
+        FROM o GROUP BY u, COALESCE(state, '<null>'), state, rn - rn2
+        ORDER BY u, first_ts, first_tie
+        """
+    ).df()
+    out = (
+        runlength_encode(
+            ray.data.from_pandas(df).repartition(5), "u",
+            ["ts", "tie"], "state", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["u", "first_ts", "first_tie"], ignore_index=True)
+    )
+    assert len(out) == len(exp)
+    assert out["u"].tolist() == exp["u"].tolist()
+    assert out["run_len"].tolist() == exp["run_len"].tolist()
+    assert out["first_ts"].tolist() == exp["first_ts"].tolist()
+    assert out["first_tie"].tolist() == exp["first_tie"].tolist()
+    assert (
+        out["state"].where(out["state"].notna(), None).tolist()
+        == exp["state"].where(exp["state"].notna(), None).tolist()
+    )
+    # run_len sums back to the input row count (lossless compression)
+    assert int(out["run_len"].sum()) == n
+    with pytest.raises(ValueError, match="order_cols"):
+        runlength_encode(ray.data.from_pandas(df), "u", [], "state")
+
+
 def test_collapse_rare_categories_matches_duckdb():
     """CASE-over-count-join parity incl. exact-threshold boundary,
     null passthrough, custom out_col, and the id-like refusal."""
